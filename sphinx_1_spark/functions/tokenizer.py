@@ -1,0 +1,194 @@
+"""UTF-8 tokenizer with Sphinx position arithmetic.
+
+Semantic parity points (reference):
+  - token = maximal run of codepoints whose charset_table fold is
+    nonzero (CSphTokenizer_UTF8::GetToken, src/sphinx.cpp:4238-4410);
+  - min_word_len drops short tokens but still advances position by
+    overshort_step (src/sphinx.cpp:18528-18531, default step 1);
+  - per-field position counter starts at HIT_PACK(field, 0) and steps
+    +1 per emitted-or-overshort token, so the first token of a field
+    sits at in-field position 1 (src/sphinx.cpp:18513-18531);
+  - wordpos packing: field<<24 | pos&0x7fffff, with bit 0x800000
+    (HIT_FIELD_END) set on all hits sharing the last position of the
+    field (src/sphinx.cpp:229-241, 18666-18672);
+  - max token length 42 codepoints (SPH_MAX_WORD_LEN,
+    src/sphinx.h:149): longer runs are truncated to their first 42
+    codepoints (tail codepoints are consumed, no extra token).
+
+Everything is numpy-vectorized per document: UTF-32 view -> fold map
+fancy-index -> run-length boundaries. No per-codepoint Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from sphinx_1_spark.functions.charset import (
+    SPHINX_DEFAULT_UTF8_TABLE,
+    build_fold_table,
+    codepoints_to_text,
+    fold_codepoints,
+    text_to_codepoints,
+)
+
+MAX_WORD_LEN = 42  # SPH_MAX_WORD_LEN, src/sphinx.h:149
+HIT_FIELD_END = 0x800000  # src/sphinx.cpp:241
+POS_MASK = 0x7FFFFF
+
+
+def hit_pack(field_id: int, pos: int) -> int:
+    """HIT_PACK (src/sphinx.cpp:229)."""
+    return (field_id << 24) | (pos & POS_MASK)
+
+
+@dataclass(frozen=True)
+class TokenizerSettings:
+    charset_table: str = SPHINX_DEFAULT_UTF8_TABLE
+    min_word_len: int = 1
+    overshort_step: int = 1
+    stopwords: frozenset[str] = dc_field(default_factory=frozenset)
+    stopword_step: int = 1
+    # CJK extensions (see mmseg.py): codepoints segmented 1-per-token
+    ngram_chars: str = ""  # spec string like "U+4E00..U+9FBF"
+    mmseg_dict_path: str | None = None
+
+
+class Tokenizer:
+    """Deterministic, driver/executor-shareable tokenizer.
+
+    Construct once per partition (cheap: fold table is lru_cached per
+    process) inside pandas UDFs; also used directly by the pure-Python
+    oracle so engine and oracle share one tokenization definition.
+    """
+
+    def __init__(self, settings: TokenizerSettings | None = None):
+        self.settings = settings or TokenizerSettings()
+        self.fold = build_fold_table(self.settings.charset_table)
+        self._ngram_mask = None
+        if self.settings.ngram_chars:
+            ng = build_fold_table(self.settings.ngram_chars)
+            self._ngram_mask = ng != 0
+        self._mmseg = None
+        if self.settings.mmseg_dict_path:
+            from sphinx_1_spark.functions.mmseg import MMSegDict
+
+            self._mmseg = MMSegDict.load(self.settings.mmseg_dict_path)
+
+    # ------------------------------------------------------------------
+    def tokenize(self, text: str) -> list[str]:
+        """Plain token list (no positions) — fold, split on zero-folds."""
+        return [t for t, _ in self.tokenize_with_positions(text)]
+
+    def tokenize_with_positions(self, text: str) -> list[tuple[str, int]]:
+        """Returns [(token, in_field_pos)] with Sphinx stepping.
+
+        Positions are 1-based; dropped overshort tokens advance the
+        counter by overshort_step; stopwords advance by stopword_step
+        but emit nothing.
+        """
+        cps = text_to_codepoints(text)
+        folded = fold_codepoints(cps, self.fold)
+        if self._ngram_mask is not None or self._mmseg is not None:
+            return self._tokenize_cjk(cps, folded)
+        return self._emit(self._runs(folded))
+
+    # ------------------------------------------------------------------
+    def _runs(self, folded: np.ndarray) -> list[np.ndarray]:
+        """Maximal nonzero runs of the folded codepoint array."""
+        if folded.size == 0:
+            return []
+        nz = folded != 0
+        # boundaries where nz flips
+        diff = np.diff(nz.astype(np.int8))
+        starts = np.flatnonzero(diff == 1) + 1
+        ends = np.flatnonzero(diff == -1) + 1
+        if nz[0]:
+            starts = np.concatenate(([0], starts))
+        if nz[-1]:
+            ends = np.concatenate((ends, [folded.size]))
+        return [folded[s:e] for s, e in zip(starts, ends)]
+
+    def _emit(self, runs: list[np.ndarray]) -> list[tuple[str, int]]:
+        s = self.settings
+        out: list[tuple[str, int]] = []
+        pos = 0
+        step = 1
+        for run in runs:
+            if run.size < s.min_word_len:
+                # overshort: dropped, position advances extra
+                step += s.overshort_step
+                continue
+            pos += step
+            step = 1
+            tok = codepoints_to_text(run[:MAX_WORD_LEN])
+            if tok in s.stopwords:
+                # stopword: no hit; next token's step includes stopword_step
+                # (Sphinx: wordid==0 -> iLastStep = stopword_step,
+                #  src/sphinx.cpp:18769-18771 / dict stopword filter)
+                step = s.stopword_step
+                continue
+            out.append((tok, pos))
+        return out
+
+    # ------------------------------------------------------------------
+    def _tokenize_cjk(self, cps: np.ndarray, folded: np.ndarray) -> list[tuple[str, int]]:
+        """CJK-aware path: ngram_chars codepoints become 1-char tokens
+        (CSphTokenizer_UTF8Ngram, src/sphinx.cpp:4943-4947); if an MMSEG
+        dictionary is loaded, dictionary-covered spans are segmented with
+        the MMSEG complex algorithm instead (src/sphinx.cpp:4412-4912)."""
+        # Build a per-codepoint class: 0 = separator, 1 = word char, 2 = CJK
+        cls = (folded != 0).astype(np.int8)
+        if self._ngram_mask is not None and cps.size:
+            cjk = self._ngram_mask[cps]
+            cls[cjk] = 2
+            folded = np.where(cjk, cps, folded)  # CJK chars keep their codepoint
+        # runs of equal nonzero class
+        pieces: list[tuple[int, np.ndarray]] = []  # (cls, folded_run)
+        i = 0
+        n = cps.size
+        while i < n:
+            c = cls[i]
+            j = i + 1
+            while j < n and cls[j] == c:
+                j += 1
+            if c != 0:
+                pieces.append((int(c), folded[i:j]))
+            i = j
+        # expand CJK runs into tokens
+        runs: list[np.ndarray] = []
+        for c, run in pieces:
+            if c == 1:
+                runs.append(run)
+            else:
+                if self._mmseg is not None:
+                    for w in self._mmseg.segment(codepoints_to_text(run)):
+                        runs.append(text_to_codepoints(w))
+                else:
+                    runs.extend(run[k : k + 1] for k in range(run.size))
+        return self._emit(runs)
+
+    # ------------------------------------------------------------------
+    def hits_for_doc(self, fields: list[str | None]) -> list[tuple[str, int]]:
+        """All (token, packed_wordpos) hits for one document.
+
+        Field ids are the list ordinals (SPH_MAX_FIELDS=32 cap,
+        src/sphinx.h:147); trailing hits of each field carry
+        HIT_FIELD_END (src/sphinx.cpp:18666-18672).
+        """
+        out: list[tuple[str, int]] = []
+        for fid, text in enumerate(fields):
+            if not text:
+                continue
+            toks = self.tokenize_with_positions(text)
+            if not toks:
+                continue
+            last_pos = toks[-1][1]
+            base = fid << 24
+            for tok, pos in toks:
+                wp = base | pos
+                if pos == last_pos:
+                    wp |= HIT_FIELD_END
+                out.append((tok, wp))
+        return out

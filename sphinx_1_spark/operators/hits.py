@@ -1,0 +1,128 @@
+"""Hit extraction: documents -> (docid, word, wordpos) relation.
+
+The hit relation is Sphinx's central intermediate (CSphWordHit,
+reference src/sphinx.h:597-602): one row per keyword occurrence with
+wordpos = field<<24 | is_field_end<<23 | in_field_position
+(src/sphinx.cpp:229-241).
+
+Two implementations:
+  * native: pure Catalyst (lower/regexp/split/posexplode) — whole-stage
+    codegen, zero Python. Exactly equivalent to the charset_table
+    default on ASCII text; this is the hot path for the English web
+    corpus and what the benchmark uses.
+  * arrow: mapInPandas + the full Tokenizer (charset folding, CJK
+    MMSEG/ngram, stopwords, overshort steps) — Arrow-batched, numpy
+    inner loops, needed only where native semantics diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sphinx_1_spark.functions.tokenizer import HIT_FIELD_END, TokenizerSettings
+
+# Separator class equivalent to SPHINX_DEFAULT_UTF8_TABLE on ASCII text
+# (0..9, a..z, _ are word chars; A..Z fold via lower()).
+_ASCII_SEP_RE = "[^0-9a-z_]+"
+
+HITS_SCHEMA = StructType(
+    [
+        StructField("docid", LongType(), False),
+        StructField("word", StringType(), False),
+        StructField("wordpos", IntegerType(), False),
+    ]
+)
+
+
+def _field_hits_native(docid: Column, text: Column, field_id: int) -> "Column":
+    """Array of hit structs for one field, all in Catalyst expressions.
+
+    Position arithmetic parity: first token at pos 1, +1 per token
+    (src/sphinx.cpp:18677-18682 with default steps and min_word_len=1);
+    every hit at the last position gets HIT_FIELD_END
+    (src/sphinx.cpp:18666-18672).
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(text), f"^{_ASCII_SEP_RE}|{_ASCII_SEP_RE}$", ""),
+        _ASCII_SEP_RE,
+    )
+    toks = F.when(text.isNull() | (F.trim(text) == ""), F.array()).otherwise(toks)
+    n = F.size(toks)
+    base = F.lit(field_id << 24)
+    return F.filter(
+        F.transform(
+            toks,
+            lambda w, i: F.struct(
+                docid.alias("docid"),
+                w.alias("word"),
+                (
+                    base
+                    + (i + 1)
+                    + F.when(i == n - 1, F.lit(HIT_FIELD_END)).otherwise(F.lit(0))
+                ).cast("int").alias("wordpos"),
+            ),
+        ),
+        lambda s: s["word"] != "",
+    )
+
+
+def build_hits_native(
+    df: DataFrame, docid_col: str, fields: list[str]
+) -> DataFrame:
+    """Catalyst-only hit extraction for ASCII text fields."""
+    docid = F.col(docid_col).cast("long")
+    arrays = [_field_hits_native(docid, F.col(f), fid) for fid, f in enumerate(fields)]
+    allhits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    return (
+        df.select(F.explode(allhits).alias("h"))
+        .select("h.docid", "h.word", "h.wordpos")
+    )
+
+
+def build_hits_arrow(
+    df: DataFrame,
+    docid_col: str,
+    fields: list[str],
+    settings: TokenizerSettings,
+) -> DataFrame:
+    """Full-fidelity hit extraction via Arrow-batched mapInPandas."""
+    cols = [docid_col] + fields
+    proj = df.select(*cols)
+
+    def gen(batches):
+        # tokenizer built once per task; fold table lru-cached per process
+        from sphinx_1_spark.functions.tokenizer import Tokenizer
+        import pandas as pd
+
+        tok = Tokenizer(settings)
+        for pdf in batches:
+            docids: list[int] = []
+            words: list[str] = []
+            poss: list[int] = []
+            id_arr = pdf[docid_col].values
+            field_arrs = [pdf[f].values for f in fields]
+            for i in range(len(pdf)):
+                did = int(id_arr[i])
+                row_fields = [
+                    (field_arrs[j][i] if field_arrs[j][i] is not None else "")
+                    for j in range(len(fields))
+                ]
+                for w, wp in tok.hits_for_doc(row_fields):
+                    docids.append(did)
+                    words.append(w)
+                    poss.append(wp)
+            yield pd.DataFrame(
+                {"docid": pd.Series(docids, dtype="int64"),
+                 "word": pd.Series(words, dtype="object"),
+                 "wordpos": pd.Series(poss, dtype="int32")}
+            )
+
+    return proj.mapInPandas(gen, schema=HITS_SCHEMA)

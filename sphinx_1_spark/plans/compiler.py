@@ -1,0 +1,494 @@
+"""Compile an XQNode AST into a declarative DataFrame plan.
+
+Relational mapping of the reference's ExtNode streaming operators
+(src/sphinx.cpp:11208-13745):
+  term    -> filtered scan of the postings relation (ExtTerm_c)
+  and     -> inner join on docid, tfidf summed (ExtAnd_c :12365,12410)
+  or      -> full outer join, tfidf summed where present (ExtOr_c :12516)
+  andnot  -> left anti join (ExtAndNot_c :12677)
+  phrase  -> per-doc position-delta chain over HIT2LCS positions
+             (ExtPhrase_c :12805; higher-order array exprs, JVM-side)
+  proximity -> minimal-window check: span(chosen positions) <=
+             (maxqpos-minqpos)+N in one field (ExtProximity_c :13178)
+  quorum  -> >=N distinct terms present (ExtQuorum_c :13414)
+  before  -> greedy ascending selection by querypos (ExtOrder_c :13745)
+
+Every node's DataFrame carries:
+  docid      long
+  tfidf      double   — fast64 score accumulator (query order)
+  fieldmask  int      — matched-fields bits (for bm25/fieldmask ranks)
+  tfs        array<struct<querypos int, tf int>>  — for exact32 scoring
+  hits       array<struct<lcspos long, querypos int, spanlen int,
+                          weight int>> — node's emitted hit stream,
+             present only when compile(need_hits=True); lcspos keeps
+             field<<24 but drops the FIELD_END bit (HIT2LCS,
+             src/sphinx.cpp:238).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from sphinx_1_spark.functions.bits import field_bit_of_pos
+from sphinx_1_spark.functions.tokenizer import HIT_FIELD_END, POS_MASK
+from sphinx_1_spark.functions.wordid import crc32_word
+from sphinx_1_spark.plans.parser import ALL_FIELDS, QWord, XQNode
+
+SPH_BM25_K1 = 1.2  # src/sphinx.cpp:11146
+LCS_MASK = 0xFF7FFFFF  # HIT2LCS, src/sphinx.cpp:238
+
+_HIT_STRUCT = "array<struct<lcspos:bigint,querypos:int,spanlen:int,weight:int>>"
+_TFS_STRUCT = "array<struct<querypos:int,tf:int>>"
+
+
+@dataclass
+class CompileContext:
+    postings: DataFrame  # (wordid, word, docid, tf, fieldmask[, positions])
+    idf: dict[str, float]  # word -> idf (query-scope, driver-computed)
+    need_hits: bool = False
+    n_fields: int = 1
+
+    def term_scan(self, word: str) -> DataFrame:
+        wid = crc32_word(word)
+        return self.postings.where(F.col("wordid") == F.lit(wid))
+
+
+def _empty(ctx: CompileContext) -> DataFrame:
+    spark = ctx.postings.sparkSession
+    cols = "docid bigint, tfidf double, fieldmask int, " f"tfs {_TFS_STRUCT}"
+    if ctx.need_hits:
+        cols += f", hits {_HIT_STRUCT}"
+    return spark.createDataFrame([], cols)
+
+
+def compile_node(node: XQNode, ctx: CompileContext) -> DataFrame:
+    fn = _COMPILERS[node.op]
+    return fn(node, ctx)
+
+
+# ----------------------------------------------------------------------
+# term
+
+
+def _pos_predicates(node: XQNode, w: QWord):
+    """Per-hit qualification predicates (ExtTermPos_c,
+    src/sphinx.cpp:12115-12143): field mask, max field pos, anchors."""
+    preds = []
+    if node.fields_mask != ALL_FIELDS:
+        mask = node.fields_mask
+        preds.append(lambda p: field_bit_of_pos(p).bitwiseAND(F.lit(mask)) != 0)
+    if node.max_field_pos:
+        mp = node.max_field_pos
+        preds.append(lambda p: p.bitwiseAND(F.lit(POS_MASK)) <= F.lit(mp))
+    if w.field_start:
+        preds.append(lambda p: p.bitwiseAND(F.lit(POS_MASK)) == 1)
+    if w.field_end:
+        preds.append(lambda p: p.bitwiseAND(F.lit(HIT_FIELD_END)) != 0)
+    return preds
+
+
+def _compile_term(node: XQNode, ctx: CompileContext) -> DataFrame:
+    w = node.words[0]
+    df = ctx.term_scan(w.word)
+    preds = _pos_predicates(node, w)
+    if preds:
+        qual = F.filter(
+            F.col("positions"), lambda p: _and_all(pred(p) for pred in preds)
+        )
+        df = df.withColumn("_qual", qual).where(F.size("_qual") > 0)
+        tf = F.size("_qual")
+        fieldmask = F.aggregate(
+            F.col("_qual"),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc.bitwiseOR(field_bit_of_pos(p)),
+        ).cast("int")
+        pos_src = F.col("_qual")
+    else:
+        tf = F.col("tf")
+        fieldmask = F.col("fieldmask")
+        pos_src = F.col("positions") if "positions" in df.columns else None
+
+    idf = float(ctx.idf.get(w.word, 0.0))
+    # ExtTerm_c: tfidf = tf/(tf+k1) * idf (src/sphinx.cpp:11867)
+    tfidf = (tf.cast("double") / (tf.cast("double") + F.lit(SPH_BM25_K1))) * F.lit(idf)
+    out = [
+        F.col("docid"),
+        tfidf.alias("tfidf"),
+        fieldmask.alias("fieldmask"),
+        F.array(
+            F.struct(
+                F.lit(w.querypos).cast("int").alias("querypos"),
+                tf.cast("int").alias("tf"),
+            )
+        ).cast(_TFS_STRUCT).alias("tfs"),
+    ]
+    if ctx.need_hits:
+        if pos_src is None:
+            raise ValueError("index built without positions; ranker needs them")
+        hits = F.transform(
+            pos_src,
+            lambda p: F.struct(
+                p.bitwiseAND(F.lit(LCS_MASK)).cast("bigint").alias("lcspos"),
+                F.lit(w.querypos).cast("int").alias("querypos"),
+                F.lit(1).cast("int").alias("spanlen"),
+                F.lit(1).cast("int").alias("weight"),
+            ),
+        )
+        out.append(hits.alias("hits"))
+    return df.select(*out)
+
+
+def _and_all(preds) -> Column:
+    it = iter(preds)
+    acc = next(it)
+    for p in it:
+        acc = acc & p
+    return acc
+
+
+# ----------------------------------------------------------------------
+# boolean combinators
+
+
+def _suffix(df: DataFrame, s: str) -> DataFrame:
+    return df.select([F.col(c).alias(c + s) for c in df.columns])
+
+
+def _compile_and(node: XQNode, ctx: CompileContext) -> DataFrame:
+    left = compile_node(node.children[0], ctx)
+    for i, child in enumerate(node.children[1:]):
+        right = _suffix(compile_node(child, ctx), "_r")
+        j = left.join(right, left["docid"] == right["docid_r"], "inner")
+        left = _merge_both(j, ctx)
+    return left
+
+
+def _compile_or(node: XQNode, ctx: CompileContext) -> DataFrame:
+    left = compile_node(node.children[0], ctx)
+    for child in node.children[1:]:
+        right = _suffix(compile_node(child, ctx), "_r")
+        j = left.join(right, left["docid"] == right["docid_r"], "full_outer")
+        left = _merge_both(j, ctx, outer=True)
+    return left
+
+
+def _merge_both(j: DataFrame, ctx: CompileContext, outer: bool = False) -> DataFrame:
+    """Combine left + right columns after a join: tfidf summed in query
+    order (ExtAnd :12410 / ExtOr :12572), fieldmask OR'd, tfs/hits
+    concatenated (hits re-sorted by (lcspos, querypos) = the zipper
+    merge order of GetHitsChunk)."""
+    docid = F.coalesce(F.col("docid"), F.col("docid_r")) if outer else F.col("docid")
+    z = F.lit(0.0)
+    tfidf = F.coalesce(F.col("tfidf"), z) + F.coalesce(F.col("tfidf_r"), z)
+    zi = F.lit(0)
+    fieldmask = F.coalesce(F.col("fieldmask"), zi).bitwiseOR(
+        F.coalesce(F.col("fieldmask_r"), zi)
+    )
+    empty_tfs = F.lit(None).cast(_TFS_STRUCT)
+    tfs = F.concat(
+        F.coalesce(F.col("tfs"), F.array().cast(_TFS_STRUCT)),
+        F.coalesce(F.col("tfs_r"), F.array().cast(_TFS_STRUCT)),
+    )
+    cols = [
+        docid.alias("docid"),
+        tfidf.alias("tfidf"),
+        fieldmask.cast("int").alias("fieldmask"),
+        tfs.alias("tfs"),
+    ]
+    if ctx.need_hits:
+        hits = F.array_sort(
+            F.concat(
+                F.coalesce(F.col("hits"), F.array().cast(_HIT_STRUCT)),
+                F.coalesce(F.col("hits_r"), F.array().cast(_HIT_STRUCT)),
+            )
+        )
+        cols.append(hits.alias("hits"))
+    return j.select(*cols)
+
+
+def _compile_andnot(node: XQNode, ctx: CompileContext) -> DataFrame:
+    left = compile_node(node.children[0], ctx)
+    right = compile_node(node.children[1], ctx).select("docid")
+    return left.join(right, "docid", "left_anti")
+
+
+# ----------------------------------------------------------------------
+# positional nodes (phrase / proximity / quorum / before)
+
+
+def _word_term_frames(node: XQNode, ctx: CompileContext) -> list[DataFrame]:
+    """Per-word term scans with qualifying LCS position arrays."""
+    frames = []
+    for w in node.words:
+        tnode = XQNode(
+            "term",
+            words=[w],
+            fields_mask=node.fields_mask,
+            max_field_pos=node.max_field_pos,
+        )
+        sub_ctx = CompileContext(ctx.postings, ctx.idf, True, ctx.n_fields)
+        df = _compile_term(tnode, sub_ctx)
+        # reduce hits to bare lcspos array for the positional predicate
+        df = df.withColumn("lcs", F.transform(F.col("hits"), lambda h: h["lcspos"]))
+        if not ctx.need_hits:
+            df = df.drop("hits")
+        frames.append(df)
+    return frames
+
+
+def _join_all(frames: list[DataFrame], how: str) -> DataFrame:
+    """Join per-word frames on docid with positional suffixes _0.._n.
+
+    The running join key is kept in `_docid` (coalesced across outer
+    joins) so each frame's own docid_i stays NULL-testable for
+    presence counting."""
+    acc = frames[0].select(
+        [F.col(c).alias(f"{c}_0") for c in frames[0].columns]
+    ).withColumn("_docid", F.col("docid_0"))
+    for i, f in enumerate(frames[1:], start=1):
+        fi = f.select([F.col(c).alias(f"{c}_{i}") for c in f.columns])
+        acc = acc.join(fi, F.col("_docid") == F.col(f"docid_{i}"), how)
+        if how == "full_outer":
+            acc = acc.withColumn(
+                "_docid", F.coalesce(F.col("_docid"), F.col(f"docid_{i}"))
+            )
+    return acc
+
+
+def _sum_cols(cols: list[Column]) -> Column:
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = acc + c
+    return acc
+
+
+def _or_cols(cols: list[Column]) -> Column:
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = acc.bitwiseOR(c)
+    return acc
+
+
+def _concat_tfs(n: int, present: list[Column] | None = None) -> Column:
+    parts = [
+        F.coalesce(F.col(f"tfs_{i}"), F.array().cast(_TFS_STRUCT)) for i in range(n)
+    ]
+    return F.concat(*parts)
+
+
+def _compile_phrase(node: XQNode, ctx: CompileContext) -> DataFrame:
+    """Docs where words appear at exact querypos deltas in one field.
+
+    Anchored on the first word: match-start positions are
+    { p in lcs_0 : forall i>0, (p + qpos_i - qpos_0) in lcs_i }.
+    HIT2LCS keeps field<<24, so the delta chain can never cross a
+    field boundary (ExtPhrase_c :12805 matches on HIT2LCS equality).
+    """
+    frames = _word_term_frames(node, ctx)
+    j = _join_all(frames, "inner")
+    q0 = node.words[0].querypos
+    deltas = [w.querypos - q0 for w in node.words]
+
+    def _contains(i: int, d: int, p: Column) -> Column:
+        def pred(q: Column) -> Column:
+            return q == p + F.lit(d)
+
+        return F.exists(F.col(f"lcs_{i}"), pred)
+
+    def _match_chain(p: Column) -> Column:
+        conds = [
+            _contains(i, d, p) for i, d in enumerate(deltas) if d != 0 or i > 0
+        ]
+        return _and_all(conds) if conds else F.lit(True)
+
+    starts = F.filter(F.col("lcs_0"), _match_chain)
+    j = j.withColumn("_starts", starts).where(F.size("_starts") > 0)
+    n = len(frames)
+    span = node.words[-1].querypos - q0 + 1
+    cols = [
+        F.col("_docid").alias("docid"),
+        _sum_cols([F.col(f"tfidf_{i}") for i in range(n)]).alias("tfidf"),
+        # doc fields = field of the first match (ExtPhrase emits
+        # 1<<HIT2FIELD of the concluding hit of the first match)
+        field_bit_of_pos(F.array_min("_starts")).cast("int").alias("fieldmask"),
+        _concat_tfs(n).alias("tfs"),
+    ]
+    if ctx.need_hits:
+        # phrase emits one hit per match: start pos, min qpos,
+        # spanlen = nwords-span, weight = nwords (src/sphinx.cpp:12903-12909)
+        cols.append(
+            F.transform(
+                F.col("_starts"),
+                lambda p: F.struct(
+                    p.cast("bigint").alias("lcspos"),
+                    F.lit(q0).cast("int").alias("querypos"),
+                    F.lit(span).cast("int").alias("spanlen"),
+                    F.lit(n).cast("int").alias("weight"),
+                ),
+            ).alias("hits")
+        )
+    return j.select(*cols)
+
+
+def _compile_quorum(node: XQNode, ctx: CompileContext) -> DataFrame:
+    """>= threshold distinct words present (duplicate query words count
+    once: ExtQuorum ctor masks dup wordids, src/sphinx.cpp:13395-13407)."""
+    seen: set[str] = set()
+    words = []
+    for w in node.words:
+        if w.word not in seen:
+            seen.add(w.word)
+            words.append(w)
+    sub = XQNode(
+        "quorum",
+        words=words,
+        fields_mask=node.fields_mask,
+        max_field_pos=node.max_field_pos,
+    )
+    frames = _word_term_frames(sub, ctx)
+    n = len(frames)
+    thresh = max(1, node.max_distance)
+    j = _join_all(frames, "full_outer")
+    present = [F.col(f"docid_{i}").isNotNull().cast("int") for i in range(n)]
+    j = j.where(_sum_cols(present) >= F.lit(thresh))
+    z = F.lit(0.0)
+    zi = F.lit(0)
+    cols = [
+        F.col("_docid").alias("docid"),
+        _sum_cols([F.coalesce(F.col(f"tfidf_{i}"), z) for i in range(n)]).alias(
+            "tfidf"
+        ),
+        _or_cols([F.coalesce(F.col(f"fieldmask_{i}"), zi) for i in range(n)])
+        .cast("int")
+        .alias("fieldmask"),
+        _concat_tfs(n).alias("tfs"),
+    ]
+    if ctx.need_hits:
+        parts = [
+            F.coalesce(F.col(f"hits_{i}"), F.array().cast(_HIT_STRUCT))
+            for i in range(n)
+        ]
+        cols.append(F.array_sort(F.concat(*parts)).alias("hits"))
+    return j.select(*cols)
+
+
+def _compile_proximity(node: XQNode, ctx: CompileContext) -> DataFrame:
+    """All words within a window: exists one position per word with
+    max-min <= (maxqpos-minqpos) + N, single field (ExtProximity_c
+    :13178: expiry at hitpos - span - maxdist over HIT2LCS values)."""
+    frames = _word_term_frames(node, ctx)
+    n = len(frames)
+    j = _join_all(frames, "inner")
+    qspan = node.words[-1].querypos - node.words[0].querypos
+    limit = qspan + node.max_distance
+
+    @F.pandas_udf(BooleanType())
+    def prox_match(arrs: pd.Series) -> pd.Series:
+        out = []
+        for lists in arrs:
+            # minimal-window over merged (pos, word) stream
+            merged = sorted(
+                (int(p), i) for i, lst in enumerate(lists) for p in lst
+            )
+            cnt = [0] * n
+            have = 0
+            lo = 0
+            ok = False
+            for hi in range(len(merged)):
+                w = merged[hi][1]
+                cnt[w] += 1
+                if cnt[w] == 1:
+                    have += 1
+                while have == n:
+                    if merged[hi][0] - merged[lo][0] <= limit:
+                        ok = True
+                        break
+                    cnt[merged[lo][1]] -= 1
+                    if cnt[merged[lo][1]] == 0:
+                        have -= 1
+                    lo += 1
+                if ok:
+                    break
+            out.append(ok)
+        return pd.Series(out)
+
+    allpos = F.array(*[F.col(f"lcs_{i}") for i in range(n)])
+    j = j.withColumn("_m", prox_match(allpos)).where(F.col("_m"))
+    cols = [
+        F.col("_docid").alias("docid"),
+        _sum_cols([F.col(f"tfidf_{i}") for i in range(n)]).alias("tfidf"),
+        _or_cols([F.col(f"fieldmask_{i}") for i in range(n)])
+        .cast("int")
+        .alias("fieldmask"),
+        _concat_tfs(n).alias("tfs"),
+    ]
+    if ctx.need_hits:
+        parts = [F.col(f"hits_{i}") for i in range(n)]
+        cols.append(F.array_sort(F.concat(*parts)).alias("hits"))
+    return j.select(*cols)
+
+
+def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
+    """a << b: occurrences in query order by ascending stream position
+    (ExtOrder_c :13745). Greedy ascending selection per doc."""
+    children = [compile_node(c, _with_hits(ctx)) for c in node.children]
+    n = len(children)
+    j = _join_all(
+        [c.withColumn("lcs", F.transform("hits", lambda h: h["lcspos"])) for c in children],
+        "inner",
+    )
+
+    @F.pandas_udf(BooleanType())
+    def before_match(arrs: pd.Series) -> pd.Series:
+        out = []
+        for lists in arrs:
+            prev = -1
+            ok = True
+            for lst in lists:
+                nxt = None
+                for p in sorted(int(x) for x in lst):
+                    if p > prev:
+                        nxt = p
+                        break
+                if nxt is None:
+                    ok = False
+                    break
+                prev = nxt
+            out.append(ok)
+        return pd.Series(out)
+
+    allpos = F.array(*[F.col(f"lcs_{i}") for i in range(n)])
+    j = j.withColumn("_m", before_match(allpos)).where(F.col("_m"))
+    cols = [
+        F.col("_docid").alias("docid"),
+        _sum_cols([F.col(f"tfidf_{i}") for i in range(n)]).alias("tfidf"),
+        _or_cols([F.col(f"fieldmask_{i}") for i in range(n)])
+        .cast("int")
+        .alias("fieldmask"),
+        F.concat(*[F.col(f"tfs_{i}") for i in range(n)]).alias("tfs"),
+    ]
+    if ctx.need_hits:
+        parts = [F.col(f"hits_{i}") for i in range(n)]
+        cols.append(F.array_sort(F.concat(*parts)).alias("hits"))
+    return j.select(*cols)
+
+
+def _with_hits(ctx: CompileContext) -> CompileContext:
+    return CompileContext(ctx.postings, ctx.idf, True, ctx.n_fields)
+
+
+_COMPILERS = {
+    "term": _compile_term,
+    "and": _compile_and,
+    "or": _compile_or,
+    "andnot": _compile_andnot,
+    "phrase": _compile_phrase,
+    "proximity": _compile_proximity,
+    "quorum": _compile_quorum,
+    "before": _compile_before,
+}

@@ -1,0 +1,245 @@
+"""SphinxIndex — the engine facade: build an inverted index from a
+DataFrame of documents, serve BM25 top-k MATCH queries.
+
+Maps the reference lifecycle (indexer DoIndex src/indexer.cpp:701 ->
+CSphIndex_VLN::Build src/sphinx.cpp:8788; searchd MultiQuery
+src/sphinx.cpp:16262) onto declarative Spark plans:
+  build: docs -> hits (tokenizer) -> postings/dictionary/docinfo
+         (sort-shuffle aggregation = Sphinx's external hit sort)
+  search: parse MATCH -> compile DataFrame plan -> rank -> attribute
+          filters -> ORDER BY weight DESC, docid ASC LIMIT k
+          (TakeOrderedAndProject = Sphinx's bounded match queue,
+          src/sphinxsort.cpp:105-203, tiebreak :1159-1175)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sphinx_1_spark.functions.tokenizer import Tokenizer, TokenizerSettings
+from sphinx_1_spark.functions.wordid import crc32_word
+from sphinx_1_spark.operators.hits import build_hits_arrow, build_hits_native
+from sphinx_1_spark.operators.postings import (
+    build_dictionary,
+    build_postings,
+    build_vocab,
+)
+from sphinx_1_spark.operators.ranker import apply_ranker
+from sphinx_1_spark.plans.compiler import CompileContext, compile_node
+from sphinx_1_spark.plans.parser import QueryParser, XQNode, collect_words
+
+MAX_MATCHES_DEFAULT = 1000  # src/sphinx.h:1693
+
+
+@dataclass
+class IndexSettings:
+    docid_col: str = "docid"
+    fields: tuple[str, ...] = ("text",)
+    attrs: tuple[str, ...] = ()
+    tokenizer: TokenizerSettings = dc_field(default_factory=TokenizerSettings)
+    # "native" = pure-Catalyst ASCII tokenizer (fast path, equivalent to
+    # the default charset_table on ASCII text); "arrow" = full-fidelity
+    # pandas-UDF tokenizer (charset folding, CJK, stopwords).
+    tokenizer_impl: str = "native"
+    with_positions: bool = True
+
+
+class SphinxIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        settings: IndexSettings,
+        postings: DataFrame,
+        dictionary: DataFrame,
+        docinfo: DataFrame,
+        n_docs: int,
+    ):
+        self.spark = spark
+        self.settings = settings
+        self.postings = postings
+        self.dictionary = dictionary
+        self.docinfo = docinfo
+        self.n_docs = n_docs
+        self._tokenizer = Tokenizer(settings.tokenizer)
+        self._parser = QueryParser(self._tokenizer, list(settings.fields))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, df: DataFrame, settings: IndexSettings) -> "SphinxIndex":
+        spark = df.sparkSession
+        if settings.tokenizer_impl == "native":
+            hits = build_hits_native(df, settings.docid_col, list(settings.fields))
+        else:
+            hits = build_hits_arrow(
+                df, settings.docid_col, list(settings.fields), settings.tokenizer
+            )
+        postings = build_postings(hits, with_positions=settings.with_positions)
+        dictionary = build_dictionary(postings)
+        docinfo = df.select(
+            F.col(settings.docid_col).cast("long").alias("docid"),
+            *[F.col(a) for a in settings.attrs],
+        )
+        n_docs = docinfo.count()
+        return cls(spark, settings, postings, dictionary, docinfo, n_docs)
+
+    def persist(self) -> "SphinxIndex":
+        """Cache index tables for repeated serving (Sphinx preread,
+        src/sphinx.cpp:15534 — here just Spark storage-level caching)."""
+        self.postings = self.postings.persist()
+        self.dictionary = self.dictionary.persist()
+        self.docinfo = self.docinfo.persist()
+        self.postings.count()
+        return self
+
+    # ------------------------------------------------------------------
+    def _compute_idf(
+        self, words: list[str], float32: bool
+    ) -> tuple[dict[str, float], dict[str, tuple[int, int]]]:
+        """Per-query-term IDF + (docs, hits) stats.
+
+        idf = log((N-df+1)/df) / (2*q*log(1+N)), q = #distinct terms,
+        zero when df == 0 (src/sphinx.cpp:14662-14670; float32 there).
+        """
+        distinct = list(dict.fromkeys(words))
+        q = len(distinct)
+        wids = [crc32_word(w) for w in distinct]
+        rows = (
+            self.dictionary.where(F.col("wordid").isin(wids))
+            .select("word", "docs", "hits")
+            .collect()
+        )
+        stats = {r["word"]: (int(r["docs"]), int(r["hits"])) for r in rows}
+        n = self.n_docs
+        idf: dict[str, float] = {}
+        for w in distinct:
+            df_, _ = stats.get(w, (0, 0))
+            if df_ == 0 or n == 0:
+                idf[w] = 0.0
+            elif float32:
+                log_total = np.float32(np.log(np.float32(1 + n)))
+                num = np.float32(np.log(np.float32(n - df_ + 1) / np.float32(df_)))
+                idf[w] = float(np.float32(num / np.float32(2 * q * log_total)))
+            else:
+                idf[w] = math.log((n - df_ + 1) / df_) / (2 * q * math.log(1 + n))
+        return idf, {w: stats.get(w, (0, 0)) for w in distinct}
+
+    # ------------------------------------------------------------------
+    def parse(self, match: str, mode: str = "extended2") -> XQNode:
+        """Legacy match modes are rewritten to extended syntax
+        (PrepareQueryEmulation, src/sphinx.cpp:16179-16213)."""
+        if mode in ("extended", "extended2"):
+            return self._parser.parse(match)
+        if mode == "all":
+            return self._parser.parse(self._escape(match))
+        if mode == "phrase":
+            return self._parser.parse('"' + self._escape(match) + '"')
+        if mode == "boolean":
+            return self._parser.parse(match)
+        if mode == "any":
+            toks = self._tokenizer.tokenize(match)
+            if len(toks) > 1:
+                return self._parser.parse(
+                    '"' + " ".join(toks) + '"/1'
+                )
+            return self._parser.parse(self._escape(match))
+        raise ValueError(f"unknown match mode {mode!r}")
+
+    @staticmethod
+    def _escape(q: str) -> str:
+        for ch in '()|-!@~"/^$=<':
+            q = q.replace(ch, " ")
+        return q
+
+    @staticmethod
+    def default_ranker(mode: str, ranker: str | None) -> str:
+        if ranker:
+            return ranker
+        if mode in ("all", "phrase"):
+            return "proximity"
+        if mode == "boolean":
+            return "none"
+        if mode == "any":
+            return "wordcount"  # stand-in until MATCHANY rank is ported
+        return "proximity_bm25"
+
+    # ------------------------------------------------------------------
+    def match(
+        self,
+        match: str,
+        mode: str = "extended2",
+        need_hits: bool = False,
+        score_mode: str = "fast64",
+    ) -> tuple[DataFrame, dict]:
+        """Match documents without ranking: returns the compiled plan
+        DataFrame (docid, tfidf, fieldmask, tfs[, hits]) + query meta."""
+        tree = self.parse(match, mode)
+        words = collect_words(tree)
+        idf, stats = self._compute_idf(
+            [w.word for w in words], float32=(score_mode == "exact32")
+        )
+        ctx = CompileContext(
+            self.postings,
+            idf,
+            need_hits=need_hits,
+            n_fields=len(self.settings.fields),
+        )
+        plan = compile_node(tree, ctx)
+        idf_by_qpos = {w.querypos: idf.get(w.word, 0.0) for w in words}
+        meta = {"idf": idf, "stats": stats, "idf_by_qpos": idf_by_qpos}
+        return plan, meta
+
+    def search(
+        self,
+        match: str,
+        mode: str = "extended2",
+        ranker: str | None = None,
+        limit: int = 20,
+        offset: int = 0,
+        filters: list[Column] | None = None,
+        late_filters: list[Column] | None = None,
+        field_weights: list[int] | None = None,
+        score_mode: str = "fast64",
+        with_attrs: bool = False,
+        max_matches: int = MAX_MATCHES_DEFAULT,
+    ) -> DataFrame:
+        """Top-k search: (docid, weight) ordered by weight desc, docid
+        asc (queue comparator MatchRelevanceLt, sphinxsort.cpp:1159)."""
+        ranker = self.default_ranker(mode, ranker)
+        need_hits = ranker in ("proximity_bm25", "proximity", "wordcount")
+        plan, meta = self.match(match, mode, need_hits, score_mode)
+        weights = list(field_weights or [1] * len(self.settings.fields))
+        weights = [max(1, w) for w in weights]  # BindWeights floor 1
+        ranked = apply_ranker(
+            plan, ranker, weights, score_mode, meta["idf_by_qpos"]
+        )
+        if filters or with_attrs or self.settings.attrs:
+            ranked = ranked.join(self.docinfo, "docid", "inner")
+            for flt in filters or []:
+                ranked = ranked.where(flt)
+        for flt in late_filters or []:
+            ranked = ranked.where(flt)
+        cols = ["docid", "weight"] + (
+            list(self.settings.attrs) if with_attrs else []
+        )
+        out = ranked.select(*cols).orderBy(
+            F.col("weight").desc(), F.col("docid").asc()
+        )
+        k = min(limit, max_matches)
+        if offset:
+            out = out.offset(offset)
+        return out.limit(k)
+
+    # ------------------------------------------------------------------
+    def keywords(self, query: str) -> DataFrame:
+        """BuildKeywords equivalent (GetKeywords src/sphinx.cpp:16110):
+        per-term (word, docs, hits) stats."""
+        toks = self._tokenizer.tokenize(query)
+        wids = [crc32_word(t) for t in toks]
+        return self.dictionary.where(F.col("wordid").isin(wids)).select(
+            "word", "docs", "hits"
+        )

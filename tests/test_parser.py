@@ -1,0 +1,103 @@
+"""Query parser: precedence per src/sphinxquery.y, NOT fixup per
+FixupNots (src/sphinxquery.cpp:612-706)."""
+
+import pytest
+
+from sphinx_1_spark.functions.tokenizer import Tokenizer
+from sphinx_1_spark.plans.parser import QueryParseError, QueryParser
+
+
+@pytest.fixture
+def parser():
+    return QueryParser(Tokenizer(), ["title", "body"])
+
+
+def test_implicit_and(parser):
+    t = parser.parse("hello world")
+    assert t.op == "and"
+    assert [c.words[0].word for c in t.children] == ["hello", "world"]
+    assert [c.words[0].querypos for c in t.children] == [1, 2]
+
+
+def test_or_binds_tighter_than_and(parser):
+    t = parser.parse("a b | c")
+    assert t.op == "and"
+    assert t.children[0].op == "term"
+    assert t.children[1].op == "or"
+
+
+def test_not_fixup(parser):
+    t = parser.parse("a -b")
+    assert t.op == "andnot"
+    assert t.children[0].words[0].word == "a"
+    assert t.children[1].words[0].word == "b"
+
+
+def test_multiple_nots_collect_to_or(parser):
+    t = parser.parse("a -b -c")
+    assert t.op == "andnot"
+    assert t.children[1].op == "or"
+
+
+def test_top_level_not_rejected(parser):
+    with pytest.raises(QueryParseError):
+        parser.parse("-hello")
+
+
+def test_phrase_and_modifiers(parser):
+    t = parser.parse('"exact phrase"')
+    assert t.op == "phrase" and len(t.words) == 2
+    t = parser.parse('"w1 w2"~3')
+    assert t.op == "proximity" and t.max_distance == 3
+    t = parser.parse('"w1 w2 w3"/2')
+    assert t.op == "quorum" and t.max_distance == 2
+
+
+def test_field_limit(parser):
+    t = parser.parse("@title hello")
+    assert t.op == "term" and t.fields_mask == 1
+    t = parser.parse("@(title,body) hello")
+    assert t.fields_mask == 3
+    t = parser.parse("@body[5] hello")
+    assert t.fields_mask == 2 and t.max_field_pos == 5
+    with pytest.raises(QueryParseError):
+        parser.parse("@nosuch hello")
+
+
+def test_anchors(parser):
+    t = parser.parse("^start")
+    assert t.words[0].field_start
+    t = parser.parse("end$")
+    assert t.words[0].field_end
+    t = parser.parse("^both$")
+    assert t.words[0].field_start and t.words[0].field_end
+
+
+def test_before(parser):
+    t = parser.parse("a << b")
+    assert t.op == "before"
+
+
+def test_parens_grouping(parser):
+    t = parser.parse("(a | b) c")
+    assert t.op == "and"
+    assert t.children[0].op == "or"
+
+
+def test_dash_inside_word_is_not(parser):
+    # '-' is a special everywhere outside quotes: i-phone => i AND NOT phone
+    t = parser.parse("i-phone")
+    assert t.op == "andnot"
+
+
+def test_querypos_skips_operators(parser):
+    t = parser.parse('a "b c" d')
+    # a=1, b=2, c=3, d=4
+    from sphinx_1_spark.plans.parser import collect_words
+
+    assert [(w.word, w.querypos) for w in collect_words(t)] == [
+        ("a", 1),
+        ("b", 2),
+        ("c", 3),
+        ("d", 4),
+    ]
