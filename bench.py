@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline engine paths at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline metric: end-to-end index build + BM25 top-k query wall time
+over the documents corpus. Individual query timings include the
+MATCH-operator suite (term/AND/OR/NOT/phrase/quorum/proximity) plus
+the index-build phase itself ("build_index", with docs/sec derived
+from it in the "extra" field).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sphinx_1_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- index build (strip/tokenize -> postings/dictionary) ---------
+    t0 = time.perf_counter()
+    idx = entry_mod._docs_index(spark, sf_dir)
+    idx.persist()
+    build_s = time.perf_counter() - t0
+    timings["build_index"] = round(build_s, 4)
+    extra["build_docs_per_sec"] = round(idx.n_docs / build_s, 2)
+    extra["n_docs"] = idx.n_docs
+
+    # --- query suite -------------------------------------------------
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        extra.setdefault("rows", {})[name] = n  # type: ignore[union-attr]
+
+    total = round(sum(v for v in timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": int(cpus),
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
