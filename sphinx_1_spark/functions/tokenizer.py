@@ -11,9 +11,10 @@ Semantic parity points (reference):
   - wordpos packing: field<<24 | pos&0x7fffff, with bit 0x800000
     (HIT_FIELD_END) set on all hits sharing the last position of the
     field (src/sphinx.cpp:229-241, 18666-18672);
-  - max token length 42 codepoints (SPH_MAX_WORD_LEN,
-    src/sphinx.h:149): longer runs are truncated to their first 42
-    codepoints (tail codepoints are consumed, no extra token).
+  - max token length 64 codepoints (SPH_MAX_WORD_LEN,
+    src/sphinx.h:145; AccumCodepoint src/sphinx.cpp:2231-2247):
+    longer runs are truncated to their first 64 codepoints (tail
+    codepoints are consumed, no extra token).
 
 Everything is numpy-vectorized per document: UTF-32 view -> fold map
 fancy-index -> run-length boundaries. No per-codepoint Python.
@@ -33,7 +34,7 @@ from sphinx_1_spark.functions.charset import (
     text_to_codepoints,
 )
 
-MAX_WORD_LEN = 42  # SPH_MAX_WORD_LEN, src/sphinx.h:149
+MAX_WORD_LEN = 64  # SPH_MAX_WORD_LEN, src/sphinx.h:145
 HIT_FIELD_END = 0x800000  # src/sphinx.cpp:241
 POS_MASK = 0x7FFFFF
 

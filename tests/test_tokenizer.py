@@ -63,7 +63,7 @@ def test_max_word_len_truncated():
     tok = Tokenizer()
     long = "x" * 100
     toks = tok.tokenize(long)
-    assert toks == ["x" * 42]
+    assert toks == ["x" * 64]
 
 
 def test_hits_field_packing():
