@@ -43,9 +43,28 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
 
-    # --- index build (strip/tokenize -> postings/dictionary) ---------
+    # --- north-star metric: pages index build throughput -------------
+    # strip (byte-identical automaton) -> tokenize (charset fold +
+    # CJK 1-grams) -> postings/dictionary aggregation, end to end.
+    from sphinx_1_spark.plans.pipeline import build_pages_index
+    from sphinx_1_spark.sources.pages import generate_pages
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    pages = generate_pages(spark, n_pages, seed=42, partitions=int(cpus) * 2).cache()
+    pages.count()  # materialize corpus outside the timed window
+    t0 = time.perf_counter()
+    pidx = build_pages_index(pages, docid_mode="fingerprint")
+    pidx.postings.count()
+    pidx.dictionary.count()
+    pages_s = time.perf_counter() - t0
+    timings["build_pages_index"] = round(pages_s, 4)
+    extra["pages_docs_per_sec"] = round(n_pages / pages_s, 2)
+    extra["n_pages"] = n_pages
+    pages.unpersist()
+
+    # --- documents index build (driver gate corpus) ------------------
     t0 = time.perf_counter()
     idx = entry_mod._docs_index(spark, sf_dir)
     idx.persist()

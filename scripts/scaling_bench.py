@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling run (sandbox stand-in for N vs 4N executors).
+
+Runs the identical pages index build (strip -> tokenize -> postings/
+dictionary) at local[N] and local[4N] over the SAME deterministic
+corpus and reports docs/sec at both plus scaling efficiency
+throughput(4N) / (4 * throughput(N)).  Target >= 0.8 (BASELINE.json
+north rule).
+
+Each measurement runs in a fresh subprocess-free SparkSession (stopped
+between runs) so JVM thread pools size to the requested core count.
+
+Usage: python scripts/scaling_bench.py [N] [n_pages] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_once(cores: int, n_pages: int, seed: int = 42) -> dict:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scaling-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from sphinx_1_spark.plans.pipeline import build_pages_index
+        from sphinx_1_spark.sources.pages import generate_pages
+
+        # fixed input partitioning across runs: same input split both times
+        pages = generate_pages(spark, n_pages, seed=seed, partitions=128).cache()
+        pages.count()
+        t0 = time.perf_counter()
+        idx = build_pages_index(pages, docid_mode="fingerprint")
+        idx.postings.count()
+        idx.dictionary.count()
+        dt = time.perf_counter() - t0
+        return {"cores": cores, "seconds": round(dt, 3),
+                "docs_per_sec": round(n_pages / dt, 2)}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 8
+    n_pages = int(args[1]) if len(args) > 1 else 20000
+    lo = run_once(n, n_pages)
+    hi = run_once(4 * n, n_pages)
+    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    out = {
+        "n_pages": n_pages,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(out))
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
