@@ -1,0 +1,94 @@
+"""Sphinx VLB (variable-length byte) codec, numpy-vectorized.
+
+Format (reference `CSphWriter::ZipInt`/`ZipOffset`
+src/sphinx.cpp:5622-5655; spec doc/internals-index-format.txt:45-65):
+7 data bits per byte, **high bits first**, bit 0x80 set on every byte
+except the last.  0x37 -> [0x37]; 0x12345 -> [0x84, 0xC6, 0x45].
+
+Monotone sequences (docids, positions, offsets) are delta-encoded
+before zipping; zero terminates reference lists, so callers encode
+deltas that are guaranteed nonzero and length-prefix instead where a
+sequence legitimately contains zeros (tf, fieldmask values).
+
+encode/decode operate on whole uint64 arrays with no per-element
+Python: byte counts via log2-style bit_length, scatter via cumsum
+offsets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def vlb_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to concatenated VLB bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed = ceil(bit_length / 7), min 1
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        bits[nz] += 1
+        tmp >>= np.uint64(1)
+        nz = tmp > 0
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # positions of each value's LAST byte
+    ends = np.cumsum(nbytes) - 1
+    # fill bytes from least-significant group backwards
+    maxb = int(nbytes.max())
+    shifted = v.copy()
+    for k in range(maxb):
+        mask = nbytes > k
+        idx = ends[mask] - k
+        byte = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        if k > 0:
+            byte |= 0x80
+        out[idx] = byte
+        shifted = shifted >> np.uint64(7)
+    return out.tobytes()
+
+
+def vlb_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode concatenated VLB bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # value index of each byte = number of completed values before it
+    val_idx = np.zeros(b.size, dtype=np.int64)
+    val_idx[1:] = np.cumsum(is_last)[:-1]
+    nvals = int(is_last.sum())
+    out = np.zeros(nvals, dtype=np.uint64)
+    data = (b & 0x7F).astype(np.uint64)
+    # accumulate high-bits-first: out = out*128 + byte, grouped by val_idx
+    # loop over byte-position-within-value (max 10 for 64-bit)
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    lengths = np.diff(np.concatenate((starts, [b.size])))
+    maxlen = int(lengths.max())
+    for k in range(maxlen):
+        mask = lengths > k
+        out[mask] = (out[mask] << np.uint64(7)) | data[starts[mask] + k]
+    if count is not None and nvals != count:
+        raise ValueError(f"expected {count} values, decoded {nvals}")
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray, infinum: int = 0) -> np.ndarray:
+    """Deltas of a strictly-increasing sequence starting from infinum
+    (docid deltas start at min-docid-1, src/sphinx.cpp:9767-9772) —
+    all deltas >= 1, so 0 stays free as a terminator."""
+    v = np.asarray(sorted_vals, dtype=np.uint64)
+    out = np.empty_like(v)
+    if v.size:
+        out[0] = v[0] - np.uint64(infinum)
+        np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray, infinum: int = 0) -> np.ndarray:
+    d = np.asarray(deltas, dtype=np.uint64)
+    return np.cumsum(d, dtype=np.uint64) + np.uint64(infinum)

@@ -1,0 +1,257 @@
+"""Sphinx-shaped physical index: delta+VLB posting blocks, block-max
+impact scores, checkpointed dictionary, per-shard manifests.
+
+Physical layout (the .spi/.spd/.spp analog, semantically equivalent to
+doc/internals-index-format.txt:12-22 with the north-star's block-max
+addition):
+
+  postings_blocks(wordid, word, n, min_docid, max_docid,
+                  docids, tfs, fieldmasks[, positions],
+                  max_impact, min_impact)
+      one row per <=128-entry block (BLOCK_SIZE = 128, mirroring
+      DOCINFO_INDEX_FREQ src/sphinx.cpp:1648); docids delta+VLB
+      encoded from infinum = min_docid-1 (ZipInt semantics
+      src/sphinx.cpp:5622-5637, deltas-from-infinum
+      src/sphinx.cpp:9767-9772); positions per doc are delta+VLB
+      packed wordpos streams, tf entries each (hitlist format
+      src/sphinx.cpp:7619-7635); max/min_impact = extrema of
+      tf/(tf+k1) over the block — multiplied by query-time IDF they
+      bound any entry's BM25 contribution (block-max WAND).
+
+  dictionary(wordid, word, docs, hits, nblocks)
+      the .spi payload (docs/hits per word, src/sphinx.cpp:7515-7516).
+
+  checkpoints(ckpt_id, wordid, word)
+      every 1024th dictionary entry in wordid order
+      (WORDLIST_CHECKPOINT src/sphinx.cpp:1592) — with Parquet/Iceberg
+      the same binary-search role is played by row-group stats, so this
+      table is primarily a compatibility/debug artifact.
+
+Scale design: the encoder is a **streaming mapInPandas over
+range-partitioned, partition-sorted hits** — Spark's sort-shuffle is
+the external hit sort (Build, src/sphinx.cpp:9210), and no executor
+ever materializes a full head-term posting list: a word whose postings
+span partitions (or Arrow batches) simply yields multiple independent
+block runs.  That IS the head-term skew answer: "the" with 10^11
+postings becomes ~10^9 independent 128-entry blocks spread across all
+partitions, encoded locally, with no single-node merge.  Per-shard
+manifests carry lineage + phase metrics; a killed sharded build
+resumes by skipping shards whose manifest exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sphinx_1_spark.functions.vlb import (
+    delta_decode,
+    delta_encode,
+    vlb_decode,
+    vlb_encode,
+)
+
+BLOCK_SIZE = 128
+WORDLIST_CHECKPOINT = 1024  # src/sphinx.cpp:1592
+SPH_BM25_K1 = 1.2
+
+
+def _blocks_schema(with_positions: bool) -> StructType:
+    fields = [
+        StructField("wordid", LongType(), False),
+        StructField("word", StringType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("min_docid", LongType(), False),
+        StructField("max_docid", LongType(), False),
+        StructField("docids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("fieldmasks", BinaryType(), False),
+        StructField("max_impact", DoubleType(), False),
+        StructField("min_impact", DoubleType(), False),
+        StructField("sum_tf", LongType(), False),
+    ]
+    if with_positions:
+        fields.insert(8, StructField("positions", BinaryType(), True))
+    return StructType(fields)
+
+
+def _encode_word_run(
+    word: str,
+    wordid: int,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    fieldmasks: np.ndarray,
+    positions: list | None,
+    out: dict,
+) -> None:
+    """Emit <=128-entry blocks for one word's docid-sorted run."""
+    nrows = docids.size
+    for s in range(0, nrows, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, nrows)
+        d = docids[s:e]
+        t = tfs[s:e]
+        fm = fieldmasks[s:e]
+        imp = t / (t + SPH_BM25_K1)
+        out["wordid"].append(wordid)
+        out["word"].append(word)
+        out["n"].append(e - s)
+        out["min_docid"].append(int(d[0]))
+        out["max_docid"].append(int(d[-1]))
+        out["docids"].append(vlb_encode(delta_encode(d, int(d[0]) - 1)))
+        out["tfs"].append(vlb_encode(t.astype(np.uint64)))
+        out["fieldmasks"].append(vlb_encode(fm.astype(np.uint64)))
+        out["max_impact"].append(float(imp.max()))
+        out["min_impact"].append(float(imp.min()))
+        out["sum_tf"].append(int(t.sum()))
+        if positions is not None:
+            # per entry: delta+VLB of its tf packed wordpos values
+            chunks = []
+            for lst in positions[s:e]:
+                arr = np.asarray(lst, dtype=np.uint64)
+                chunks.append(vlb_encode(delta_encode(arr)))
+            out["positions"].append(b"".join(chunks))
+
+
+def encode_blocks(postings: DataFrame, with_positions: bool = True) -> DataFrame:
+    """postings (word, docid, tf, fieldmask[, positions], wordid) ->
+    blocked+compressed postings_blocks.
+
+    Streaming: repartitionByRange(wordid, docid) + sortWithinPartitions
+    gives globally-ordered runs per word; the encoder buffers only the
+    current word's tail rows across Arrow batches (bounded by batch
+    size, not by posting-list length).
+    """
+    cols = ["wordid", "word", "docid", "tf", "fieldmask"]
+    if with_positions:
+        cols.append("positions")
+    sorted_p = (
+        postings.select(*cols)
+        .repartitionByRange("wordid", "docid")
+        .sortWithinPartitions("wordid", "docid")
+    )
+    schema = _blocks_schema(with_positions)
+
+    def enc(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing (possibly incomplete) word run
+            last_wid = pdf["wordid"].iloc[-1]
+            cut = int(np.searchsorted(pdf["wordid"].to_numpy(), last_wid))
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield _encode_frame(body, with_positions, schema)
+        if carry is not None and len(carry):
+            yield _encode_frame(carry, with_positions, schema)
+
+    def _encode_frame(pdf: pd.DataFrame, with_pos: bool, schema) -> pd.DataFrame:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        wids = pdf["wordid"].to_numpy()
+        bounds = np.flatnonzero(np.concatenate(([True], wids[1:] != wids[:-1])))
+        bounds = np.concatenate((bounds, [len(pdf)]))
+        docid_a = pdf["docid"].to_numpy(dtype=np.int64).astype(np.uint64)
+        tf_a = pdf["tf"].to_numpy(dtype=np.float64)
+        fm_a = pdf["fieldmask"].to_numpy(dtype=np.int64).astype(np.uint64)
+        pos_a = pdf["positions"].to_numpy() if with_pos else None
+        words = pdf["word"].to_numpy()
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            _encode_word_run(
+                str(words[s]),
+                int(wids[s]),
+                docid_a[s:e],
+                tf_a[s:e],
+                fm_a[s:e],
+                list(pos_a[s:e]) if pos_a is not None else None,
+                out,
+            )
+        return pd.DataFrame(out)
+
+    return sorted_p.mapInPandas(enc, schema=schema)
+
+
+def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Inverse of encode_blocks: explode block rows back to
+    (wordid, word, docid, tf, fieldmask[, positions])."""
+    fields = [
+        StructField("wordid", LongType(), False),
+        StructField("word", StringType(), False),
+        StructField("docid", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("fieldmask", IntegerType(), False),
+    ]
+    if with_positions:
+        from pyspark.sql.types import ArrayType
+
+        fields.append(StructField("positions", ArrayType(IntegerType()), True))
+    schema = StructType(fields)
+
+    def dec(batches):
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for row in pdf.itertuples(index=False):
+                n = int(row.n)
+                d = delta_decode(vlb_decode(bytes(row.docids), n), row.min_docid - 1)
+                t = vlb_decode(bytes(row.tfs), n).astype(np.int64)
+                fm = vlb_decode(bytes(row.fieldmasks), n).astype(np.int64)
+                out["wordid"].extend([int(row.wordid)] * n)
+                out["word"].extend([row.word] * n)
+                out["docid"].extend(d.astype(np.int64).tolist())
+                out["tf"].extend(t.tolist())
+                out["fieldmask"].extend(fm.tolist())
+                if with_positions:
+                    allpos = vlb_decode(bytes(row.positions))
+                    idx = 0
+                    for k in range(n):
+                        cnt = int(t[k])
+                        out["positions"].append(
+                            delta_decode(allpos[idx : idx + cnt])
+                            .astype(np.int64)
+                            .tolist()
+                        )
+                        idx += cnt
+            yield pd.DataFrame(out)
+
+    return blocks.mapInPandas(dec, schema=schema)
+
+
+def build_dictionary_from_blocks(blocks: DataFrame) -> DataFrame:
+    """dictionary(wordid, word, docs, hits, nblocks) — merges multiple
+    block runs per word (partition/batch cuts, segment merges)."""
+    return blocks.groupBy("wordid", "word").agg(
+        F.sum("n").cast("long").alias("docs"),
+        F.sum("sum_tf").cast("long").alias("hits"),
+        F.count(F.lit(1)).cast("int").alias("nblocks"),
+    )
+
+
+def build_checkpoints(dictionary: DataFrame) -> DataFrame:
+    """Every 1024th entry in wordid order (src/sphinx.cpp:7546-7568)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("wordid")
+    return (
+        dictionary.select("wordid", "word")
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") - 1) % WORDLIST_CHECKPOINT == 0)
+        .select(
+            (((F.col("rn") - 1) / WORDLIST_CHECKPOINT).cast("int")).alias("ckpt_id"),
+            "wordid",
+            "word",
+        )
+    )

@@ -1,0 +1,422 @@
+"""Segment store: persisted compressed index + resumable sharded build
++ block-max WAND top-k serving.
+
+A *segment* is the Spark analog of one immutable Sphinx index
+(CSphIndex_VLN, src/sphinx.cpp:1539): parquet tables
+`postings_blocks/`, `dictionary/`, `checkpoints/`, `docinfo/` plus a
+`_MANIFEST.json` written last (atomic completion marker).  A *sharded
+build* partitions the corpus by url hash into independent segments —
+the unit of failure recovery: a killed build reruns only shards whose
+manifest is missing (indexer main+delta / merge lifecycle,
+src/indexer.cpp:701, reimagined as idempotent shard jobs).
+
+Manifest carries lineage (input description, settings, seed), phase
+metrics (docs, hits, blocks, wall seconds per phase) and the
+docs/hits totals the dictionary needs for IDF (index stats in the
+.sph header, src/sphinx.cpp:7673).
+
+Query path: `SegmentSet` unions shards (docid spaces are disjoint by
+construction) and serves:
+  * full-fidelity MATCH queries by decoding postings into the
+    standard compile pipeline (plans/compiler.py);
+  * `wand_topk` — BM25 top-k with two-phase block-max pruning:
+      phase 1: rank blocks by idf-weighted max_impact, decode a seed
+               set, score exactly -> threshold theta = k-th score;
+      phase 2: decode only blocks whose upper bound could beat theta
+               (for AND: sum of per-term bounds; conservative and
+               exact).
+    Both phases touch block *metadata* via Parquet column pruning —
+    the payload bytes of pruned blocks are never read.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sphinx_1_spark.functions.tokenizer import Tokenizer, TokenizerSettings
+from sphinx_1_spark.functions.wordid import crc32_word
+from sphinx_1_spark.operators.segments import (
+    BLOCK_SIZE,
+    build_checkpoints,
+    build_dictionary_from_blocks,
+    decode_blocks,
+    encode_blocks,
+)
+from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+
+MANIFEST = "_MANIFEST.json"
+
+
+# ----------------------------------------------------------------------
+def write_segment(
+    spark: SparkSession,
+    path: str,
+    blocks: DataFrame,
+    docinfo: DataFrame,
+    lineage: dict,
+    with_positions: bool = True,
+) -> dict:
+    """Write one segment; manifest last (completion marker)."""
+    t0 = time.perf_counter()
+    blocks.write.mode("overwrite").parquet(os.path.join(path, "postings_blocks"))
+    t_blocks = time.perf_counter() - t0
+
+    blocks_r = spark.read.parquet(os.path.join(path, "postings_blocks"))
+    t0 = time.perf_counter()
+    dictionary = build_dictionary_from_blocks(blocks_r)
+    dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+    dict_r = spark.read.parquet(os.path.join(path, "dictionary"))
+    build_checkpoints(dict_r).write.mode("overwrite").parquet(
+        os.path.join(path, "checkpoints")
+    )
+    t_dict = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docinfo.write.mode("overwrite").parquet(os.path.join(path, "docinfo"))
+    t_docinfo = time.perf_counter() - t0
+
+    stats = spark.read.parquet(os.path.join(path, "docinfo")).count()
+    agg = dict_r.agg(
+        F.count(F.lit(1)).alias("words"),
+        F.sum("docs").alias("postings"),
+        F.sum("hits").alias("hits"),
+        F.sum("nblocks").alias("blocks"),
+    ).collect()[0]
+    manifest = {
+        "version": 1,
+        "status": "complete",
+        "with_positions": with_positions,
+        "n_docs": stats,
+        "n_words": int(agg["words"] or 0),
+        "n_postings": int(agg["postings"] or 0),
+        "n_hits": int(agg["hits"] or 0),
+        "n_blocks": int(agg["blocks"] or 0),
+        "metrics": {
+            "encode_write_s": round(t_blocks, 3),
+            "dictionary_s": round(t_dict, 3),
+            "docinfo_s": round(t_docinfo, 3),
+        },
+        "lineage": lineage,
+    }
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return manifest
+
+
+def segment_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, MANIFEST))
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+# ----------------------------------------------------------------------
+def build_segments(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 4,
+    tokenizer: TokenizerSettings | None = None,
+    with_positions: bool = True,
+    docid_mode: str = "fingerprint",
+    lineage_extra: dict | None = None,
+) -> list[str]:
+    """Resumable sharded build: shard i <- urls with xxhash64(url)%n == i.
+
+    Already-complete shards (manifest present) are skipped, so a killed
+    job resumes mid-build by re-invoking with the same arguments.
+    """
+    from sphinx_1_spark.plans.pipeline import assign_docids, strip_pages
+
+    spark = pages.sparkSession
+    tok = tokenizer or TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
+    paths = []
+    shard_col = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards))
+    for shard in range(n_shards):
+        path = os.path.join(out_dir, f"shard={shard:05d}")
+        paths.append(path)
+        if segment_complete(path):
+            continue
+        t0 = time.perf_counter()
+        sub = pages.where(shard_col == shard)
+        stripped = strip_pages(sub)
+        docs = assign_docids(stripped, docid_mode)
+        settings = IndexSettings(
+            docid_col="docid",
+            fields=("text",),
+            attrs=("url", "warc_ts", "lang"),
+            tokenizer=tok,
+            tokenizer_impl="arrow",
+            with_positions=with_positions,
+        )
+        idx = SphinxIndex.build(docs, settings)
+        blocks = encode_blocks(idx.postings, with_positions=with_positions)
+        lineage = {
+            "shard": shard,
+            "n_shards": n_shards,
+            "docid_mode": docid_mode,
+            "tokenizer": {
+                "ngram_chars": tok.ngram_chars,
+                "mmseg_dict": tok.mmseg_dict_path,
+            },
+            "build_wall_s": None,
+            **(lineage_extra or {}),
+        }
+        m = write_segment(spark, path, blocks, idx.docinfo, lineage, with_positions)
+        m["lineage"]["build_wall_s"] = round(time.perf_counter() - t0, 3)
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(m, f, indent=2)
+    return paths
+
+
+# ----------------------------------------------------------------------
+class SegmentSet:
+    """Union of complete segments served as one logical index
+    (multi-index union semantics, searchd RunSubset
+    src/searchd.cpp:3950; docid spaces disjoint by shard hashing)."""
+
+    def __init__(self, spark: SparkSession, paths: list[str]):
+        self.spark = spark
+        self.paths = [p for p in paths if segment_complete(p)]
+        if not self.paths:
+            raise ValueError("no complete segments")
+        self.manifests = [read_manifest(p) for p in self.paths]
+        self.with_positions = self.manifests[0]["with_positions"]
+        self.blocks = self._union("postings_blocks")
+        self.dictionary = (
+            self._union("dictionary")
+            .groupBy("wordid", "word")
+            .agg(
+                F.sum("docs").alias("docs"),
+                F.sum("hits").alias("hits"),
+                F.sum("nblocks").cast("int").alias("nblocks"),
+            )
+        )
+        self.docinfo = self._union("docinfo")
+        self.n_docs = sum(m["n_docs"] for m in self.manifests)
+
+    @classmethod
+    def open(cls, spark: SparkSession, out_dir: str) -> "SegmentSet":
+        shards = sorted(
+            os.path.join(out_dir, d)
+            for d in os.listdir(out_dir)
+            if d.startswith("shard=")
+        )
+        return cls(spark, shards)
+
+    def _union(self, table: str) -> DataFrame:
+        dfs = [self.spark.read.parquet(os.path.join(p, table)) for p in self.paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # ------------------------------------------------------------------
+    def sphinx_index(self, tokenizer: TokenizerSettings | None = None) -> SphinxIndex:
+        """Full-fidelity engine over decoded postings: every MATCH
+        operator / ranker works against the compressed store."""
+        tok = tokenizer or TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
+        settings = IndexSettings(
+            docid_col="docid",
+            fields=("text",),
+            attrs=(),
+            tokenizer=tok,
+            tokenizer_impl="arrow",
+            with_positions=self.with_positions,
+        )
+        postings = decode_blocks(self.blocks, with_positions=self.with_positions)
+        dictionary = self.dictionary.select("wordid", "word", "docs", "hits")
+        return SphinxIndex(
+            self.spark,
+            settings,
+            postings,
+            dictionary,
+            self.docinfo.select(F.col("docid")),
+            self.n_docs,
+        )
+
+    # ------------------------------------------------------------------
+    def _idf(self, words: list[str]) -> dict[str, tuple[float, int]]:
+        distinct = list(dict.fromkeys(words))
+        q = len(distinct)
+        wids = [crc32_word(w) for w in distinct]
+        rows = (
+            self.dictionary.where(F.col("wordid").isin(wids))
+            .select("word", "docs")
+            .collect()
+        )
+        df_by_word = {r["word"]: int(r["docs"]) for r in rows}
+        n = self.n_docs
+        out = {}
+        for w in distinct:
+            dfw = df_by_word.get(w, 0)
+            idf = (
+                0.0
+                if dfw == 0 or n == 0
+                else math.log((n - dfw + 1) / dfw) / (2 * q * math.log(1 + n))
+            )
+            out[w] = (idf, dfw)
+        return out
+
+    def wand_topk(self, words: list[str], k: int = 10, mode: str = "and") -> DataFrame:
+        """BM25 top-k over compressed blocks, decoding as little as
+        possible.  Exact: never misses a true top-k doc; ties broken
+        docid asc (queue comparator, src/sphinxsort.cpp:1159-1175).
+        Scoring matches ranker="bm25" with one matched field:
+        weight = int((sum_tfidf + 0.5)*1000) + 1000.
+
+        AND — posting-list intersection with block skipping: the
+        rarest term's blocks are decoded in full (it bounds the
+        candidate set); every other term decodes only blocks whose
+        [min_docid, max_docid] overlaps a rare-term block range — the
+        block min/max plays the role of Sphinx's skip data (the .spi
+        checkpoint + doclist zipper, ExtAnd_c src/sphinx.cpp:12365).
+
+        OR — two-phase block-max pruning: seed theta with the exact
+        scores from the highest-impact blocks, drop blocks whose
+        idf-weighted upper bound (plus the other terms' global bounds)
+        cannot beat theta, then *complete* surviving candidates'
+        scores by decoding any pruned block whose range overlaps a
+        candidate.  When any query-term IDF is negative (df > N/2 —
+        upper bounds no longer monotone) pruning is disabled and the
+        full lists are scored: still exact, never wrong.
+        """
+        idf = self._idf(words)
+        terms = list(dict.fromkeys(words))
+        wids = {w: crc32_word(w) for w in terms}
+        allwids = list(wids.values())
+        term_blocks = self.blocks.where(F.col("wordid").isin(allwids))
+
+        if mode == "and":
+            missing = [w for w in terms if idf[w][1] == 0]
+            if missing:
+                return self.spark.createDataFrame([], "docid long, weight int")
+            rare = min(terms, key=lambda w: idf[w][1])
+            rare_blocks = term_blocks.where(F.col("wordid") == wids[rare])
+            ranges = [
+                (r["min_docid"], r["max_docid"])
+                for r in rare_blocks.select("min_docid", "max_docid").collect()
+            ]
+            ranges_df = self.spark.createDataFrame(
+                ranges or [(0, -1)], "lo long, hi long"
+            )
+            others = term_blocks.where(F.col("wordid") != wids[rare])
+            overlapping = others.join(
+                F.broadcast(ranges_df),
+                (F.col("max_docid") >= F.col("lo"))
+                & (F.col("min_docid") <= F.col("hi")),
+                "left_semi",
+            )
+            survivors = rare_blocks.unionByName(overlapping)
+            return (
+                self._score_blocks(survivors, terms, wids, idf, require_all=True)
+                .orderBy(F.col("weight").desc(), F.col("docid").asc())
+                .limit(k)
+            )
+
+        # ---- OR ----
+        if any(idf[w][0] < 0 for w in terms):
+            return (
+                self._score_blocks(term_blocks, terms, wids, idf, require_all=False)
+                .orderBy(F.col("weight").desc(), F.col("docid").asc())
+                .limit(k)
+            )
+        # phase 1: theta from highest-impact seed blocks (partial scores
+        # of fully-decoded-nowhere docs are lower bounds since idfs >= 0)
+        nseed = max(4, (k + BLOCK_SIZE - 1) // BLOCK_SIZE + 2)
+        seed = term_blocks.orderBy(F.col("max_impact").desc()).limit(nseed)
+        seeded = (
+            self._score_blocks(seed, terms, wids, idf, require_all=False)
+            .orderBy(F.col("weight").desc())
+            .limit(k)
+            .collect()
+        )
+        if len(seeded) < k:
+            theta = float("-inf")
+        else:
+            theta = (seeded[-1]["weight"] - 1000 - 1) / 1000.0 - 0.5
+
+        gmax = {
+            w: r["m"] or 0.0
+            for w, r in (
+                (
+                    w,
+                    term_blocks.where(F.col("wordid") == wids[w])
+                    .agg(F.max("max_impact").alias("m"))
+                    .collect()[0],
+                )
+                for w in terms
+            )
+        }
+        sum_others = {
+            w: sum(idf[o][0] * gmax[o] for o in terms if o != w) for w in terms
+        }
+        others_map = F.create_map(
+            *[x for w in terms for x in (F.lit(wids[w]), F.lit(sum_others[w]))]
+        )
+        idf_map = F.create_map(
+            *[x for w in terms for x in (F.lit(wids[w]), F.lit(idf[w][0]))]
+        )
+        meta = term_blocks.select(
+            "wordid", "min_docid", "max_docid", "max_impact"
+        ).withColumn(
+            "ub", F.col("max_impact") * idf_map[F.col("wordid")]
+        )
+        live = meta.where(F.col("ub") + others_map[F.col("wordid")] >= F.lit(theta))
+        live_keys = live.select("wordid", "min_docid")
+        survivors = term_blocks.join(
+            F.broadcast(live_keys), ["wordid", "min_docid"], "left_semi"
+        )
+        # completion: pruned blocks overlapping any surviving block's
+        # docid range may still hold candidates' missing contributions
+        pruned = term_blocks.join(
+            F.broadcast(live_keys), ["wordid", "min_docid"], "left_anti"
+        )
+        live_ranges = (
+            live.select(F.col("min_docid").alias("lo"), F.col("max_docid").alias("hi"))
+            .distinct()
+        )
+        completing = pruned.join(
+            F.broadcast(live_ranges),
+            (F.col("max_docid") >= F.col("lo")) & (F.col("min_docid") <= F.col("hi")),
+            "left_semi",
+        )
+        full = survivors.unionByName(completing)
+        return (
+            self._score_blocks(full, terms, wids, idf, require_all=False)
+            .where(F.col("weight") >= F.lit(int((theta + 0.5) * 1000) + 1000)
+                   if theta != float("-inf") else F.lit(True))
+            .orderBy(F.col("weight").desc(), F.col("docid").asc())
+            .limit(k)
+        )
+
+    def _score_blocks(
+        self, blocks, terms, wids, idf, require_all: bool
+    ) -> DataFrame:
+        decoded = decode_blocks(blocks, with_positions=False)
+        idf_map = F.create_map(
+            *[x for w in terms for x in (F.lit(wids[w]), F.lit(idf[w][0]))]
+        )
+        scored = decoded.withColumn("idf", idf_map[F.col("wordid")]).withColumn(
+            "tfidf", F.col("tf") / (F.col("tf") + F.lit(1.2)) * F.col("idf")
+        )
+        agg = scored.groupBy("docid").agg(
+            F.sum("tfidf").alias("tfidf"),
+            F.countDistinct("wordid").alias("nterms"),
+        )
+        if require_all:
+            agg = agg.where(F.col("nterms") == len(terms))
+        weight = (
+            F.floor((F.col("tfidf") + F.lit(0.5)) * F.lit(1000)).cast("int")
+            + F.lit(1000)
+        )
+        return agg.select("docid", weight.alias("weight"))

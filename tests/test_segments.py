@@ -1,0 +1,156 @@
+"""Physical index tests: VLB blocks roundtrip, sharded build + resume,
+block-max WAND top-k == exhaustive scoring."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sphinx_1_spark.functions.vlb import (
+    delta_decode,
+    delta_encode,
+    vlb_decode,
+    vlb_encode,
+)
+
+
+def test_vlb_spec_examples():
+    # doc/internals-index-format.txt:53-63 worked examples
+    assert vlb_encode(np.array([0x37])) == bytes([0x37])
+    assert vlb_encode(np.array([0x12345])) == bytes([0x84, 0xC6, 0x45])
+
+
+def test_vlb_roundtrip_fuzz():
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        v = rng.integers(0, 2**63, size=int(rng.integers(0, 400))).astype(np.uint64)
+        assert (vlb_decode(vlb_encode(v), len(v)) == v).all()
+        sv = np.unique(v)
+        assert (delta_decode(delta_encode(sv, 0), 0) == sv).all()
+
+
+@pytest.fixture(scope="module")
+def built_segments(spark, tmp_path_factory):
+    from sphinx_1_spark.plans.segment_index import SegmentSet, build_segments
+    from sphinx_1_spark.sources.pages import generate_pages
+
+    out = str(tmp_path_factory.mktemp("segments"))
+    pages = generate_pages(spark, 400, seed=42, partitions=4)
+    paths = build_segments(pages, out, n_shards=3)
+    return SegmentSet(spark, paths), out, pages
+
+
+def test_blocks_roundtrip(spark, built_segments):
+    segs, _, pages = built_segments
+    from sphinx_1_spark.operators.segments import decode_blocks
+    from sphinx_1_spark.plans.pipeline import assign_docids, strip_pages
+    from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+
+    docs = assign_docids(strip_pages(pages), "fingerprint")
+    idx = SphinxIndex.build(
+        docs,
+        IndexSettings(
+            docid_col="docid",
+            fields=("text",),
+            tokenizer=TokenizerSettings(ngram_chars="U+4E00..U+9FBF"),
+            tokenizer_impl="arrow",
+        ),
+    )
+    want = {
+        (r["word"], r["docid"]): (r["tf"], r["fieldmask"], tuple(r["positions"]))
+        for r in idx.postings.collect()
+    }
+    got = {
+        (r["word"], r["docid"]): (r["tf"], r["fieldmask"], tuple(r["positions"]))
+        for r in decode_blocks(segs.blocks, with_positions=True).collect()
+    }
+    assert got == want
+
+
+def test_block_invariants(built_segments):
+    segs, _, _ = built_segments
+    rows = segs.blocks.select("n", "min_docid", "max_docid").collect()
+    assert rows and all(1 <= r["n"] <= 128 for r in rows)
+    assert all(r["min_docid"] <= r["max_docid"] for r in rows)
+
+
+def test_dictionary_and_checkpoints(spark, built_segments):
+    segs, out, _ = built_segments
+    d = segs.dictionary
+    the = d.where(F.col("word") == "the").collect()
+    assert the and the[0]["docs"] > 150
+    ck = spark.read.parquet(os.path.join(segs.paths[0], "checkpoints"))
+    assert ck.count() >= 1
+    assert ck.where(F.col("ckpt_id") == 0).count() == 1
+
+
+def test_manifest_and_resume(spark, built_segments, tmp_path):
+    segs, _, _ = built_segments
+    from sphinx_1_spark.plans.segment_index import (
+        SegmentSet,
+        build_segments,
+        read_manifest,
+    )
+    from sphinx_1_spark.sources.pages import generate_pages
+
+    m = read_manifest(segs.paths[0])
+    assert m["status"] == "complete" and m["n_docs"] > 0
+    assert "metrics" in m and "lineage" in m
+
+    # isolated build for the kill/resume cycle
+    out = str(tmp_path / "resume_segs")
+    pages = generate_pages(spark, 150, seed=9, partitions=3)
+    paths = build_segments(pages, out, n_shards=2)
+    s1 = SegmentSet(spark, paths)
+    a = sorted(
+        (r["wordid"], r["min_docid"], bytes(r["docids"]))
+        for r in s1.blocks.collect()
+    )
+    before = {p: read_manifest(p)["n_docs"] for p in paths}
+    # simulate kill: nuke one shard's manifest, resume
+    os.remove(os.path.join(paths[1], "_MANIFEST.json"))
+    paths2 = build_segments(pages, out, n_shards=2)
+    after = {p: read_manifest(p)["n_docs"] for p in paths2}
+    assert after == before
+    s2 = SegmentSet(spark, paths2)
+    b = sorted(
+        (r["wordid"], r["min_docid"], bytes(r["docids"]))
+        for r in s2.blocks.collect()
+    )
+    assert a == b
+
+
+def _exact_topk(segs, words, k, mode):
+    from sphinx_1_spark.operators.segments import decode_blocks
+    from sphinx_1_spark.functions.wordid import crc32_word
+
+    idf = segs._idf(words)
+    wids = {w: crc32_word(w) for w in words}
+    blocks = segs.blocks.where(F.col("wordid").isin(list(wids.values())))
+    return (
+        segs._score_blocks(blocks, words, wids, idf, require_all=(mode == "and"))
+        .orderBy(F.col("weight").desc(), F.col("docid").asc())
+        .limit(k)
+        .collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "words,mode",
+    [
+        (["the"], "or"),
+        (["the", "w0001"], "and"),
+        (["w0001", "w0002"], "or"),
+        (["the", "w0000"], "or"),  # head term: idf may go negative
+        (["w0003", "nosuchword"], "and"),
+        (["w0003", "nosuchword"], "or"),
+    ],
+)
+def test_wand_equals_exact(built_segments, words, mode):
+    segs, _, _ = built_segments
+    got = [(r["docid"], r["weight"]) for r in segs.wand_topk(words, 10, mode).collect()]
+    want = [(r["docid"], r["weight"]) for r in _exact_topk(segs, words, 10, mode)]
+    assert got == want
