@@ -1,0 +1,285 @@
+"""MMSEG Chinese tokenizer — port of CSphTokenizer_UTF8Chinese
+(reference src/sphinx.cpp:4412-4912), token-identical.
+
+The dictionary is the plain-text "word\\tfreq" list (the darts
+double-array binary the reference mmaps is just an index over the same
+pairs, built by mkdict.cpp); `commonPrefixSearch` is reproduced as
+byte-prefix lookups bucketed by word byte-length, returning matches in
+increasing length order like darts-clone.
+
+GetToken (src/sphinx.cpp:4700-4877) semantics reproduced exactly:
+  * at each position, dictionary prefix search over raw bytes;
+    1 match -> take it; >1 -> MMSEG "complex" chunk selection
+    (`getBestWordLength` src/sphinx.cpp:4418-4627); dict words are
+    emitted as raw bytes (no case folding) and bypass min_word_len;
+  * 0 matches -> inline UTF-8 scanner with charset folding; when a
+    separator ends a token, the position REWINDS to the separator if a
+    dictionary word starts there (src/sphinx.cpp:4787-4790) — with
+    the reference's window quirk: the search window is measured from
+    *past* the separator (m_pBufferMax - m_pCur), so a dict word at
+    the separator that extends beyond that window is not matched;
+  * overshort tokens (len < min_word_len) are dropped and counted;
+    hit positions advance by 1 + overshorts*overshort_step
+    (src/sphinx.cpp:18528).
+
+getBestWordLength's four filter rules use float32 arrays in the
+reference; all comparisons here reproduce that math bit-for-bit
+(np.float32 accumulation, double log/sqrt results truncated back to
+float32), including the rule-4 quirk that when every chunk's SDMF is
+below the 0-initialized running max, the rule-3 survivor list is used
+unchanged (src/sphinx.cpp:4605-4626).
+
+Documented deviation: the reference's chunk buffer is a fixed
+float[64][10] (src/sphinx.cpp:4434) while the A*B*C enumeration can
+produce up to 64^3 chunks; inputs yielding >64 chunks smash the
+reference's stack (segfault — verified empirically).  This port
+enumerates without the overflow, so on such inputs it returns the
+well-defined MMSEG answer where the reference has none.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _charcount(b: bytes) -> int:
+    """Leading (non-continuation) UTF-8 bytes — the reference counts
+    bytes with UTF8CharLenTable[b] < 0x08 (src/sphinx.cpp:4476)."""
+    return sum(1 for x in b if not 0x80 <= x <= 0xBF)
+
+
+class MMSegDict:
+    """word->freq dictionary with darts-like commonPrefixSearch."""
+
+    def __init__(self, freq: dict[bytes, int]):
+        self.freq = freq
+        self.lengths = sorted({len(w) for w in freq})
+
+    @classmethod
+    def load(cls, path: str) -> "MMSegDict":
+        freq: dict[bytes, int] = {}
+        with open(path, "rb") as f:
+            for line in f:
+                line = line.rstrip(b"\r\n")
+                if not line:
+                    continue
+                word, _, val = line.partition(b"\t")
+                if word:
+                    # mkdict uses strtol base-0 (src/mkdict.cpp:59)
+                    try:
+                        freq[word] = int(val.strip() or b"0", 0)
+                    except ValueError:
+                        freq[word] = 0
+        return cls(freq)
+
+    def prefix_search(
+        self, data: bytes, pos: int, limit: int, maxlen: int | None = None
+    ) -> list[tuple[int, int]]:
+        """[(byte_len, freq)] of dict words prefixing data[pos:pos+maxlen],
+        ascending byte length (darts result order).
+
+        maxlen 0 means "to end of buffer": darts commonPrefixSearch
+        falls back to strlen when passed length 0
+        (darts-clone.h:1282-1287), and the NUL-free buffer ends at the
+        caller's terminator."""
+        window = len(data) - pos if not maxlen else maxlen
+        out = []
+        for ln in self.lengths:
+            if ln > window:
+                break
+            f = self.freq.get(data[pos : pos + ln])
+            if f is not None:
+                out.append((ln, f))
+                if len(out) >= limit:
+                    break
+        return out
+
+
+class ChineseTokenizer:
+    """Stateful port of CSphTokenizer_UTF8Chinese over one buffer."""
+
+    MAX_ACCUM_CP = 64  # SPH_MAX_WORD_LEN, src/sphinx.h:145
+
+    def __init__(self, dict_: MMSegDict, fold: np.ndarray, min_word_len: int = 1):
+        self.dict = dict_
+        self.fold = fold
+        self.min_word_len = min_word_len
+
+    # ------------------------------------------------------------------
+    def _best_word_length(self, data: bytes, pos: int) -> int:
+        """MMSEG complex: 3-word chunk enumeration + 4 filter rules
+        (getBestWordLength, src/sphinx.cpp:4418-4627)."""
+        f32 = np.float32
+        d = self.dict
+        n_total = len(data)
+        A = d.prefix_search(data, pos, 64)
+        chunks: list[tuple[int, tuple, tuple, tuple]] = []  # (nwords, lens, freqs, chars)
+        for la, fa in A:
+            ca = _charcount(data[pos : pos + la])
+            pb = pos + la
+            B = d.prefix_search(data, pb, 64)
+            if B:
+                for lb, fb in B:
+                    cb = _charcount(data[pb : pb + lb])
+                    pc = pb + lb
+                    C = d.prefix_search(data, pc, 64)
+                    if C:
+                        for lc, fc in C:
+                            cc = _charcount(data[pc : pc + lc])
+                            chunks.append((3, (la, lb, lc), (fa, fb, fc), (ca, cb, cc)))
+                    else:
+                        chunks.append((2, (la, lb, 0), (fa, fb, 0), (ca, cb, 0)))
+            else:
+                chunks.append((1, (la, 0, 0), (fa, 0, 0), (ca, 0, 0)))
+
+        # rule 1: max total char count (float32 adds of small ints: exact)
+        lengths = [f32(f32(f32(c[3][0]) + f32(c[3][1])) + f32(c[3][2])) for c in chunks]
+        mx = max(lengths)
+        best = [i for i, v in enumerate(lengths) if v == mx]
+        if len(best) < 2:
+            return chunks[best[0]][1][0]
+
+        # rule 2: min word count
+        counts = {i: f32(chunks[i][0]) for i in best}
+        mn = min(counts[i] for i in best)
+        best = [i for i in best if counts[i] == mn]
+        if len(best) < 2:
+            return chunks[best[0]][1][0]
+
+        # rule 3: min stddev of word char counts (float32 accumulation,
+        # double sqrt truncated to float32)
+        variances = {}
+        for i in best:
+            nw, _, _, chars = chunks[i]
+            total = f32(f32(f32(chars[0]) + f32(chars[1])) + f32(chars[2]))
+            avg = f32(total / f32(nw))
+            var = f32(0.0)
+            for t in range(nw):
+                dt = f32(avg - f32(chars[t]))
+                var = f32(var + f32(dt * dt))
+            variances[i] = f32(math.sqrt(float(f32(var / f32(nw)))))
+        mnv = min(variances[i] for i in best)
+        best = [i for i in best if variances[i] == mnv]
+        if len(best) < 2:
+            return chunks[best[0]][1][0]
+
+        # rule 4: max SDMF (sum of double log(freq) of 1-char words,
+        # accumulated into float32); running max starts at 0.0 — if no
+        # SDMF reaches it, the rule-3 survivors stand (reference quirk)
+        sdmfs = {}
+        for i in best:
+            nw, _, freqs, chars = chunks[i]
+            s = f32(0.0)
+            for t in range(nw):
+                if f32(chars[t]) == f32(1.0):
+                    lf = math.log(float(f32(freqs[t]))) if freqs[t] > 0 else float("-inf")
+                    s = f32(s + lf)
+            sdmfs[i] = s
+        mxs = f32(0.0)
+        for i in best:
+            if sdmfs[i] > mxs:
+                mxs = sdmfs[i]
+        winners = [i for i in best if sdmfs[i] == mxs]
+        if winners:
+            best = winners
+        return chunks[best[0]][1][0]
+
+    # ------------------------------------------------------------------
+    def tokenize(self, data: bytes) -> list[tuple[str, int]]:
+        """[(token, overshorts_before_token)] for one buffer.
+
+        NULs are replaced with spaces first (SetBuffer,
+        src/sphinx.cpp:4693-4696).
+        """
+        if b"\0" in data:
+            data = data.replace(b"\0", b" ")
+        out: list[tuple[str, int]] = []
+        n = len(data)
+        cur = 0
+        fold = self.fold
+        fold_n = len(fold)
+        while True:
+            overshort = 0
+            accum: list[int] = []
+            naccum = 0  # codepoints accepted (cap 64); naccum tracks len
+            word_len = 0
+            tok: str | None = None
+            ended = False
+            while word_len == 0:
+                matches = self.dict.prefix_search(data, cur, 256)
+                if not matches:
+                    # inline UTF-8 scanner (src/sphinx.cpp:4726-4855)
+                    while True:
+                        pcur = cur
+                        if cur >= n:
+                            code = -1
+                        else:
+                            code, cur = _decode_cp(data, cur)
+                        if code < 0:
+                            if naccum < self.min_word_len:
+                                ended = True
+                                break
+                            tok = _encode_cps(accum)
+                            ended = True
+                            break
+                        folded = int(fold[code]) if code < fold_n else 0
+                        if folded == 0:
+                            if naccum < self.min_word_len:
+                                if naccum:
+                                    overshort += 1
+                                accum = []
+                                naccum = 0
+                                break  # back to dict search at cur
+                            tok = _encode_cps(accum)
+                            # rewind-to-separator quirk: window measured
+                            # from past the separator (m_pBufferMax-m_pCur)
+                            if self.dict.prefix_search(data, pcur, 256, n - cur):
+                                cur = pcur
+                            break
+                        if naccum < self.MAX_ACCUM_CP:
+                            accum.append(folded)
+                            naccum += 1
+                    if tok is not None or ended:
+                        break
+                    continue
+                if len(matches) == 1:
+                    word_len = matches[0][0]
+                else:
+                    word_len = self._best_word_length(data, cur)
+            if tok is None and word_len:
+                tok = data[cur : cur + word_len].decode("utf-8", errors="replace")
+                cur += word_len
+            if tok is not None:
+                out.append((tok, overshort))
+                if ended:
+                    return out
+                continue
+            if ended:
+                return out
+
+
+def _decode_cp(data: bytes, pos: int) -> tuple[int, int]:
+    """Decode one UTF-8 codepoint; invalid bytes yield their value
+    (the reference scanner's recovery keeps scanning byte-wise)."""
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    if b0 < 0xC0:
+        return b0, pos + 1  # stray continuation
+    if b0 < 0xE0:
+        ln = 2
+    elif b0 < 0xF0:
+        ln = 3
+    else:
+        ln = 4
+    chunk = data[pos : pos + ln]
+    try:
+        return ord(chunk.decode("utf-8")), pos + ln
+    except (UnicodeDecodeError, TypeError):
+        return b0, pos + 1
+
+
+def _encode_cps(cps: list[int]) -> str:
+    return "".join(chr(c) for c in cps)

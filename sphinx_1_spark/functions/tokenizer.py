@@ -73,9 +73,13 @@ class Tokenizer:
             self._ngram_mask = ng != 0
         self._mmseg = None
         if self.settings.mmseg_dict_path:
-            from sphinx_1_spark.functions.mmseg import MMSegDict
+            from sphinx_1_spark.functions.mmseg import ChineseTokenizer, MMSegDict
 
-            self._mmseg = MMSegDict.load(self.settings.mmseg_dict_path)
+            self._mmseg = ChineseTokenizer(
+                MMSegDict.load(self.settings.mmseg_dict_path),
+                self.fold,
+                self.settings.min_word_len,
+            )
 
     # ------------------------------------------------------------------
     def tokenize(self, text: str) -> list[str]:
@@ -89,11 +93,32 @@ class Tokenizer:
         counter by overshort_step; stopwords advance by stopword_step
         but emit nothing.
         """
+        if self._mmseg is not None:
+            return self._emit_mmseg(self._mmseg.tokenize(text.encode("utf-8")))
         cps = text_to_codepoints(text)
         folded = fold_codepoints(cps, self.fold)
-        if self._ngram_mask is not None or self._mmseg is not None:
+        if self._ngram_mask is not None:
             return self._tokenize_cjk(cps, folded)
         return self._emit(self._runs(folded))
+
+    def _emit_mmseg(self, toks: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        """Position stepping over ChineseTokenizer output: each token
+        advances by 1 + overshorts_in_call*overshort_step
+        (src/sphinx.cpp:18528); stopwords still step by stopword_step.
+        min_word_len was already applied inside GetToken (dict words
+        bypass it, matching the reference)."""
+        s = self.settings
+        out: list[tuple[str, int]] = []
+        pos = 0
+        step = 1
+        for tok, overshorts in toks:
+            pos += step + overshorts * s.overshort_step
+            step = 1
+            if tok in s.stopwords:
+                step = s.stopword_step
+                continue
+            out.append((tok, pos))
+        return out
 
     # ------------------------------------------------------------------
     def _runs(self, folded: np.ndarray) -> list[np.ndarray]:
@@ -135,10 +160,9 @@ class Tokenizer:
 
     # ------------------------------------------------------------------
     def _tokenize_cjk(self, cps: np.ndarray, folded: np.ndarray) -> list[tuple[str, int]]:
-        """CJK-aware path: ngram_chars codepoints become 1-char tokens
-        (CSphTokenizer_UTF8Ngram, src/sphinx.cpp:4943-4947); if an MMSEG
-        dictionary is loaded, dictionary-covered spans are segmented with
-        the MMSEG complex algorithm instead (src/sphinx.cpp:4412-4912)."""
+        """N-gram CJK path: ngram_chars codepoints become 1-char tokens
+        (CSphTokenizer_UTF8Ngram, src/sphinx.cpp:4943-4947).  The MMSEG
+        dictionary path is handled wholesale by functions/mmseg.py."""
         # Build a per-codepoint class: 0 = separator, 1 = word char, 2 = CJK
         cls = (folded != 0).astype(np.int8)
         if self._ngram_mask is not None and cps.size:
@@ -157,17 +181,13 @@ class Tokenizer:
             if c != 0:
                 pieces.append((int(c), folded[i:j]))
             i = j
-        # expand CJK runs into tokens
+        # expand CJK runs into 1-char tokens
         runs: list[np.ndarray] = []
         for c, run in pieces:
             if c == 1:
                 runs.append(run)
             else:
-                if self._mmseg is not None:
-                    for w in self._mmseg.segment(codepoints_to_text(run)):
-                        runs.append(text_to_codepoints(w))
-                else:
-                    runs.extend(run[k : k + 1] for k in range(run.size))
+                runs.extend(run[k : k + 1] for k in range(run.size))
         return self._emit(runs)
 
     # ------------------------------------------------------------------
