@@ -104,6 +104,127 @@ def q_match_count(spark, sf_dir):
     return plan.agg(F.count(F.lit(1)).alias("total_found"))
 
 
+# ----------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis /
+# multimodal) over the documents + embeddings tables
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """All identity groups (the corpus has no exact dups, so
+    min_count=1 keeps the check non-vacuous)."""
+    from sphinx_1_spark.operators.dedup import exact_duplicate_groups
+
+    return (
+        exact_duplicate_groups(_docs(spark, sf_dir), min_count=1)
+        .orderBy("text_hash")
+        .limit(100)
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from sphinx_1_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, tau=0.5).orderBy("a", "b")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from sphinx_1_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=3, bands=4, rows_per_band=4, tau=0.5
+    ).orderBy("a", "b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from sphinx_1_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("a", "b")
+
+
+def q_dedup_embed(spark, sf_dir):
+    from sphinx_1_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), tau=0.4).orderBy("a", "b")
+
+
+_ANN_QUERY = [0.1, -0.2, 0.05] + [0.01] * 61  # fixed 64-dim probe
+
+
+def q_ann_topk(spark, sf_dir):
+    from sphinx_1_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), _ANN_QUERY, k=10)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """Approximate (LSH-bucketed IVF probe) — rows-only check."""
+    from sphinx_1_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), _ANN_QUERY, k=10, nbits=4, probe_hamming=1)
+
+
+def q_token_counts(spark, sf_dir):
+    from sphinx_1_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).orderBy("doc_id").limit(100)
+
+
+def q_langid(spark, sf_dir):
+    from sphinx_1_spark.operators.textstats import language_id
+
+    return (
+        language_id(_docs(spark, sf_dir))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_quality(spark, sf_dir):
+    from sphinx_1_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).orderBy("doc_id").limit(100)
+
+
+def q_fingerprint(spark, sf_dir):
+    from sphinx_1_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir), k=5).orderBy("doc_id").limit(100)
+
+
+def q_image_meta(spark, sf_dir):
+    from sphinx_1_spark.operators.multimodal import (
+        attach_payload,
+        decode_image_metadata,
+    )
+
+    df = attach_payload(_docs(spark, sf_dir))
+    return decode_image_metadata(df).orderBy("doc_id").limit(100)
+
+
+def q_image_features(spark, sf_dir):
+    from sphinx_1_spark.operators.multimodal import attach_payload, extract_features
+
+    df = attach_payload(_docs(spark, sf_dir))
+    out = extract_features(df)
+    return (
+        out.select(
+            "doc_id",
+            F.transform(F.col("features"), lambda x: F.round(x, 6)).alias("features"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_bm25": q_term_bm25,
@@ -116,6 +237,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wordcount": q_wordcount,
         "q_dictionary": q_dictionary,
         "q_match_count": q_match_count,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embed": q_dedup_embed,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_token_counts": q_token_counts,
+        "q_langid": q_langid,
+        "q_quality": q_quality,
+        "q_fingerprint": q_fingerprint,
+        "q_image_meta": q_image_meta,
+        "q_image_features": q_image_features,
     }
 
 
@@ -270,7 +404,7 @@ ORDER BY docs DESC, word ASC LIMIT 20"""
 SELECT count(*) AS total_found FROM (
   SELECT DISTINCT doc_id FROM hits WHERE word IN ('table', 'scan'))"""
 
-    return {
+    out = {
         "q_term_bm25": _topk_sql(term),
         "q_and_bm25": _topk_sql(and2),
         "q_or_bm25": _topk_sql(or2),
@@ -281,4 +415,243 @@ SELECT count(*) AS total_found FROM (
         "q_wordcount": wordcount,
         "q_dictionary": dictionary,
         "q_match_count": match_count,
+    }
+    out.update(_pipeline_oracles())
+    return out
+
+
+# ----------------------------------------------------------------------
+# training-data pipeline oracles
+
+_SHINGLE_CTE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         ELSE []::VARCHAR[] END AS shingles
+  FROM tok
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh0
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+)
+"""
+
+_JACCARD_VERIFY = """
+SELECT a, b,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM {pairs} p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.5
+ORDER BY a, b
+"""
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    dedup_exact = """
+SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keeper
+FROM documents GROUP BY 1 ORDER BY text_hash LIMIT 100"""
+
+    jaccard = _SHINGLE_CTE + """
+, pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+""" + _JACCARD_VERIFY.format(pairs="pairs")
+
+    nh = 16
+    minhash_cols = ",\n    ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(nh)
+    )
+    bands_sql = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', h{b*4}, h{b*4+1}, "
+        f"h{b*4+2}, h{b*4+3})) AS bucket FROM sig"
+        for b in range(4)
+    )
+    minhash = _SHINGLE_CTE + f"""
+, sig AS (
+  SELECT doc_id,
+    {minhash_cols}
+  FROM sh GROUP BY doc_id
+), buckets AS (
+{bands_sql}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+), pairs AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c
+  JOIN sh sx ON sx.doc_id = c.a
+  JOIN sh sy ON sy.doc_id = c.b AND sy.shingle = sx.shingle
+  GROUP BY 1, 2
+)
+""" + _JACCARD_VERIFY.format(pairs="pairs")
+
+    simhash = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), tokd AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tokd
+), bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) b
+), bsum AS (
+  SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM bsum GROUP BY 1
+), chunks AS (
+  SELECT doc_id, c.chunk, (simhash >> (c.chunk * 15)) & 32767 AS key, simhash
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS chunk) c
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS fa, y.simhash AS fb
+  FROM chunks x JOIN chunks y
+    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(fa, fb)) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY a, b"""
+
+    embed = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+  round(list_dot_product(x.v, y.v)
+    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+    AS cos
+FROM v x JOIN v y ON x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v)
+    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+    >= 0.4
+ORDER BY a, b"""
+
+    qv = "[" + ", ".join(str(float(x)) for x in _ANN_QUERY) + "]::DOUBLE[]"
+    ann = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (SELECT {qv} AS q)
+SELECT vec_id,
+  round(list_dot_product(v, q.q)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.q, q.q))), 6)
+    AS cos
+FROM v, q
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+    token_counts = """
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::INT
+    AS n_ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INT
+    AS n_bpe_tokens
+FROM documents ORDER BY doc_id LIMIT 100"""
+
+    stop_list = (
+        "the of and to in a is it for on with as at by an be this that from or"
+    ).split()
+    stop_in = ", ".join(f"'{w}'" for w in stop_list)
+    base_stats = f"""
+WITH s AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                t -> t <> '') AS toks,
+    length(text) AS n_chars
+  FROM documents
+), st AS (
+  SELECT doc_id, text, toks, n_chars,
+    len(toks) AS n_toks,
+    len(list_filter(toks, t -> t IN ({stop_in}))) AS n_stop
+  FROM s
+)
+"""
+
+    langid = base_stats + """
+SELECT lang_pred, count(*) AS cnt FROM (
+  SELECT CASE
+    WHEN n_chars > 0 AND
+         length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))
+           / n_chars > 0.15 THEN 'zh'
+    WHEN n_toks > 0 AND n_stop / n_toks >= 0.08 THEN 'en'
+    ELSE 'other' END AS lang_pred
+  FROM st
+) GROUP BY 1 ORDER BY 1"""
+
+    quality = base_stats + """
+SELECT doc_id, round(
+    0.3 * least(n_chars / 500.0, 1.0)
+  + 0.2 * greatest(0.0, 1.0 -
+      (CASE WHEN n_chars > 0 THEN
+        length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+          / n_chars ELSE 1.0 END) * 5)
+  + 0.3 * least((CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) * 5,
+                1.0)
+  + 0.2 * (CASE WHEN n_toks > 0 AND
+      list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+        / n_toks >= 3
+      AND list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+        / n_toks <= 10
+      THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM st ORDER BY doc_id LIMIT 100"""
+
+    fingerprint = """
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents)
+SELECT doc_id,
+  CASE WHEN length(t) >= 5 THEN
+    list_aggregate(
+      list_transform(generate_series(1, length(t) - 4),
+                     i -> md5(substr(t, i, 5))), 'min')
+  ELSE md5(t) END AS fingerprint
+FROM lt ORDER BY doc_id LIMIT 100"""
+
+    image_meta = """
+WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+SELECT doc_id,
+  (64 + ('0x' || substr(h,3,2) || substr(h,1,2))::INT % 1985)::INT AS width,
+  (64 + ('0x' || substr(h,7,2) || substr(h,5,2))::INT % 1985)::INT AS height,
+  ['jpeg','png','webp','gif'][('0x' || substr(h,9,2))::INT % 4 + 1] AS format,
+  octet_length(encode(text))::INT AS n_bytes
+FROM m ORDER BY doc_id LIMIT 100"""
+
+    feat_exprs = ",\n  ".join(
+        f"round(('0x' || substr(h,{4*i+3},2) || substr(h,{4*i+1},2))::INT"
+        f" / 65535.0, 6)"
+        for i in range(8)
+    )
+    image_features = f"""
+WITH m AS (SELECT doc_id, md5('feat:' || text) AS h FROM documents)
+SELECT doc_id, [
+  {feat_exprs}
+] AS features
+FROM m ORDER BY doc_id LIMIT 100"""
+
+    return {
+        "q_dedup_exact": dedup_exact,
+        "q_dedup_jaccard": jaccard,
+        "q_dedup_minhash": minhash,
+        "q_dedup_simhash": simhash,
+        "q_dedup_embed": embed,
+        "q_ann_topk": ann,
+        # q_ann_ivf: approximate, rows-only (deliberately no oracle)
+        "q_token_counts": token_counts,
+        "q_langid": langid,
+        "q_quality": quality,
+        "q_fingerprint": fingerprint,
+        "q_image_meta": image_meta,
+        "q_image_features": image_features,
     }

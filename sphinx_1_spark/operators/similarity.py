@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one scan +
+TakeOrderedAndProject — no shuffle beyond the final top-k merge);
+`ivf_topk` is the scale path: cluster by deterministic sign-LSH
+buckets, probe only the query's bucket neighborhood.  At 10^12 rows
+the bucket table is partitioned by bucket id so a probe is a
+partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(x: Column) -> Column:
+    return F.sqrt(_dot(x, x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, cos) ordered cos desc,
+    id asc tiebreak."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = v.select(
+        "vec_id",
+        F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn)), 6).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign of dot(vec, plane_i)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p]).cast("array<double>")
+        bit = F.when(_dot(vec, pc) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def deterministic_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Pseudo-random hyperplanes derived from a hash — deterministic
+    across engines/runs, no RNG state."""
+    import hashlib
+    import struct
+
+    planes = []
+    for i in range(nbits):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{i}:{d}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            vals.append((u / 2**64) * 2.0 - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 4,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: scan only LSH buckets within
+    `probe_hamming` bits of the query's bucket (IVF-style probe).
+
+    Recall is tunable via nbits/probe_hamming; with probe_hamming =
+    nbits it degrades to exact brute force."""
+    dim = len(query_vec)
+    planes = deterministic_planes(dim, nbits, seed)
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+
+    # query bucket + neighbors within hamming distance
+    qbucket = 0
+    for i, p in enumerate(planes):
+        dp = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        if dp >= 0:
+            qbucket |= 1 << i
+    probes = {qbucket}
+    if probe_hamming >= 1:
+        for i in range(nbits):
+            probes.add(qbucket ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(nbits):
+            for j in range(i + 1, nbits):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    scored = (
+        v.where(F.col("bucket").isin(list(probes)))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn)), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
