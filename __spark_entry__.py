@@ -225,6 +225,148 @@ def q_image_features(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------------------
+# attribute layer: fullscan + filters + grouping + sorting + exprs
+# (SURVEY.md §2.6/§2.7/§2.9) over the events table
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_fullscan_filter(spark, sf_dir):
+    """Fullscan + Filter_Values + Filter_FloatRange
+    (src/sphinxfilter.cpp:151-218); @id asc paging."""
+    from sphinx_1_spark.plans.attrs import fullscan
+
+    ev = _events(spark, sf_dir)
+    return fullscan(
+        ev,
+        filters=[
+            F.col("event_type").isin("click", "view"),
+            F.col("value").between(5.0, 20.0),
+        ],
+        order_by=[F.col("event_id").asc()],
+        limit=20,
+        offset=5,
+        select=[F.col("event_id"), F.col("event_type"), F.col("value")],
+    )
+
+
+def q_group_attr(spark, sf_dir):
+    """GROUP BY attr + @count + SUM/AVG + COUNT(DISTINCT) + WITHIN
+    GROUP ORDER BY representative (src/sphinxsort.cpp:717-1086)."""
+    from sphinx_1_spark.plans.attrs import group_query
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+    out = group_query(
+        ev,
+        "event_type",
+        aggs=[
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        ],
+        within_group_order=[F.col("value").desc(), F.col("event_id").asc()],
+        order_by=[F.col("groupkey").asc()],
+        limit=20,
+    )
+    return out.select(
+        F.col("groupkey").alias("event_type"),
+        "at_count",
+        "sum_value",
+        "uniq_users",
+        F.col("best_event_id"),
+    )
+
+
+def q_group_day(spark, sf_dir):
+    """GROUPBY_DAY (src/sphinxsort.cpp:234-268), UTC-pinned."""
+    from sphinx_1_spark.plans.attrs import group_query
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    out = group_query(
+        ev,
+        "ts",
+        group_func="day",
+        aggs=[F.round(F.avg("value"), 6).alias("avg_value")],
+        order_by=[F.col("groupkey").asc()],
+        limit=40,
+    )
+    return out.select(F.col("groupkey").alias("day"), "at_count", "avg_value")
+
+
+def q_group_week(spark, sf_dir):
+    """GROUPBY_WEEK: Sunday-start buckets like the reference's
+    struct-tm arithmetic (src/sphinxsort.cpp:246-255)."""
+    from sphinx_1_spark.plans.attrs import group_query
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    out = group_query(
+        ev,
+        "ts",
+        group_func="week",
+        aggs=[F.round(F.max("value"), 6).alias("max_value")],
+        order_by=[F.col("groupkey").asc()],
+        limit=20,
+    )
+    return out.select(F.col("groupkey").alias("week"), "at_count", "max_value")
+
+
+def q_select_exprs(spark, sf_dir):
+    """Expression engine (src/sphinxexpr.cpp:325-353): IF, INTERVAL,
+    IDIV, MADD, GEODIST with reference constants."""
+    from sphinx_1_spark.functions import exprs as E
+
+    ev = _events(spark, sf_dir)
+    lat = F.radians(F.lit(37.0) + F.col("user_id") % 10)
+    lon = F.radians(F.lit(-122.0) + F.col("value") % 5)
+    return (
+        ev.select(
+            "event_id",
+            E.if_(F.col("value") > 10, F.lit(1), F.lit(0)).alias("is_big"),
+            E.interval(F.col("value"), 5, 10, 20).alias("bucket"),
+            E.idiv(F.col("user_id"), F.lit(7)).alias("user_div7"),
+            E.madd(F.col("value"), F.lit(2.0), F.lit(1.0)).alias("v2p1"),
+            F.round(
+                E.geodist(lat, lon, F.radians(F.lit(37.5)), F.radians(F.lit(-122.5))),
+                3,
+            ).alias("geodist_m"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+def q_killlist_union(spark, sf_dir):
+    """Multi-index union where the delta segment's kill-list
+    suppresses main-segment docids (src/searchd.cpp:4191-4193)."""
+    from sphinx_1_spark.plans.multi import apply_killlists
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "lang", "n_chars"
+    )
+    main = docs.where(F.col("docid") < 400)
+    delta = docs.where(F.col("docid") >= 300)  # overlap 300..399
+    kill = delta.select("docid")  # delta supersedes its docid range
+    merged = apply_killlists([main, delta], [None, kill])
+    return (
+        merged.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+def q_sort_multi(spark, sf_dir):
+    """sort_extended multi-key clause (<=5 keys,
+    src/sphinxsort.cpp:1496): value desc, ts asc, @id asc."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(25)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_bm25": q_term_bm25,
@@ -250,6 +392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_image_meta": q_image_meta,
         "q_image_features": q_image_features,
+        "q_fullscan_filter": q_fullscan_filter,
+        "q_group_attr": q_group_attr,
+        "q_group_day": q_group_day,
+        "q_group_week": q_group_week,
+        "q_select_exprs": q_select_exprs,
+        "q_killlist_union": q_killlist_union,
+        "q_sort_multi": q_sort_multi,
     }
 
 
@@ -417,7 +566,81 @@ SELECT count(*) AS total_found FROM (
         "q_match_count": match_count,
     }
     out.update(_pipeline_oracles())
+    out.update(_attrs_oracles())
     return out
+
+
+def _attrs_oracles() -> dict[str, str]:
+    fullscan = """
+SELECT event_id, event_type, value FROM events
+WHERE event_type IN ('click', 'view') AND value BETWEEN 5.0 AND 20.0
+ORDER BY event_id ASC LIMIT 20 OFFSET 5"""
+
+    group_attr = """
+WITH g AS (
+  SELECT event_type, count(*) AS at_count,
+         round(sum(value), 6) AS sum_value,
+         count(DISTINCT user_id) AS uniq_users
+  FROM events GROUP BY 1
+), best AS (
+  SELECT event_type, event_id AS best_event_id FROM (
+    SELECT event_type, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id ASC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT g.event_type, at_count, sum_value, uniq_users, best_event_id
+FROM g JOIN best USING (event_type) ORDER BY event_type LIMIT 20"""
+
+    group_day = """
+SELECT date_trunc('day', ts)::DATE AS day, count(*) AS at_count,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY day LIMIT 40"""
+
+    group_week = """
+SELECT (ts::DATE - CAST(dayofweek(ts) AS INT)) AS week, count(*) AS at_count,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1 ORDER BY week LIMIT 20"""
+
+    select_exprs = """
+SELECT event_id,
+  CASE WHEN value > 10 THEN 1 ELSE 0 END AS is_big,
+  CASE WHEN value >= 20 THEN 3 WHEN value >= 10 THEN 2
+       WHEN value >= 5 THEN 1 ELSE 0 END AS bucket,
+  CAST(trunc(user_id / 7) AS BIGINT) AS user_div7,
+  value * 2.0 + 1.0 AS v2p1,
+  round(6384000.0 * 2 * asin(least(1.0, sqrt(
+      pow(sin((radians(37.0 + user_id % 10) - radians(37.5)) / 2), 2)
+      + cos(radians(37.0 + user_id % 10)) * cos(radians(37.5))
+        * pow(sin((radians(-122.0 + fmod(value, 5)) - radians(-122.5)) / 2), 2)
+  ))), 3) AS geodist_m
+FROM events ORDER BY event_id LIMIT 100"""
+
+    killlist = """
+WITH main AS (
+  SELECT doc_id AS docid, lang, n_chars FROM documents WHERE doc_id < 400
+), delta AS (
+  SELECT doc_id AS docid, lang, n_chars FROM documents WHERE doc_id >= 300
+), merged AS (
+  SELECT * FROM main WHERE docid NOT IN (SELECT docid FROM delta)
+  UNION ALL SELECT * FROM delta
+)
+SELECT lang, count(*) AS cnt, sum(n_chars) AS chars
+FROM merged GROUP BY 1 ORDER BY lang"""
+
+    sort_multi = """
+SELECT event_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 25"""
+
+    return {
+        "q_fullscan_filter": fullscan,
+        "q_group_attr": group_attr,
+        "q_group_day": group_day,
+        "q_group_week": group_week,
+        "q_select_exprs": select_exprs,
+        "q_killlist_union": killlist,
+        "q_sort_multi": sort_multi,
+    }
 
 
 # ----------------------------------------------------------------------

@@ -36,18 +36,25 @@ def run_once(cores: int, n_pages: int, seed: int = 42) -> dict:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    import shutil
+    import tempfile
+
     try:
-        from sphinx_1_spark.plans.pipeline import build_pages_index
+        from sphinx_1_spark.plans.segment_index import build_segments
         from sphinx_1_spark.sources.pages import generate_pages
 
         # fixed input partitioning across runs: same input split both times
         pages = generate_pages(spark, n_pages, seed=seed, partitions=128).cache()
         pages.count()
-        t0 = time.perf_counter()
-        idx = build_pages_index(pages, docid_mode="fingerprint")
-        idx.postings.count()
-        idx.dictionary.count()
-        dt = time.perf_counter() - t0
+        out_dir = tempfile.mkdtemp(prefix="scaling_seg_")
+        try:
+            t0 = time.perf_counter()
+            # the production job: strip -> tokenize -> postings agg ->
+            # VLB block encode -> parquet segment + dictionary + manifest
+            build_segments(pages, out_dir, n_shards=1)
+            dt = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
         return {"cores": cores, "seconds": round(dt, 3),
                 "docs_per_sec": round(n_pages / dt, 2)}
     finally:

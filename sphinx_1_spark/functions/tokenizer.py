@@ -191,6 +191,44 @@ class Tokenizer:
         return self._emit(runs)
 
     # ------------------------------------------------------------------
+    @property
+    def _fast_path_ok(self) -> bool:
+        """The vectorized tokenize path is exact when there are no
+        overshort/stopword steps to track (min_word_len<=1, no
+        stopwords), no MMSEG dictionary, and the fold table maps no
+        codepoint into the whitespace class str.split() uses."""
+        s = self.settings
+        if s.min_word_len > 1 or s.stopwords or self._mmseg is not None:
+            return False
+        if not hasattr(self, "_fold_ws_free"):
+            targets = np.unique(self.fold[self.fold != 0])
+            ws = np.array(
+                [c for c in range(0x3001) if chr(c).isspace()], dtype=np.uint32
+            )
+            self._fold_ws_free = not np.isin(targets, ws).any()
+        return self._fold_ws_free
+
+    def _fast_tokens(self, text: str) -> list[str]:
+        """Vectorized tokenize: fold via one fancy-index, separators
+        become spaces, CJK ngram chars get space-injected boundaries,
+        then one C-speed str.split().  Token-stream-identical to the
+        scalar path (equivalence pinned by tests)."""
+        cps = text_to_codepoints(text)
+        if cps.size == 0:
+            return []
+        folded = self.fold[cps]
+        if self._ngram_mask is not None:
+            cjk = self._ngram_mask[cps]
+            if cjk.any():
+                folded = np.where(cjk, cps, folded)
+                # space before every CJK char and after each CJK run
+                prev_cjk = np.concatenate(([False], cjk[:-1]))
+                idx = np.flatnonzero(cjk | prev_cjk)
+                folded = np.insert(folded, idx, np.uint32(32))
+        np.place(folded, folded == 0, 32)
+        toks = codepoints_to_text(folded).split()
+        return [t if len(t) <= MAX_WORD_LEN else t[:MAX_WORD_LEN] for t in toks]
+
     def hits_for_doc(self, fields: list[str | None]) -> list[tuple[str, int]]:
         """All (token, packed_wordpos) hits for one document.
 
@@ -198,16 +236,28 @@ class Tokenizer:
         src/sphinx.h:147); trailing hits of each field carry
         HIT_FIELD_END (src/sphinx.cpp:18666-18672).
         """
+        fast = self._fast_path_ok
         out: list[tuple[str, int]] = []
         for fid, text in enumerate(fields):
             if not text:
                 continue
-            toks = self.tokenize_with_positions(text)
-            if not toks:
-                continue
-            last_pos = toks[-1][1]
             base = fid << 24
-            for tok, pos in toks:
+            if fast:
+                toks = self._fast_tokens(text)
+                n = len(toks)
+                if not n:
+                    continue
+                last = base | n | HIT_FIELD_END
+                out.extend(
+                    (tok, base | (i + 1)) for i, tok in enumerate(toks[:-1])
+                )
+                out.append((toks[-1], last))
+                continue
+            tps = self.tokenize_with_positions(text)
+            if not tps:
+                continue
+            last_pos = tps[-1][1]
+            for tok, pos in tps:
                 wp = base | pos
                 if pos == last_pos:
                     wp |= HIT_FIELD_END

@@ -87,6 +87,60 @@ def build_hits_native(
     )
 
 
+def build_hits_fused(
+    docs: DataFrame,
+    docid_col: str,
+    html_col: str,
+    settings: TokenizerSettings,
+    remove_elements: str = "script, style",
+    index_attrs: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Fused strip+tokenize: html binary -> hits in ONE Arrow stage.
+
+    The production path for the web-pages pipeline: docids are
+    computed JVM-side (xxhash64 column) before the UDF, the UDF input
+    is just (docid, html), and stripping + tokenization + position
+    packing happen in a single Python crossing — half the Arrow
+    serialization of the chained strip->tokenize plan.  Output feeds
+    the postings sort-shuffle directly; no intermediate text column is
+    materialized (at 100TB that column never exists on disk)."""
+    proj = docs.select(F.col(docid_col).alias("docid"), F.col(html_col).alias("html"))
+    attrs_cfg = index_attrs if index_attrs is not None else {"img": ["alt"]}
+    cfg = (remove_elements, tuple(sorted((k, tuple(v)) for k, v in attrs_cfg.items())))
+
+    def gen(batches):
+        import pandas as pd
+
+        from sphinx_1_spark.functions.stripper import HtmlStripper
+        from sphinx_1_spark.functions.tokenizer import Tokenizer
+
+        stripper = HtmlStripper(cfg[0], {k: list(v) for k, v in cfg[1]})
+        tok = Tokenizer(settings)
+        for pdf in batches:
+            docids: list[int] = []
+            words: list[str] = []
+            poss: list[int] = []
+            for did, html in zip(pdf["docid"], pdf["html"]):
+                if html is None:
+                    continue
+                text = stripper.strip(bytes(html)).decode("utf-8", "replace")
+                hits = tok.hits_for_doc([text])
+                if hits:
+                    did = int(did)
+                    docids.extend([did] * len(hits))
+                    words.extend(h[0] for h in hits)
+                    poss.extend(h[1] for h in hits)
+            yield pd.DataFrame(
+                {
+                    "docid": pd.Series(docids, dtype="int64"),
+                    "word": pd.Series(words, dtype="object"),
+                    "wordpos": pd.Series(poss, dtype="int32"),
+                }
+            )
+
+    return proj.mapInPandas(gen, schema=HITS_SCHEMA)
+
+
 def build_hits_arrow(
     df: DataFrame,
     docid_col: str,

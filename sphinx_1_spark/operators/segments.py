@@ -115,12 +115,25 @@ def _encode_word_run(
         out["min_impact"].append(float(imp.min()))
         out["sum_tf"].append(int(t.sum()))
         if positions is not None:
-            # per entry: delta+VLB of its tf packed wordpos values
-            chunks = []
-            for lst in positions[s:e]:
-                arr = np.asarray(lst, dtype=np.uint64)
-                chunks.append(vlb_encode(delta_encode(arr)))
-            out["positions"].append(b"".join(chunks))
+            # per entry: delta+VLB of its tf packed wordpos values —
+            # vectorized: flatten the block's positions, delta with a
+            # reset at each entry boundary, one VLB call per block
+            # (byte-identical to per-entry encoding)
+            chunk = positions[s:e]
+            flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in chunk])
+            if flat.size:
+                deltas = np.empty_like(flat)
+                deltas[0] = flat[0]
+                np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+                lens = np.fromiter(
+                    (len(x) for x in chunk), dtype=np.int64, count=len(chunk)
+                )
+                starts = np.cumsum(lens) - lens
+                nz = starts[lens > 0]
+                deltas[nz] = flat[nz]  # entry-boundary reset (infinum 0)
+                out["positions"].append(vlb_encode(deltas))
+            else:
+                out["positions"].append(b"")
 
 
 def encode_blocks(postings: DataFrame, with_positions: bool = True) -> DataFrame:
@@ -135,9 +148,15 @@ def encode_blocks(postings: DataFrame, with_positions: bool = True) -> DataFrame
     cols = ["wordid", "word", "docid", "tf", "fieldmask"]
     if with_positions:
         cols.append("positions")
+    # hash partitioning on (wordid, docid): one shuffle, no range-
+    # sampling pre-pass (repartitionByRange would execute the upstream
+    # strip+tokenize twice), and head-term skew spreads by docid hash.
+    # A word's block runs then span partitions with overlapping docid
+    # ranges — fine: blocks are independent (min/max carried per
+    # block) and the dictionary agg merges runs.
     sorted_p = (
         postings.select(*cols)
-        .repartitionByRange("wordid", "docid")
+        .repartition("wordid", "docid")
         .sortWithinPartitions("wordid", "docid")
     )
     schema = _blocks_schema(with_positions)

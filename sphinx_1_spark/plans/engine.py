@@ -70,7 +70,15 @@ class SphinxIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def build(cls, df: DataFrame, settings: IndexSettings) -> "SphinxIndex":
+    def build(
+        cls, df: DataFrame, settings: IndexSettings, persist: bool = False
+    ) -> "SphinxIndex":
+        """persist=True caches the hit relation so postings/dictionary
+        aggregations (and subsequent query-time term scans) reuse one
+        strip+tokenize pass instead of recomputing the lineage — the
+        in-memory analog of the segment store's write-then-read.  The
+        narrow fixed-width hits rows cache ~6x faster than the
+        array-typed postings rows."""
         spark = df.sparkSession
         if settings.tokenizer_impl == "native":
             hits = build_hits_native(df, settings.docid_col, list(settings.fields))
@@ -78,12 +86,27 @@ class SphinxIndex:
             hits = build_hits_arrow(
                 df, settings.docid_col, list(settings.fields), settings.tokenizer
             )
-        postings = build_postings(hits, with_positions=settings.with_positions)
-        dictionary = build_dictionary(postings)
         docinfo = df.select(
             F.col(settings.docid_col).cast("long").alias("docid"),
             *[F.col(a) for a in settings.attrs],
         )
+        return cls.from_hits(hits, docinfo, settings, persist=persist)
+
+    @classmethod
+    def from_hits(
+        cls,
+        hits: DataFrame,
+        docinfo: DataFrame,
+        settings: IndexSettings,
+        persist: bool = False,
+    ) -> "SphinxIndex":
+        """Assemble an index from a prebuilt hit relation (e.g. the
+        fused strip+tokenize pages path, build_hits_fused)."""
+        spark = hits.sparkSession
+        if persist:
+            hits = hits.persist()
+        postings = build_postings(hits, with_positions=settings.with_positions)
+        dictionary = build_dictionary(postings)
         n_docs = docinfo.count()
         return cls(spark, settings, postings, dictionary, docinfo, n_docs)
 

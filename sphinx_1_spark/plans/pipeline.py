@@ -72,9 +72,9 @@ def build_pages_index(
     pass TokenizerSettings(mmseg_dict_path=...) for dictionary
     segmentation.
     """
+    from sphinx_1_spark.operators.hits import build_hits_fused
+
     tok = tokenizer or TokenizerSettings(ngram_chars=CJK_NGRAM_RANGE)
-    stripped = strip_pages(pages, remove_elements, index_attrs)
-    docs = assign_docids(stripped, docid_mode)
     settings = IndexSettings(
         docid_col="docid",
         fields=("text",),
@@ -83,4 +83,9 @@ def build_pages_index(
         tokenizer_impl="arrow",
         with_positions=with_positions,
     )
-    return SphinxIndex.build(docs, settings)
+    docs = assign_docids(pages, docid_mode)
+    hits = build_hits_fused(
+        docs, "docid", "html", tok, remove_elements, index_attrs or {"img": ["alt"]}
+    )
+    docinfo = docs.select("docid", "url", "warc_ts", "lang")
+    return SphinxIndex.from_hits(hits, docinfo, settings, persist=True)

@@ -148,8 +148,7 @@ def build_segments(
             continue
         t0 = time.perf_counter()
         sub = pages.where(shard_col == shard)
-        stripped = strip_pages(sub)
-        docs = assign_docids(stripped, docid_mode)
+        docs = assign_docids(sub, docid_mode)
         settings = IndexSettings(
             docid_col="docid",
             fields=("text",),
@@ -158,7 +157,11 @@ def build_segments(
             tokenizer_impl="arrow",
             with_positions=with_positions,
         )
-        idx = SphinxIndex.build(docs, settings)
+        from sphinx_1_spark.operators.hits import build_hits_fused
+
+        hits = build_hits_fused(docs, "docid", "html", tok)
+        docinfo = docs.select("docid", "url", "warc_ts", "lang")
+        idx = SphinxIndex.from_hits(hits, docinfo, settings)
         blocks = encode_blocks(idx.postings, with_positions=with_positions)
         lineage = {
             "shard": shard,

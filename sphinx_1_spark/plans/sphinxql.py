@@ -1,0 +1,328 @@
+"""SphinxQL SELECT translator.
+
+Implements the SELECT statement subset of the reference's SphinxQL
+grammar (src/sphinxql.y:87-120; searchd only accepts SELECT/SHOW,
+src/searchd.cpp:4621-4625):
+
+    SELECT select_list FROM index
+    [WHERE {MATCH('query') | attr_cond} [AND ...]]
+    [GROUP BY attr]
+    [WITHIN GROUP ORDER BY attr {ASC|DESC}]
+    [ORDER BY attr {ASC|DESC} [, ...]]
+    [LIMIT [offset,] count]
+
+select_list: columns, `*`, COUNT(*), COUNT(DISTINCT attr),
+AVG/MIN/MAX/SUM(expr), @weight/@id/@count pseudo-columns, `expr AS
+alias`.  attr_cond: =, !=/<>, <, >, <=, >=, IN (...), BETWEEN a AND b.
+
+The translator compiles onto the engine: MATCH goes through the
+MATCH-syntax parser/compiler (plans/parser.py), attribute conditions
+become DataFrame filters, grouping/sorting map to plans/attrs.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class SphinxQLError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^'\\]|\\.)*')
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<op><=|>=|!=|<>|[=<>(),*])
+      | (?P<word>[@a-zA-Z_][a-zA-Z0-9_.]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(sql: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            if sql[pos:].strip() == "":
+                break
+            raise SphinxQLError(f"bad token at: {sql[pos:pos+20]!r}")
+        out.append(m.group(m.lastgroup))
+        pos = m.end()
+    return out
+
+
+@dataclass
+class SelectStmt:
+    select: list[tuple[str, str | None]]  # (expr, alias)
+    index: str = ""
+    match: str | None = None
+    conds: list[tuple[str, str, object]] = field(default_factory=list)
+    group_by: str | None = None
+    within_order: list[tuple[str, bool]] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    offset: int = 0
+    limit: int = 20
+
+
+class Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise SphinxQLError("unexpected end of statement")
+        self.i += 1
+        return t
+
+    def expect(self, word: str) -> str:
+        t = self.next()
+        if t.upper() != word.upper():
+            raise SphinxQLError(f"expected {word}, got {t!r}")
+        return t
+
+    def accept(self, word: str) -> bool:
+        if (self.peek() or "").upper() == word.upper():
+            self.i += 1
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def parse(self) -> SelectStmt:
+        self.expect("SELECT")
+        stmt = SelectStmt(select=self._select_list())
+        self.expect("FROM")
+        stmt.index = self.next()
+        if self.accept("WHERE"):
+            self._where(stmt)
+        if self.accept("GROUP"):
+            self.expect("BY")
+            stmt.group_by = self.next()
+        if self.accept("WITHIN"):
+            self.expect("GROUP")
+            self.expect("ORDER")
+            self.expect("BY")
+            stmt.within_order = self._order_list()
+        if self.accept("ORDER"):
+            self.expect("BY")
+            stmt.order_by = self._order_list()
+        if self.accept("LIMIT"):
+            a = int(self.next())
+            if self.accept(","):
+                stmt.offset, stmt.limit = a, int(self.next())
+            else:
+                stmt.limit = a
+        if self.peek() is not None:
+            raise SphinxQLError(f"trailing tokens: {self.toks[self.i:]}")
+        return stmt
+
+    def _select_list(self) -> list[tuple[str, str | None]]:
+        items: list[tuple[str, str | None]] = []
+        while True:
+            expr = self._select_expr()
+            alias = None
+            if self.accept("AS"):
+                alias = self.next()
+            items.append((expr, alias))
+            if not self.accept(","):
+                return items
+
+    def _select_expr(self) -> str:
+        t = self.next()
+        up = t.upper()
+        if up in ("COUNT", "AVG", "MIN", "MAX", "SUM"):
+            self.expect("(")
+            if up == "COUNT" and self.accept("*"):
+                self.expect(")")
+                return "COUNT(*)"
+            if up == "COUNT" and self.accept("DISTINCT"):
+                col = self.next()
+                self.expect(")")
+                return f"COUNT(DISTINCT {col})"
+            col = self.next()
+            self.expect(")")
+            return f"{up}({col})"
+        return t
+
+    def _where(self, stmt: SelectStmt) -> None:
+        while True:
+            t = self.next()
+            if t.upper() == "MATCH":
+                self.expect("(")
+                q = self.next()
+                if not (q.startswith("'") and q.endswith("'")):
+                    raise SphinxQLError("MATCH() needs a quoted string")
+                stmt.match = q[1:-1].replace("\\'", "'")
+                self.expect(")")
+            else:
+                op = self.next()
+                if op.upper() == "IN":
+                    self.expect("(")
+                    vals = [self._value(self.next())]
+                    while self.accept(","):
+                        vals.append(self._value(self.next()))
+                    self.expect(")")
+                    stmt.conds.append((t, "in", vals))
+                elif op.upper() == "BETWEEN":
+                    lo = self._value(self.next())
+                    self.expect("AND")
+                    hi = self._value(self.next())
+                    stmt.conds.append((t, "between", (lo, hi)))
+                elif op in ("=", "!=", "<>", "<", ">", "<=", ">="):
+                    stmt.conds.append((t, op, self._value(self.next())))
+                else:
+                    raise SphinxQLError(f"bad condition operator {op!r}")
+            if not self.accept("AND"):
+                return
+
+    @staticmethod
+    def _value(tok: str):
+        if tok.startswith("'"):
+            return tok[1:-1].replace("\\'", "'")
+        return float(tok) if "." in tok else int(tok)
+
+    def _order_list(self) -> list[tuple[str, bool]]:
+        out = []
+        while True:
+            col = self.next()
+            asc = True
+            if self.accept("DESC"):
+                asc = False
+            else:
+                self.accept("ASC")
+            out.append((col, asc))
+            if not self.accept(","):
+                return out
+
+
+def parse_select(sql: str) -> SelectStmt:
+    return Parser(_tokenize(sql)).parse()
+
+
+# ----------------------------------------------------------------------
+_AGG_RE = re.compile(r"^(COUNT|AVG|MIN|MAX|SUM)\((.*)\)$", re.IGNORECASE)
+
+
+def _cond_col(name: str, docid_col: str) -> Column:
+    if name == "@id":
+        return F.col(docid_col)
+    if name == "@weight":
+        return F.col("weight")
+    return F.col(name)
+
+
+def execute(
+    stmt: SelectStmt,
+    df: DataFrame | None = None,
+    index=None,
+    docid_col: str = "docid",
+) -> DataFrame:
+    """Run a parsed SELECT against an attribute DataFrame and/or a
+    SphinxIndex (for MATCH); mirrors the searchd flow: match ->
+    filters -> group -> sort -> page (src/searchd.cpp:4657-4850)."""
+    if stmt.match is not None:
+        if index is None:
+            raise SphinxQLError("MATCH() requires an index")
+        ranked = index.search(
+            stmt.match, limit=1 << 30, max_matches=1 << 30
+        )
+        base = ranked if df is None else ranked.join(df, docid_col, "inner")
+    else:
+        if df is None:
+            raise SphinxQLError("no source")
+        base = df
+
+    for name, op, val in stmt.conds:
+        c = _cond_col(name, docid_col)
+        if op == "in":
+            base = base.where(c.isin(val))
+        elif op == "between":
+            base = base.where(c.between(val[0], val[1]))
+        elif op == "=":
+            base = base.where(c == val)
+        elif op in ("!=", "<>"):
+            base = base.where(c != val)
+        elif op == "<":
+            base = base.where(c < val)
+        elif op == ">":
+            base = base.where(c > val)
+        elif op == "<=":
+            base = base.where(c <= val)
+        elif op == ">=":
+            base = base.where(c >= val)
+
+    def sel_col(expr: str, alias: str | None) -> Column:
+        m = _AGG_RE.match(expr)
+        if m:
+            fn, arg = m.group(1).upper(), m.group(2)
+            if fn == "COUNT" and arg == "*":
+                c = F.count(F.lit(1))
+            elif fn == "COUNT" and arg.upper().startswith("DISTINCT"):
+                c = F.countDistinct(arg.split()[-1])
+            else:
+                c = getattr(F, fn.lower())(arg)
+            return c.alias(alias or expr.lower().replace(" ", "_"))
+        if expr == "@id":
+            return F.col(docid_col).alias(alias or "id")
+        if expr == "@weight":
+            return F.col("weight").alias(alias or "weight")
+        if expr == "@count":
+            return F.count(F.lit(1)).alias(alias or "count")
+        return F.col(expr).alias(alias) if alias else F.col(expr)
+
+    if stmt.group_by:
+        aggs = [
+            sel_col(e, a)
+            for e, a in stmt.select
+            if _AGG_RE.match(e) or e == "@count"
+        ]
+        plain = [
+            e for e, _ in stmt.select
+            if not _AGG_RE.match(e) and e not in ("@count", stmt.group_by, "*")
+        ]
+        grouped = base.groupBy(stmt.group_by).agg(*aggs)
+        if stmt.within_order or plain:
+            order = [
+                F.col(c).asc() if asc else F.col(c).desc()
+                for c, asc in (stmt.within_order or [(docid_col, True)])
+            ]
+            w = Window.partitionBy(stmt.group_by).orderBy(*order)
+            best = (
+                base.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(stmt.group_by, *plain)
+            )
+            grouped = grouped.join(best, stmt.group_by)
+        out = grouped
+    else:
+        if stmt.select == [("*", None)]:
+            out = base
+        else:
+            out = base.select(*[sel_col(e, a) for e, a in stmt.select])
+
+    if stmt.order_by:
+        out = out.orderBy(
+            *[
+                (_cond_col(c, docid_col).asc() if asc else _cond_col(c, docid_col).desc())
+                for c, asc in stmt.order_by
+            ]
+        )
+    if stmt.offset:
+        out = out.offset(stmt.offset)
+    return out.limit(stmt.limit)
+
+
+def sphinxql(
+    sql: str, df: DataFrame | None = None, index=None, docid_col: str = "docid"
+) -> DataFrame:
+    return execute(parse_select(sql), df, index, docid_col)
