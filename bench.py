@@ -51,9 +51,27 @@ def main() -> None:
     from sphinx_1_spark.plans.pipeline import build_pages_index
     from sphinx_1_spark.sources.pages import generate_pages
 
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
-    pages = generate_pages(spark, n_pages, seed=42, partitions=int(cpus) * 2).cache()
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+    pages = generate_pages(spark, n_pages, seed=42, partitions=128).cache()
     pages.count()  # materialize corpus outside the timed window
+
+    # production job: sharded segment build (strip -> tokenize ->
+    # sort-shuffle -> VLB block encode -> parquet + manifest)
+    import shutil
+    import tempfile
+
+    from sphinx_1_spark.plans.segment_index import build_segments
+
+    seg_dir = tempfile.mkdtemp(prefix="bench_segs_")
+    try:
+        t0 = time.perf_counter()
+        build_segments(pages, seg_dir, n_shards=1)
+        seg_s = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    timings["build_segment"] = round(seg_s, 4)
+    extra["segment_docs_per_sec"] = round(n_pages / seg_s, 2)
+
     t0 = time.perf_counter()
     pidx = build_pages_index(pages, docid_mode="fingerprint")
     pidx.postings.count()

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build a sharded inverted-index segment set
+from a pages table.
+
+Usage (cluster):
+    python scripts/package.py                  # -> dist/sphinx_1_spark.zip
+    spark-submit --py-files dist/sphinx_1_spark.zip \\
+        scripts/build_index_job.py \\
+        --input /path/to/pages_parquet_or_iceberg_table \\
+        --output /path/to/segments --shards 64
+
+Usage (local smoke, synthetic corpus):
+    python scripts/build_index_job.py --synthetic 50000 \\
+        --output /tmp/segs --shards 4
+
+The job is resumable: rerunning with the same arguments skips shards
+whose _MANIFEST.json exists (kill -9 mid-build, rerun, identical
+output — see tests/test_segments.py::test_manifest_and_resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages table path (parquet dir or iceberg)")
+    ap.add_argument("--synthetic", type=int, default=0, help="generate N pages")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--docid-mode", default="fingerprint")
+    ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--mmseg-dict", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("sphinx_1_spark-build").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.segment_index import build_segments, read_manifest
+
+    if args.synthetic:
+        from sphinx_1_spark.sources.pages import generate_pages
+
+        pages = generate_pages(spark, args.synthetic, seed=42)
+    elif args.input:
+        pages = (
+            spark.read.format("iceberg").load(args.input)
+            if args.input.startswith("iceberg:")
+            else spark.read.parquet(args.input)
+        )
+    else:
+        ap.error("need --input or --synthetic")
+
+    tok = TokenizerSettings(
+        ngram_chars="" if args.mmseg_dict else "U+4E00..U+9FBF",
+        mmseg_dict_path=args.mmseg_dict,
+    )
+    t0 = time.perf_counter()
+    paths = build_segments(
+        pages,
+        args.output,
+        n_shards=args.shards,
+        tokenizer=tok,
+        with_positions=not args.no_positions,
+        docid_mode=args.docid_mode,
+    )
+    wall = time.perf_counter() - t0
+    total = {"docs": 0, "hits": 0, "blocks": 0}
+    for p in paths:
+        m = read_manifest(p)
+        total["docs"] += m["n_docs"]
+        total["hits"] += m["n_hits"]
+        total["blocks"] += m["n_blocks"]
+    print(
+        json.dumps(
+            {
+                "segments": len(paths),
+                "wall_s": round(wall, 2),
+                "docs_per_sec": round(total["docs"] / wall, 2) if wall else None,
+                **total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

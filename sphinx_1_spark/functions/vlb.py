@@ -20,11 +20,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def vlb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array; also return per-value byte counts so
+    callers can slice the stream at value boundaries (block splits)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    buf, nbytes = _vlb_encode_core(v)
+    return buf, nbytes
+
+
 def vlb_encode(values: np.ndarray) -> bytes:
     """Encode a uint64 array to concatenated VLB bytes."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    return _vlb_encode_core(v)[0]
+
+
+def _vlb_encode_core(v: np.ndarray) -> tuple[bytes, np.ndarray]:
     # bytes needed = ceil(bit_length / 7), min 1
     bits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -49,7 +63,7 @@ def vlb_encode(values: np.ndarray) -> bytes:
             byte |= 0x80
         out[idx] = byte
         shifted = shifted >> np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def vlb_decode(buf: bytes, count: int | None = None) -> np.ndarray:

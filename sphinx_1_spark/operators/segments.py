@@ -136,7 +136,9 @@ def _encode_word_run(
                 out["positions"].append(b"")
 
 
-def encode_blocks(postings: DataFrame, with_positions: bool = True) -> DataFrame:
+def encode_blocks(
+    postings: DataFrame, with_positions: bool = True, num_partitions: int | None = None
+) -> DataFrame:
     """postings (word, docid, tf, fieldmask[, positions], wordid) ->
     blocked+compressed postings_blocks.
 
@@ -154,9 +156,15 @@ def encode_blocks(postings: DataFrame, with_positions: bool = True) -> DataFrame
     # A word's block runs then span partitions with overlapping docid
     # ranges — fine: blocks are independent (min/max carried per
     # block) and the dictionary agg merges runs.
+    # The partition count is pinned explicitly: AQE would coalesce
+    # this exchange to ~64MB partitions, strangling the Python encode
+    # stage's parallelism (CPU-bound, not byte-bound).
+    if num_partitions is None:
+        sc = postings.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism * 3, 24)
     sorted_p = (
         postings.select(*cols)
-        .repartition("wordid", "docid")
+        .repartition(num_partitions, "wordid", "docid")
         .sortWithinPartitions("wordid", "docid")
     )
     schema = _blocks_schema(with_positions)
@@ -202,6 +210,145 @@ def encode_blocks(postings: DataFrame, with_positions: bool = True) -> DataFrame
         return pd.DataFrame(out)
 
     return sorted_p.mapInPandas(enc, schema=schema)
+
+
+def encode_blocks_from_hits(
+    hits: DataFrame,
+    with_positions: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Raw hits -> compressed blocks in ONE shuffle, all-numpy encode.
+
+    This is Sphinx's own build shape (sort hits by (word, docid, pos),
+    stream-encode: Build src/sphinx.cpp:9210 + cidxHit :7490) and the
+    scale path: it skips the (word,docid) pre-aggregation entirely —
+    no collect_list object aggregation, no array-typed shuffle rows.
+    tf/fieldmask/positions fall out of run-length boundaries over the
+    sorted hit stream via np.reduceat; VLB streams are encoded once
+    per Arrow batch and sliced at block boundaries using per-value
+    byte counts."""
+    if num_partitions is None:
+        sc = hits.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism * 2, 16)
+    sorted_h = (
+        hits.select("word", "docid", "wordpos")
+        .repartition(num_partitions, "word", "docid")
+        .sortWithinPartitions("word", "docid", "wordpos")
+    )
+    schema = _blocks_schema(with_positions)
+
+    def enc(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            words = pdf["word"].to_numpy()
+            last_word = words[-1]
+            cut = int(np.searchsorted(words, last_word))
+            if cut == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:]
+            yield _encode_hit_frame(pdf.iloc[:cut], with_positions, schema)
+        if carry is not None and len(carry):
+            yield _encode_hit_frame(carry, with_positions, schema)
+
+    return sorted_h.mapInPandas(enc, schema=schema)
+
+
+def _encode_hit_frame(
+    pdf: pd.DataFrame, with_positions: bool, schema
+) -> pd.DataFrame:
+    import zlib
+
+    from sphinx_1_spark.functions.vlb import vlb_encode_with_sizes
+
+    w = pdf["word"].to_numpy()
+    d = pdf["docid"].to_numpy(dtype=np.int64)
+    p = pdf["wordpos"].to_numpy(dtype=np.int64)
+    n = len(pdf)
+
+    # --- entry (word,docid) and word-run boundaries over rows --------
+    wchg = np.concatenate(([True], w[1:] != w[:-1]))
+    echg = wchg | np.concatenate(([True], d[1:] != d[:-1]))
+    entry_starts = np.flatnonzero(echg)  # row index of each entry
+    n_entries = entry_starts.size
+    entry_rows = np.diff(np.concatenate((entry_starts, [n])))  # == tf
+    entry_docid = d[entry_starts]
+
+    # per-entry fieldmask: OR of 1<<field over the entry's rows
+    fbits = np.int64(1) << ((p >> 24) & 0xFF)
+    entry_fm = np.bitwise_or.reduceat(fbits, entry_starts)
+
+    # word-run id per entry; block splits every BLOCK_SIZE entries
+    entry_is_new_word = wchg[entry_starts]
+    run_id = np.cumsum(entry_is_new_word) - 1
+    run_first_entry = np.flatnonzero(entry_is_new_word)
+    within = np.arange(n_entries) - run_first_entry[run_id]
+    bchg = entry_is_new_word | (within % BLOCK_SIZE == 0)
+    blk_starts_e = np.flatnonzero(bchg)  # entry index of each block
+    n_blocks = blk_starts_e.size
+    blk_n = np.diff(np.concatenate((blk_starts_e, [n_entries])))
+    blk_ends_e = blk_starts_e + blk_n
+
+    blk_min = entry_docid[blk_starts_e]
+    blk_max = entry_docid[blk_ends_e - 1]
+
+    # --- VLB streams, sliced per block -------------------------------
+    # docid deltas: reset to 1 at block starts (infinum = min_docid-1)
+    ddelta = np.empty(n_entries, dtype=np.uint64)
+    if n_entries:
+        ddelta[0] = 1
+        np.subtract(entry_docid[1:], entry_docid[:-1], out=ddelta[1:].view(np.int64))
+        ddelta[blk_starts_e] = 1
+    dbuf, dsz = vlb_encode_with_sizes(ddelta)
+    tbuf, tsz = vlb_encode_with_sizes(entry_rows.astype(np.uint64))
+    fbuf, fsz = vlb_encode_with_sizes(entry_fm.astype(np.uint64))
+
+    def _block_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        starts = offs[blk_starts_e]
+        ends = offs[blk_ends_e]
+        return [buf[int(s) : int(e)] for s, e in zip(starts, ends)]
+
+    out: dict[str, list] = {}
+    out["wordid"] = [
+        zlib.crc32(x.encode("utf-8")) for x in w[entry_starts[blk_starts_e]]
+    ]
+    out["word"] = list(w[entry_starts[blk_starts_e]])
+    out["n"] = blk_n.astype(np.int32)
+    out["min_docid"] = blk_min
+    out["max_docid"] = blk_max
+    out["docids"] = _block_slices(dbuf, dsz)
+    out["tfs"] = _block_slices(tbuf, tsz)
+    out["fieldmasks"] = _block_slices(fbuf, fsz)
+
+    tf_f = entry_rows.astype(np.float64)
+    imp = tf_f / (tf_f + SPH_BM25_K1)
+    out["max_impact"] = np.maximum.reduceat(imp, blk_starts_e)
+    out["min_impact"] = np.minimum.reduceat(imp, blk_starts_e)
+    out["sum_tf"] = np.add.reduceat(entry_rows, blk_starts_e).astype(np.int64)
+
+    if with_positions:
+        # per-row position deltas with reset at entry starts (infinum 0)
+        pu = p.astype(np.uint64)
+        pdelta = np.empty(n, dtype=np.uint64)
+        if n:
+            pdelta[0] = pu[0]
+            np.subtract(pu[1:], pu[:-1], out=pdelta[1:])
+            pdelta[entry_starts] = pu[entry_starts]
+        pbuf, psz = vlb_encode_with_sizes(pdelta)
+        poffs = np.concatenate(([0], np.cumsum(psz)))
+        row_starts = entry_starts[blk_starts_e]
+        row_ends = np.concatenate((entry_starts[1:], [n]))[blk_ends_e - 1]
+        out["positions"] = [
+            pbuf[int(s) : int(e)]
+            for s, e in zip(poffs[row_starts], poffs[row_ends])
+        ]
+
+    return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
 
 def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:

@@ -149,20 +149,12 @@ def build_segments(
         t0 = time.perf_counter()
         sub = pages.where(shard_col == shard)
         docs = assign_docids(sub, docid_mode)
-        settings = IndexSettings(
-            docid_col="docid",
-            fields=("text",),
-            attrs=("url", "warc_ts", "lang"),
-            tokenizer=tok,
-            tokenizer_impl="arrow",
-            with_positions=with_positions,
-        )
         from sphinx_1_spark.operators.hits import build_hits_fused
+        from sphinx_1_spark.operators.segments import encode_blocks_from_hits
 
         hits = build_hits_fused(docs, "docid", "html", tok)
         docinfo = docs.select("docid", "url", "warc_ts", "lang")
-        idx = SphinxIndex.from_hits(hits, docinfo, settings)
-        blocks = encode_blocks(idx.postings, with_positions=with_positions)
+        blocks = encode_blocks_from_hits(hits, with_positions=with_positions)
         lineage = {
             "shard": shard,
             "n_shards": n_shards,
@@ -174,7 +166,7 @@ def build_segments(
             "build_wall_s": None,
             **(lineage_extra or {}),
         }
-        m = write_segment(spark, path, blocks, idx.docinfo, lineage, with_positions)
+        m = write_segment(spark, path, blocks, docinfo, lineage, with_positions)
         m["lineage"]["build_wall_s"] = round(time.perf_counter() - t0, 3)
         with open(os.path.join(path, MANIFEST), "w") as f:
             json.dump(m, f, indent=2)
