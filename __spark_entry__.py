@@ -691,8 +691,9 @@ FROM documents GROUP BY 1 ORDER BY text_hash LIMIT 100"""
 """ + _JACCARD_VERIFY.format(pairs="pairs")
 
     nh = 16
+    p = (1 << 61) - 1
     minhash_cols = ",\n    ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(nh)
+        f"min((a + {i} * b) % {p}) AS h{i}" for i in range(nh)
     )
     bands_sql = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', h{b*4}, h{b*4+1}, "
@@ -700,10 +701,15 @@ FROM documents GROUP BY 1 ORDER BY text_hash LIMIT 100"""
         for b in range(4)
     )
     minhash = _SHINGLE_CTE + f"""
-, sig AS (
+, hsrc AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS a,
+    ('0x' || substr(md5('b:' || shingle), 1, 14))::BIGINT AS b
+  FROM sh
+), sig AS (
   SELECT doc_id,
     {minhash_cols}
-  FROM sh GROUP BY doc_id
+  FROM hsrc GROUP BY doc_id
 ), buckets AS (
 {bands_sql}
 ), cand AS (
