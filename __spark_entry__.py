@@ -105,6 +105,90 @@ def q_match_count(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# MATCH-feature queries: anchors, field limits, BEFORE, field weights,
+# fieldmask ranker, legacy match-mode emulation
+
+
+def _docs_index2(spark: SparkSession, sf_dir: str):
+    """Two-field index: field 0 = source, field 1 = text."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+
+    key = ("documents2", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = SphinxIndex.build(
+            docs,
+            IndexSettings(
+                docid_col="doc_id",
+                fields=("source", "text"),
+                tokenizer_impl="native",
+            ),
+        )
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def q_anchor_start(spark, sf_dir):
+    """^word: field-start anchor (src/sphinxquery.y:53, test_55)."""
+    return _topk(_docs_index(spark, sf_dir), "^the", "bm25")
+
+
+def q_anchor_end(spark, sf_dir):
+    """word$: field-end anchor (HIT_FIELD_END hits)."""
+    return _topk(_docs_index(spark, sf_dir), "value$", "bm25")
+
+
+def q_before(spark, sf_dir):
+    """a << b BEFORE operator (ExtOrder_c, test_52)."""
+    return _topk(_docs_index(spark, sf_dir), "table << scan", "bm25")
+
+
+def q_field_limit(spark, sf_dir):
+    """@field term limit (ExtTermPos_c field predicate)."""
+    return _topk(_docs_index2(spark, sf_dir), "@source src3", "bm25")
+
+
+def q_field_weights(spark, sf_dir):
+    """Per-field weights (BindWeights, src/sphinx.cpp:15947)."""
+    idx = _docs_index2(spark, sf_dir)
+    out = idx.search(
+        "src3 | the", ranker="bm25", limit=10, field_weights=[3, 1]
+    )
+    return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
+
+
+def q_rank_fieldmask(spark, sf_dir):
+    """FIELDMASK ranker (src/sphinx.cpp:14477)."""
+    idx = _docs_index2(spark, sf_dir)
+    out = idx.search("src3 | the", ranker="fieldmask", limit=10)
+    return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
+
+
+def q_mode_all(spark, sf_dir):
+    """Legacy MATCH_ALL emulation (PrepareQueryEmulation,
+    src/sphinx.cpp:16179); ranker overridden to bm25 for the oracle."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search("table scan", mode="all", ranker="bm25", limit=10)
+    return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
+
+
+def q_mode_any(spark, sf_dir):
+    """Legacy MATCH_ANY -> quoted quorum/1 (== OR for scoring)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search("table scan", mode="any", ranker="bm25", limit=10)
+    return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
+
+
+def q_mode_boolean(spark, sf_dir):
+    """Legacy MATCH_BOOLEAN: ranker NONE, weight = 1."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search("table -scan", mode="boolean", limit=1000)
+    return out.select(F.col("docid").alias("doc_id"), F.col("weight")).orderBy(
+        "doc_id"
+    )
+
+
+# ----------------------------------------------------------------------
 # training-data pipeline queries (dedup / similarity / text analysis /
 # multimodal) over the documents + embeddings tables
 
@@ -392,6 +476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_image_meta": q_image_meta,
         "q_image_features": q_image_features,
+        "q_anchor_start": q_anchor_start,
+        "q_anchor_end": q_anchor_end,
+        "q_before": q_before,
+        "q_field_limit": q_field_limit,
+        "q_field_weights": q_field_weights,
+        "q_rank_fieldmask": q_rank_fieldmask,
+        "q_mode_all": q_mode_all,
+        "q_mode_any": q_mode_any,
+        "q_mode_boolean": q_mode_boolean,
         "q_fullscan_filter": q_fullscan_filter,
         "q_group_attr": q_group_attr,
         "q_group_day": q_group_day,
@@ -565,9 +658,124 @@ SELECT count(*) AS total_found FROM (
         "q_dictionary": dictionary,
         "q_match_count": match_count,
     }
+    # legacy-mode emulations share the ext-syntax oracles
+    out["q_mode_all"] = out["q_and_bm25"]
+    out["q_mode_any"] = out["q_or_bm25"]
+    out["q_mode_boolean"] = t + """
+SELECT doc_id, 1 AS weight FROM (
+  SELECT DISTINCT doc_id FROM hits WHERE word = 'table'
+  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE word = 'scan'))
+ORDER BY doc_id LIMIT 1000"""
+
+    anchor_start = t + _idf_cte(["the"]) + """
+, matched AS (
+  SELECT h.doc_id, tf0/(tf0+1.2) * (SELECT idf FROM idf WHERE word='the') AS tfidf
+  FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf0
+        FROM hits WHERE word='the' AND pos = 1 GROUP BY doc_id) h
+)"""
+    out["q_anchor_start"] = _topk_sql(anchor_start)
+
+    anchor_end = t + _idf_cte(["value"]) + """
+, lastpos AS (SELECT doc_id, max(pos) AS mp FROM hits GROUP BY doc_id)
+, matched AS (
+  SELECT h.doc_id, tf0/(tf0+1.2) * (SELECT idf FROM idf WHERE word='value') AS tfidf
+  FROM (SELECT h.doc_id, CAST(count(*) AS DOUBLE) AS tf0
+        FROM hits h JOIN lastpos lp ON lp.doc_id = h.doc_id AND h.pos = lp.mp
+        WHERE h.word='value' GROUP BY h.doc_id) h
+)"""
+    out["q_anchor_end"] = _topk_sql(anchor_end)
+
+    before = t + _idf_cte(["table", "scan"]) + """
+, ta AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='table'), 0) AS tfidf FROM tf WHERE word='table')
+, tb AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='scan'), 0) AS tfidf FROM tf WHERE word='scan')
+, matched AS (
+  SELECT ta.doc_id, ta.tfidf + tb.tfidf AS tfidf
+  FROM ta JOIN tb ON ta.doc_id = tb.doc_id
+  WHERE (SELECT min(pos) FROM hits h WHERE h.doc_id = ta.doc_id AND h.word='table')
+      < (SELECT max(pos) FROM hits h WHERE h.doc_id = ta.doc_id AND h.word='scan')
+)"""
+    out["q_before"] = _topk_sql(before)
+
+    out.update(_two_field_oracles())
     out.update(_pipeline_oracles())
     out.update(_attrs_oracles())
     return out
+
+
+_HITS2_CTE = """
+WITH tok2 AS (
+  SELECT doc_id, 0 AS fld,
+         string_split_regex(lower(source), '[^0-9a-z_]+') AS arr
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1,
+         string_split_regex(lower(text), '[^0-9a-z_]+')
+  FROM documents
+), h0 AS (
+  SELECT doc_id, fld, t.w AS word, t.i AS i
+  FROM tok2, LATERAL (
+    SELECT unnest(arr) AS w, unnest(generate_series(1, len(arr))) AS i
+  ) t
+), hits2 AS (
+  SELECT doc_id, fld, word,
+         row_number() OVER (PARTITION BY doc_id, fld ORDER BY i) AS pos
+  FROM h0 WHERE word <> ''
+), ndocs AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+)
+"""
+
+
+def _two_field_oracles() -> dict[str, str]:
+    # q=1: @source src3 — field-0 hits only; IDF over whole-index df
+    field_limit = _HITS2_CTE + """
+, stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM hits2 WHERE word = 'src3'
+), idf AS (
+  SELECT ln((n.n - df + 1)/df) / (2*1*ln(1+n.n)) AS idf FROM stats, ndocs n
+), matched AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf0
+  FROM hits2 WHERE word = 'src3' AND fld = 0 GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(floor((tf0/(tf0+1.2) * (SELECT idf FROM idf) + 0.5) * 1000) AS INT)
+    + 1000 AS weight
+FROM matched ORDER BY weight DESC, doc_id ASC LIMIT 10"""
+
+    # q=2: src3 | the with field weights [3,1]
+    fw_body = _HITS2_CTE + """
+, stats AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM hits2 WHERE word IN ('src3', 'the') GROUP BY word
+), idf AS (
+  SELECT word, ln((n.n - df + 1)/df) / (2*2*ln(1+n.n)) AS idf
+  FROM stats, ndocs n
+), tf2 AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf,
+         bit_or(CASE WHEN fld = 0 THEN 1 ELSE 2 END) AS fmask
+  FROM hits2 WHERE word IN ('src3', 'the') GROUP BY doc_id, word
+), matched AS (
+  SELECT doc_id,
+    sum(tf/(tf+1.2) * (SELECT idf FROM idf i WHERE i.word = tf2.word)) AS tfidf,
+    bit_or(fmask) AS fieldmask
+  FROM tf2 GROUP BY doc_id
+)"""
+    field_weights = fw_body + """
+SELECT doc_id,
+  CAST(floor((tfidf + 0.5) * 1000) AS INT)
+    + 1000 * (3 * (fieldmask & 1) + 1 * ((fieldmask >> 1) & 1)) AS weight
+FROM matched ORDER BY weight DESC, doc_id ASC LIMIT 10"""
+
+    rank_fieldmask = fw_body + """
+SELECT doc_id, CAST(fieldmask AS INT) AS weight
+FROM matched ORDER BY weight DESC, doc_id ASC LIMIT 10"""
+
+    return {
+        "q_field_limit": field_limit,
+        "q_field_weights": field_weights,
+        "q_rank_fieldmask": rank_fieldmask,
+    }
 
 
 def _attrs_oracles() -> dict[str, str]:
