@@ -179,6 +179,14 @@ def q_mode_any(spark, sf_dir):
     return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
 
 
+def q_wildcard_count(spark, sf_dir):
+    """word* star syntax -> OR expansion over the dictionary
+    (query-side star dict, src/sphinx.cpp:10612); total_found."""
+    idx = _docs_index(spark, sf_dir)
+    plan, _ = idx.match("val*")
+    return plan.agg(F.count(F.lit(1)).alias("total_found"))
+
+
 def q_mode_boolean(spark, sf_dir):
     """Legacy MATCH_BOOLEAN: ranker NONE, weight = 1."""
     idx = _docs_index(spark, sf_dir)
@@ -485,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_all": q_mode_all,
         "q_mode_any": q_mode_any,
         "q_mode_boolean": q_mode_boolean,
+        "q_wildcard_count": q_wildcard_count,
         "q_fullscan_filter": q_fullscan_filter,
         "q_group_attr": q_group_attr,
         "q_group_day": q_group_day,
@@ -695,6 +704,10 @@ ORDER BY doc_id LIMIT 1000"""
       < (SELECT max(pos) FROM hits h WHERE h.doc_id = ta.doc_id AND h.word='scan')
 )"""
     out["q_before"] = _topk_sql(before)
+
+    out["q_wildcard_count"] = t + """
+SELECT count(*) AS total_found FROM (
+  SELECT DISTINCT doc_id FROM hits WHERE word LIKE 'val%')"""
 
     out.update(_two_field_oracles())
     out.update(_pipeline_oracles())

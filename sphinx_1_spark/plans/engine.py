@@ -152,9 +152,47 @@ class SphinxIndex:
         return idf, {w: stats.get(w, (0, 0)) for w in distinct}
 
     # ------------------------------------------------------------------
+    MAX_WILDCARD_EXPANSIONS = 100
+
+    def expand_wildcards(self, match: str) -> str:
+        """Star-syntax support (`word*`, `*word`, `*word*`): rewrite
+        each starred token to an OR-group of the dictionary words it
+        matches, capped at MAX_WILDCARD_EXPANSIONS by descending df.
+
+        Spark-first equivalent of the reference's query-side star
+        dictionaries (CSphDictStar/CSphDictStarV8,
+        src/sphinx.cpp:10612-10790) over a prefix/infix-expanded
+        index: the dictionary scan replaces index-side substring
+        expansion; an unmatched pattern matches nothing."""
+        import re
+
+        def repl(m: "re.Match[str]") -> str:
+            pat = m.group(0)
+            core = pat.strip("*").lower()
+            if not core:
+                return pat
+            like = ("%" if pat.startswith("*") else "") + core + (
+                "%" if pat.endswith("*") else ""
+            )
+            rows = (
+                self.dictionary.where(F.col("word").like(like))
+                .orderBy(F.col("docs").desc(), F.col("word").asc())
+                .limit(self.MAX_WILDCARD_EXPANSIONS)
+                .select("word")
+                .collect()
+            )
+            words = [r["word"] for r in rows]
+            if not words:
+                return "__sphinx_no_match__"
+            return "(" + " | ".join(words) + ")"
+
+        return re.sub(r"\*?[0-9a-zA-Z_]+\*|\*[0-9a-zA-Z_]+", repl, match)
+
     def parse(self, match: str, mode: str = "extended2") -> XQNode:
         """Legacy match modes are rewritten to extended syntax
         (PrepareQueryEmulation, src/sphinx.cpp:16179-16213)."""
+        if "*" in match:
+            match = self.expand_wildcards(match)
         if mode in ("extended", "extended2"):
             return self._parser.parse(match)
         if mode == "all":
