@@ -296,6 +296,29 @@ class SphinxIndex:
         return out.limit(k)
 
     # ------------------------------------------------------------------
+    def search_with_meta(
+        self, match: str, limit: int = 20, **kwargs
+    ) -> tuple[list, dict]:
+        """Query + SHOW META-style result stats (CSphQueryResult,
+        src/sphinx.h:1752-1792: matches, total, total_found, time,
+        per-term (docs, hits) stats)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        plan, meta = self.match(match, kwargs.get("mode", "extended2"))
+        total_found = plan.select("docid").distinct().count()
+        rows = self.search(match, limit=limit, **kwargs).collect()
+        elapsed = _time.perf_counter() - t0
+        return rows, {
+            "total": len(rows),
+            "total_found": total_found,
+            "time": round(elapsed, 3),
+            "words": {
+                w: {"docs": d, "hits": h}
+                for w, (d, h) in meta["stats"].items()
+            },
+        }
+
     def keywords(self, query: str) -> DataFrame:
         """BuildKeywords equivalent (GetKeywords src/sphinx.cpp:16110):
         per-term (word, docs, hits) stats."""

@@ -131,3 +131,23 @@ def test_exact32_rank_matches_fast64(docs_index):
         ).collect()
     ]
     assert fast == exact
+
+
+def test_search_with_meta(docs_index, duck):
+    rows, meta = docs_index.search_with_meta("table | scan", limit=10, ranker="bm25")
+    assert meta["total"] == len(rows) == 10
+    want_found = duck.execute(
+        """SELECT count(DISTINCT doc_id) FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z_]+')) AS w
+             FROM documents) WHERE w IN ('table','scan')"""
+    ).fetchone()[0]
+    assert meta["total_found"] == want_found
+    assert set(meta["words"]) == {"table", "scan"}
+    for w in ("table", "scan"):
+        d = duck.execute(
+            f"""SELECT count(DISTINCT doc_id), count(*) FROM (
+                 SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z_]+')) AS w
+                 FROM documents) WHERE w = '{w}'"""
+        ).fetchone()
+        assert (meta["words"][w]["docs"], meta["words"][w]["hits"]) == d
+    assert meta["time"] > 0
