@@ -448,6 +448,72 @@ def q_killlist_union(spark, sf_dir):
     )
 
 
+_TIMESEG_NOW = 1705838400  # 2024-01-21 12:00:00 UTC, inside the events span
+
+
+def q_sort_timesegs(spark, sf_dir):
+    """SPH_SORT_TIME_SEGMENTS (GetSegment, src/sphinxsort.cpp:1252)."""
+    from sphinx_1_spark.plans.attrs import time_segment
+
+    ev = _events(spark, sf_dir)
+    seg = time_segment(F.col("ts"), _TIMESEG_NOW)
+    return (
+        ev.select("event_id", "ts", seg.cast("int").alias("segment"))
+        .orderBy(
+            F.col("segment").asc(), F.col("ts").desc(), F.col("event_id").asc()
+        )
+        .limit(50)
+    )
+
+
+def q_mva_filter(spark, sf_dir):
+    """MVA attr filter: any element matches (Filter_MVAValues,
+    src/sphinxfilter.cpp:266; arrays_overlap ≙ MVA contains-any)."""
+    docs = _docs(spark, sf_dir)
+    mva = F.array(
+        (F.col("doc_id") % 3).cast("long"),
+        (F.col("doc_id") % 5 + 10).cast("long"),
+        (F.col("n_chars") % 7 + 20).cast("long"),
+    )
+    return (
+        docs.select("doc_id", mva.alias("mva"))
+        .where(F.arrays_overlap(F.col("mva"), F.array(F.lit(1), F.lit(12))))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+def q_mva_group(spark, sf_dir):
+    """MVA group sorter: one group per MVA value (explode semantics,
+    CSphKBufferMVAGroupSorter, src/sphinxsort.cpp:1087)."""
+    docs = _docs(spark, sf_dir)
+    mva = F.array(
+        (F.col("doc_id") % 3).cast("long"),
+        (F.col("doc_id") % 5 + 10).cast("long"),
+        (F.col("n_chars") % 7 + 20).cast("long"),
+    )
+    return (
+        docs.select("doc_id", F.explode(mva).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("at_count"), F.min("doc_id").alias("first_doc"))
+        .orderBy("v")
+    )
+
+
+def q_ordinal(spark, sf_dir):
+    """SPH_ATTR_ORDINAL: string reduced to its rank at index time
+    (SortOrdinals, src/sphinx.cpp:8425)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy("source")
+    return (
+        docs.select("doc_id", F.dense_rank().over(w).alias("source_ord"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 def q_sort_multi(spark, sf_dir):
     """sort_extended multi-key clause (<=5 keys,
     src/sphinxsort.cpp:1496): value desc, ts asc, @id asc."""
@@ -501,6 +567,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_select_exprs": q_select_exprs,
         "q_killlist_union": q_killlist_union,
         "q_sort_multi": q_sort_multi,
+        "q_sort_timesegs": q_sort_timesegs,
+        "q_mva_filter": q_mva_filter,
+        "q_mva_group": q_mva_group,
+        "q_ordinal": q_ordinal,
     }
 
 
@@ -853,6 +923,32 @@ FROM merged GROUP BY 1 ORDER BY lang"""
 SELECT event_id, value FROM events
 ORDER BY value DESC, event_id ASC LIMIT 25"""
 
+    timesegs = f"""
+SELECT event_id, ts, CASE
+    WHEN epoch(ts) >= {_TIMESEG_NOW} - 3600 THEN 0
+    WHEN epoch(ts) >= {_TIMESEG_NOW} - 24*3600 THEN 1
+    WHEN epoch(ts) >= {_TIMESEG_NOW} - 7*24*3600 THEN 2
+    WHEN epoch(ts) >= {_TIMESEG_NOW} - 30*24*3600 THEN 3
+    WHEN epoch(ts) >= {_TIMESEG_NOW} - 90*24*3600 THEN 4
+    ELSE 5 END AS segment
+FROM events
+ORDER BY segment ASC, ts DESC, event_id ASC LIMIT 50"""
+
+    mva_expr = "[doc_id % 3, doc_id % 5 + 10, n_chars % 7 + 20]"
+    mva_filter = f"""
+SELECT doc_id, {mva_expr} AS mva FROM documents
+WHERE list_has_any({mva_expr}, [1, 12])
+ORDER BY doc_id LIMIT 100"""
+
+    mva_group = f"""
+SELECT v, count(*) AS at_count, min(doc_id) AS first_doc FROM (
+  SELECT doc_id, unnest({mva_expr}) AS v FROM documents)
+GROUP BY v ORDER BY v"""
+
+    ordinal = """
+SELECT doc_id, dense_rank() OVER (ORDER BY source) AS source_ord
+FROM documents ORDER BY doc_id LIMIT 100"""
+
     return {
         "q_fullscan_filter": fullscan,
         "q_group_attr": group_attr,
@@ -861,6 +957,10 @@ ORDER BY value DESC, event_id ASC LIMIT 25"""
         "q_select_exprs": select_exprs,
         "q_killlist_union": killlist,
         "q_sort_multi": sort_multi,
+        "q_sort_timesegs": timesegs,
+        "q_mva_filter": mva_filter,
+        "q_mva_group": mva_group,
+        "q_ordinal": ordinal,
     }
 
 

@@ -51,6 +51,11 @@ class TokenizerSettings:
     overshort_step: int = 1
     stopwords: frozenset[str] = dc_field(default_factory=frozenset)
     stopword_step: int = 1
+    # wordforms: token -> normal form, applied BEFORE the stopword
+    # check (CSphDictCRC::GetWordID order: ApplyWordforms then
+    # FilterStopword, src/sphinx.cpp:16999-17040); tuple-of-pairs so
+    # the settings object stays hashable
+    wordforms: tuple = ()
     # CJK extensions (see mmseg.py): codepoints segmented 1-per-token
     ngram_chars: str = ""  # spec string like "U+4E00..U+9FBF"
     mmseg_dict_path: str | None = None
@@ -67,6 +72,7 @@ class Tokenizer:
     def __init__(self, settings: TokenizerSettings | None = None):
         self.settings = settings or TokenizerSettings()
         self.fold = build_fold_table(self.settings.charset_table)
+        self._wordforms = dict(self.settings.wordforms)
         self._ngram_mask = None
         if self.settings.ngram_chars:
             ng = build_fold_table(self.settings.ngram_chars)
@@ -114,6 +120,7 @@ class Tokenizer:
         for tok, overshorts in toks:
             pos += step + overshorts * s.overshort_step
             step = 1
+            tok = self._wordforms.get(tok, tok)
             if tok in s.stopwords:
                 step = s.stopword_step
                 continue
@@ -149,6 +156,7 @@ class Tokenizer:
             pos += step
             step = 1
             tok = codepoints_to_text(run[:MAX_WORD_LEN])
+            tok = self._wordforms.get(tok, tok)
             if tok in s.stopwords:
                 # stopword: no hit; next token's step includes stopword_step
                 # (Sphinx: wordid==0 -> iLastStep = stopword_step,
@@ -198,7 +206,12 @@ class Tokenizer:
         stopwords), no MMSEG dictionary, and the fold table maps no
         codepoint into the whitespace class str.split() uses."""
         s = self.settings
-        if s.min_word_len > 1 or s.stopwords or self._mmseg is not None:
+        if (
+            s.min_word_len > 1
+            or s.stopwords
+            or s.wordforms
+            or self._mmseg is not None
+        ):
             return False
         if not hasattr(self, "_fold_ws_free"):
             targets = np.unique(self.fold[self.fold != 0])

@@ -105,6 +105,54 @@ def make_lcs_rank(field_weights: list[int]):
     return lcs_rank
 
 
+def make_matchany_rank(field_weights: list[int], n_qwords: int):
+    """Legacy MATCHANY rank (ExtRanker_MatchAny_c::GetMatches,
+    src/sphinx.cpp:14356-14476):
+
+      phraseK = sum_f w_f * n_qwords
+      per field with any match:
+        rank += (bitcount(matchmask_f) + (lcs_f - 1)*phraseK) * w_f
+      matchmask_f is a BYTE of 1<<(querypos-1) bits — querypos > 8
+      wraps out of the byte (reference quirk, reproduced via & 0xFF).
+    """
+    w = np.asarray(field_weights, dtype=np.int64)
+    phrase_k = int(w.sum()) * n_qwords
+
+    @F.pandas_udf(IntegerType())
+    def matchany_rank(hits: pd.Series) -> pd.Series:
+        out = np.zeros(len(hits), dtype=np.int64)
+        for i, lst in enumerate(hits):
+            lcs = np.zeros(len(w), dtype=np.int64)
+            mask = np.zeros(len(w), dtype=np.int64)
+            curlcs = 0
+            expdelta = None
+            for h in lst:  # sorted by (lcspos, querypos)
+                lcspos = int(h["lcspos"])
+                qpos = int(h["querypos"])
+                delta = lcspos - qpos
+                if delta == expdelta:
+                    curlcs += int(h["weight"])
+                else:
+                    curlcs = int(h["weight"])
+                fld = lcspos >> 24
+                if fld < len(w):
+                    if curlcs > lcs[fld]:
+                        lcs[fld] = curlcs
+                    mask[fld] |= (1 << (qpos - 1)) & 0xFF
+                expdelta = delta + int(h["spanlen"]) - 1
+            rank = 0
+            for f in range(len(w)):
+                if mask[f]:
+                    rank += (
+                        int(bin(int(mask[f])).count("1"))
+                        + (int(lcs[f]) - 1) * phrase_k
+                    ) * int(w[f])
+            out[i] = rank
+        return pd.Series(out.astype(np.int32))
+
+    return matchany_rank
+
+
 def make_wordcount_rank(field_weights: list[int]):
     """sum over emitted hits of field weight (ExtRanker_Weight loop,
     src/sphinx.cpp:14161-14245)."""
@@ -150,6 +198,9 @@ def apply_ranker(
         ) * F.lit(SPH_BM25_SCALE)
     elif ranker == "none":
         weight = F.lit(1)
+    elif ranker == "matchany":
+        n_qwords = len(idf_by_qpos or {}) or 1
+        weight = make_matchany_rank(field_weights, n_qwords)(F.col("hits"))
     elif ranker == "wordcount":
         weight = make_wordcount_rank(field_weights)(F.col("hits"))
     elif ranker == "fieldmask":

@@ -50,6 +50,22 @@ def group_key(col: Column, func: str = "attr") -> Column:
     raise ValueError(f"unknown group func {func!r}")
 
 
+def time_segment(ts: Column, now_epoch: int) -> Column:
+    """SPH_SORT_TIME_SEGMENTS bucket (GetSegment,
+    src/sphinxsort.cpp:1252-1261): 0=last hour, 1=day, 2=week,
+    3=month, 4=3 months, 5=older.  Sort order is (segment asc,
+    weight desc, stamp desc, docid asc)."""
+    stamp = F.unix_timestamp(ts)
+    return (
+        F.when(stamp >= now_epoch - 3600, 0)
+        .when(stamp >= now_epoch - 24 * 3600, 1)
+        .when(stamp >= now_epoch - 7 * 24 * 3600, 2)
+        .when(stamp >= now_epoch - 30 * 24 * 3600, 3)
+        .when(stamp >= now_epoch - 90 * 24 * 3600, 4)
+        .otherwise(5)
+    )
+
+
 def fullscan(
     df: DataFrame,
     filters: list[Column] | None = None,

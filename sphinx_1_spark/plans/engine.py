@@ -225,7 +225,7 @@ class SphinxIndex:
         if mode == "boolean":
             return "none"
         if mode == "any":
-            return "wordcount"  # stand-in until MATCHANY rank is ported
+            return "matchany"
         return "proximity_bm25"
 
     # ------------------------------------------------------------------
@@ -271,7 +271,9 @@ class SphinxIndex:
         """Top-k search: (docid, weight) ordered by weight desc, docid
         asc (queue comparator MatchRelevanceLt, sphinxsort.cpp:1159)."""
         ranker = self.default_ranker(mode, ranker)
-        need_hits = ranker in ("proximity_bm25", "proximity", "wordcount")
+        need_hits = ranker in (
+            "proximity_bm25", "proximity", "wordcount", "matchany"
+        )
         plan, meta = self.match(match, mode, need_hits, score_mode)
         weights = list(field_weights or [1] * len(self.settings.fields))
         weights = [max(1, w) for w in weights]  # BindWeights floor 1

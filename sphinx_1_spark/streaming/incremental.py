@@ -108,6 +108,44 @@ class IncrementalIndexer:
         )
 
     # ------------------------------------------------------------------
+    def compact(self, spark: SparkSession, dest_dir: str) -> str:
+        """Merge all live rows into ONE fresh segment (the
+        `indexer --merge` main+delta compaction, src/indexer.cpp:1029 /
+        CSphIndex_VLN::Merge src/sphinx.cpp:9976): decode every
+        segment's blocks, drop kill-listed docids, re-encode, write a
+        new segment with an empty kill-list.  Returns the new root dir
+        (usable as a fresh IncrementalIndexer out_dir)."""
+        from sphinx_1_spark.operators.segments import decode_blocks, encode_blocks
+
+        view = self.open_view(spark)
+        live = view.docinfo()
+        # decode per segment and apply ITS kill filter before the
+        # union: a re-crawled url keeps its docid, so a docid-level
+        # filter after the union would keep both copies' postings
+        parts = None
+        for i, p in enumerate(view.paths):
+            blocks_i = spark.read.parquet(os.path.join(p, "postings_blocks"))
+            post_i = decode_blocks(blocks_i, with_positions=self.with_positions)
+            kl = view._killed_for(i)
+            if kl is not None:
+                post_i = post_i.join(F.broadcast(kl), "docid", "left_anti")
+            parts = post_i if parts is None else parts.unionByName(post_i)
+        blocks = encode_blocks(parts, with_positions=self.with_positions)
+        os.makedirs(dest_dir, exist_ok=True)
+        path = os.path.join(dest_dir, f"delta={0:010d}")
+        lineage = {
+            "mode": "compacted",
+            "merged_segments": [os.path.basename(p) for p in view.paths],
+        }
+        m = write_segment(spark, path, blocks, live, lineage, self.with_positions)
+        # empty kill-list: a compacted main supersedes nothing
+        live.select("docid").limit(0).write.mode("overwrite").parquet(
+            os.path.join(path, "killlist")
+        )
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(m, f, indent=2)
+        return dest_dir
+
     def segment_paths(self) -> list[str]:
         return sorted(
             os.path.join(self.out_dir, d)
@@ -155,24 +193,20 @@ class IncrementalView:
         return out
 
     def search_topk(self, words: list[str], k: int = 10, mode: str = "and"):
-        """Kill-list-aware BM25 top-k over the compressed segments.
-
-        Exact: the WAND pass over-fetches by the total kill-list size,
-        so suppressed rows can never push a live result out of top-k."""
-        n_killed = 0
-        dfs = [
-            self.spark.read.parquet(os.path.join(p, "killlist"))
-            for p in self.paths
-        ]
-        if dfs:
-            allk = dfs[0]
-            for d in dfs[1:]:
-                allk = allk.unionByName(d)
-            n_killed = allk.distinct().count()
-        live = self.docinfo().select("docid")
-        raw = self.segments.wand_topk(words, k + n_killed, mode)
-        return (
-            raw.join(live, "docid", "left_semi")
-            .orderBy(F.col("weight").desc(), F.col("docid").asc())
-            .limit(k)
-        )
+        """Kill-list-aware BM25 top-k, searchd-style: each segment is
+        searched SEPARATELY with its own collection stats (per-index
+        IDF, exactly like multi-index RunSubset src/searchd.cpp:3950),
+        its kill-listed rows dropped, then results merge through one
+        final queue.  Per-segment over-fetch covers its killed rows."""
+        merged = None
+        for i, p in enumerate(self.paths):
+            seg = SegmentSet(self.spark, [p])
+            kl = self._killed_for(i)
+            n_killed = kl.count() if kl is not None else 0
+            res = seg.wand_topk(words, k + n_killed, mode)
+            if kl is not None:
+                res = res.join(F.broadcast(kl), "docid", "left_anti")
+            merged = res if merged is None else merged.unionByName(res)
+        return merged.orderBy(
+            F.col("weight").desc(), F.col("docid").asc()
+        ).limit(k)

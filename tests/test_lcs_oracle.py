@@ -98,3 +98,42 @@ def test_proximity_bm25_rank_identity(docs_index, corpus, match, words, mode):
     ]
     want = oracle_proximity_bm25(corpus, words, mode)[:1000]
     assert got == want
+
+
+def oracle_matchany(corpus, words):
+    """MATCHANY rank (ExtRanker_MatchAny_c, src/sphinx.cpp:14356):
+    legacy ANY mode = quorum/1 over the words; 1 field, weight 1."""
+    distinct = list(dict.fromkeys(words))
+    nq = len(distinct)
+    phrase_k = 1 * nq  # sum_f w_f * n_qwords, single field w=1
+    out = []
+    for docid, toks in corpus.items():
+        pos = {w: [i + 1 for i, t in enumerate(toks) if t == w] for w in distinct}
+        if not any(pos.values()):
+            continue
+        hits = sorted(
+            (p, qp) for qp, w in enumerate(distinct, start=1) for p in pos[w]
+        )
+        lcs = 0
+        mask = 0
+        curlcs = 0
+        expdelta = None
+        for lcspos, qpos in hits:
+            delta = lcspos - qpos
+            curlcs = curlcs + 1 if delta == expdelta else 1
+            lcs = max(lcs, curlcs)
+            mask |= (1 << (qpos - 1)) & 0xFF
+            expdelta = delta
+        rank = (bin(mask).count("1") + (lcs - 1) * phrase_k) * 1 if mask else 0
+        out.append((rank, docid))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return out
+
+
+def test_matchany_rank_identity(docs_index, corpus):
+    got = [
+        (r["weight"], r["docid"])
+        for r in docs_index.search("table scan", mode="any", limit=1000).collect()
+    ]
+    want = oracle_matchany(corpus, ["table", "scan"])[:1000]
+    assert got == want

@@ -97,3 +97,49 @@ def test_structured_streaming_file_source(spark, tmp_path):
     assert len(ix.segment_paths()) >= 1
     view = ix.open_view(spark)
     assert view.docinfo().count() == 100
+
+
+def test_compact_preserves_results(spark, two_batches, tmp_path):
+    """Compaction == indexer --merge: the merged segment carries
+    exactly the live rows, and its search results equal those of a
+    FRESH single-segment build over the equivalent live corpus."""
+    from sphinx_1_spark.plans.segment_index import SegmentSet, build_segments
+    from sphinx_1_spark.streaming.incremental import IncrementalIndexer
+
+    b0, b1 = two_batches
+    out = str(tmp_path / "inc4")
+    ix = IncrementalIndexer(out)
+    ix.process_batch(b0, 0)
+    ix.process_batch(b1, 1)
+    view = ix.open_view(spark)
+    before_docs = sorted(
+        r["docid"] for r in view.docinfo().select("docid").collect()
+    )
+    # multi-segment search returns only live docs
+    top = view.search_topk(["the"], k=15, mode="or").collect()
+    assert len(top) == 15
+    assert set(r["docid"] for r in top) <= set(before_docs)
+
+    merged_root = ix.compact(spark, str(tmp_path / "main4"))
+    ix2 = IncrementalIndexer(merged_root)
+    assert len(ix2.segment_paths()) == 1
+    view2 = ix2.open_view(spark)
+    after_docs = sorted(
+        r["docid"] for r in view2.docinfo().select("docid").collect()
+    )
+    assert after_docs == before_docs
+
+    # equivalence with a fresh build over the live corpus
+    idx_col = F.regexp_extract("url", r"doc(\d+)$", 1).cast("long")
+    live_pages = b0.where(idx_col < 100).unionByName(b1)
+    fresh_dir = str(tmp_path / "fresh4")
+    fresh = SegmentSet(spark, build_segments(live_pages, fresh_dir, n_shards=1))
+    want = [
+        (r["docid"], r["weight"])
+        for r in fresh.wand_topk(["the"], 15, "or").collect()
+    ]
+    got = [
+        (r["docid"], r["weight"])
+        for r in view2.search_topk(["the"], k=15, mode="or").collect()
+    ]
+    assert got == want

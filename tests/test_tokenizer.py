@@ -110,3 +110,21 @@ def test_native_matches_arrow_on_ascii(spark):
         for r in build_hits_arrow(df, "docid", ["text"], TokenizerSettings()).collect()
     )
     assert nat == arr
+
+
+def test_wordforms_applied_before_stopwords():
+    from sphinx_1_spark.functions.tokenizer import Tokenizer, TokenizerSettings
+
+    tok = Tokenizer(
+        TokenizerSettings(
+            wordforms=(("walks", "walk"), ("running", "run")),
+            stopwords=frozenset({"run"}),
+        )
+    )
+    # wordform remap, then the mapped form hits the stopword filter
+    assert tok.tokenize("walks running walked") == ["walk", "walked"]
+    # positions: stopword consumed a position step
+    assert tok.tokenize_with_positions("walks running walked") == [
+        ("walk", 1),
+        ("walked", 3),
+    ]
