@@ -37,7 +37,8 @@ def _docs_index(spark: SparkSession, sf_dir: str):
             docs,
             IndexSettings(docid_col="doc_id", fields=("text",), tokenizer_impl="native"),
         )
-        _INDEX_CACHE[key] = idx
+        # serve many queries off one tokenize pass (searchd preread)
+        _INDEX_CACHE[key] = idx.persist()
     return _INDEX_CACHE[key]
 
 
@@ -124,7 +125,7 @@ def _docs_index2(spark: SparkSession, sf_dir: str):
                 tokenizer_impl="native",
             ),
         )
-        _INDEX_CACHE[key] = idx
+        _INDEX_CACHE[key] = idx.persist()
     return _INDEX_CACHE[key]
 
 
