@@ -56,6 +56,12 @@ class TokenizerSettings:
     # FilterStopword, src/sphinx.cpp:16999-17040); tuple-of-pairs so
     # the settings object stays hashable
     wordforms: tuple = ()
+    # morphology chain (ApplyStemmers, src/sphinx.cpp:17005-17020):
+    # processor names from functions/morphology.py, applied in order
+    # until one changes the token; skipped entirely on a wordforms hit
+    # or when len(token) < min_stemming_len (guard only active > 1)
+    morphology: tuple = ()
+    min_stemming_len: int = 1
     # CJK extensions (see mmseg.py): codepoints segmented 1-per-token
     ngram_chars: str = ""  # spec string like "U+4E00..U+9FBF"
     mmseg_dict_path: str | None = None
@@ -73,6 +79,12 @@ class Tokenizer:
         self.settings = settings or TokenizerSettings()
         self.fold = build_fold_table(self.settings.charset_table)
         self._wordforms = dict(self.settings.wordforms)
+        self._morph: list = []
+        self._morph_cache: dict[str, str] = {}
+        if self.settings.morphology:
+            from sphinx_1_spark.functions.morphology import resolve_chain
+
+            self._morph = resolve_chain(self.settings.morphology)
         self._ngram_mask = None
         if self.settings.ngram_chars:
             ng = build_fold_table(self.settings.ngram_chars)
@@ -86,6 +98,26 @@ class Tokenizer:
                 self.fold,
                 self.settings.min_word_len,
             )
+
+    # ------------------------------------------------------------------
+    def _normalize(self, tok: str) -> str:
+        """ApplyStemmers (src/sphinx.cpp:17005): a wordforms hit is
+        terminal; otherwise the morphology chain runs.  The caller
+        applies the stopword filter to the RESULT (GetWordID order,
+        src/sphinx.cpp:17023-17027)."""
+        nf = self._wordforms.get(tok)
+        if nf is not None:
+            return nf
+        if self._morph:
+            from sphinx_1_spark.functions.morphology import apply_morphology
+
+            return apply_morphology(
+                tok,
+                self._morph,
+                self.settings.min_stemming_len,
+                self._morph_cache,
+            )
+        return tok
 
     # ------------------------------------------------------------------
     def tokenize(self, text: str) -> list[str]:
@@ -120,7 +152,7 @@ class Tokenizer:
         for tok, overshorts in toks:
             pos += step + overshorts * s.overshort_step
             step = 1
-            tok = self._wordforms.get(tok, tok)
+            tok = self._normalize(tok)
             if tok in s.stopwords:
                 step = s.stopword_step
                 continue
@@ -156,7 +188,7 @@ class Tokenizer:
             pos += step
             step = 1
             tok = codepoints_to_text(run[:MAX_WORD_LEN])
-            tok = self._wordforms.get(tok, tok)
+            tok = self._normalize(tok)
             if tok in s.stopwords:
                 # stopword: no hit; next token's step includes stopword_step
                 # (Sphinx: wordid==0 -> iLastStep = stopword_step,
@@ -210,6 +242,7 @@ class Tokenizer:
             s.min_word_len > 1
             or s.stopwords
             or s.wordforms
+            or s.morphology
             or self._mmseg is not None
         ):
             return False

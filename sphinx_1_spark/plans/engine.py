@@ -80,7 +80,8 @@ class SphinxIndex:
         narrow fixed-width hits rows cache ~6x faster than the
         array-typed postings rows."""
         spark = df.sparkSession
-        if settings.tokenizer_impl == "native":
+        native_ok = settings.tokenizer == TokenizerSettings()
+        if settings.tokenizer_impl == "native" and native_ok:
             hits = build_hits_native(df, settings.docid_col, list(settings.fields))
         else:
             hits = build_hits_arrow(
