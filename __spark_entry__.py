@@ -318,6 +318,23 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_excerpts(spark, sf_dir):
+    """BuildExcerpts (SURVEY.md §2.10): passage extraction +
+    highlighting over the first 50 documents.  Not SQL-expressible —
+    rows-only driver check; byte-exact parity vs the compiled
+    reference is pinned by tests/test_excerpts.py goldens."""
+    from sphinx_1_spark.operators.excerpts import ExcerptOptions, excerpts
+
+    docs = _docs(spark, sf_dir).orderBy("doc_id").limit(50)
+    out = excerpts(
+        docs,
+        "text",
+        "table scan",
+        ExcerptOptions(limit=64, around=3),
+    )
+    return out.select("doc_id", "excerpt").orderBy("doc_id")
+
+
 # ----------------------------------------------------------------------
 # attribute layer: fullscan + filters + grouping + sorting + exprs
 # (SURVEY.md §2.6/§2.7/§2.9) over the events table
@@ -551,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_image_meta": q_image_meta,
         "q_image_features": q_image_features,
+        "q_excerpts": q_excerpts,
         "q_anchor_start": q_anchor_start,
         "q_anchor_end": q_anchor_end,
         "q_before": q_before,
