@@ -65,6 +65,19 @@ class TokenizerSettings:
     # CJK extensions (see mmseg.py): codepoints segmented 1-per-token
     ngram_chars: str = ""  # spec string like "U+4E00..U+9FBF"
     mmseg_dict_path: str | None = None
+    # --- advanced scanner features (functions/scanner.py port) ------
+    # specials: 1-char standalone tokens; charset chars become duals
+    # (AddSpecials, src/sphinx.cpp:2585)
+    specials: str = ""
+    # synonyms: raw "from words => to" lines (LoadSynonyms,
+    # src/sphinx.cpp:3310); multi-word map-from merges token spans
+    synonyms: tuple = ()
+    # ignore_chars / phrase_boundary: charset-spec strings
+    ignore_chars: str = ""
+    phrase_boundary: str = ""
+    boundary_step: int = 0
+    # escaped: backslash-escaping query-parser clone mode
+    escaped: bool = False
 
 
 class Tokenizer:
@@ -98,6 +111,72 @@ class Tokenizer:
                 self.fold,
                 self.settings.min_word_len,
             )
+        # advanced scanner: specials/synonyms/ignore/boundary/escaped
+        # (ISphTokenizer::Create setup order, src/sphinx.cpp:3215-3273,
+        # with specials applied pre-synonyms as the callers do)
+        s = self.settings
+        self._advanced = bool(
+            s.specials or s.synonyms or s.ignore_chars or s.phrase_boundary
+            or s.escaped
+        )
+        self._lc = None
+        self._syns: list = []
+
+    def _build_lc(self):
+        """Flagged lowercaser + synonyms for the scalar scanner
+        (ISphTokenizer::Create setup order, src/sphinx.cpp:3215-3273,
+        specials applied pre-synonyms as the callers do)."""
+        from sphinx_1_spark.functions.charset import (
+            FLAG_BOUNDARY,
+            FLAG_IGNORE,
+            FLAG_NGRAM,
+            FLAG_SPECIAL,
+            Lowercaser,
+            parse_charset_ranges,
+        )
+        from sphinx_1_spark.functions.scanner import (
+            parse_synonyms,
+            register_synonym_codepoints,
+        )
+
+        s = self.settings
+        lc = Lowercaser(s.charset_table)
+        if s.specials:
+            lc.add_specials(s.specials)
+        if s.synonyms:
+            self._syns = parse_synonyms(s.synonyms)
+            register_synonym_codepoints(self._syns, lc)
+        if s.phrase_boundary:
+            lc.add_flagged(
+                s.phrase_boundary, FLAG_BOUNDARY, True, "phrase boundary"
+            )
+        if s.ignore_chars:
+            lc.add_flagged(s.ignore_chars, FLAG_IGNORE, True, "ignored")
+        if s.ngram_chars:
+            lc.add_remaps(
+                parse_charset_ranges(s.ngram_chars),
+                FLAG_NGRAM | FLAG_SPECIAL,
+                FLAG_NGRAM | FLAG_SPECIAL,
+            )
+        if s.escaped:
+            # escaped clones add backslash as a special so the
+            # escape handler sees it (CloneBase, src/sphinx.cpp:3582)
+            lc.add_specials("\\")
+        self._lc = lc
+
+    def make_scanner(self):
+        """A fresh streaming Scanner over this tokenizer's lowercaser
+        (excerpts + the advanced-config emit path)."""
+        from sphinx_1_spark.functions.scanner import Scanner
+
+        if self._lc is None:
+            self._build_lc()
+        return Scanner(
+            self._lc,
+            self._syns,
+            self.settings.min_word_len,
+            self.settings.escaped,
+        )
 
     # ------------------------------------------------------------------
     def _normalize(self, tok: str) -> str:
@@ -133,11 +212,39 @@ class Tokenizer:
         """
         if self._mmseg is not None:
             return self._emit_mmseg(self._mmseg.tokenize(text.encode("utf-8")))
+        if self._advanced:
+            return self._emit_scanner(text)
         cps = text_to_codepoints(text)
         folded = fold_codepoints(cps, self.fold)
         if self._ngram_mask is not None:
             return self._tokenize_cjk(cps, folded)
         return self._emit(self._runs(folded))
+
+    def _emit_scanner(self, text: str) -> list[tuple[str, int]]:
+        """Position stepping over the full scalar scanner (BuildHits
+        loop, src/sphinx.cpp:18528-18531): pos += last_step +
+        overshorts*overshort_step, then the phrase-boundary bump
+        max(pos+boundary_step, 1)."""
+        s = self.settings
+        sc = self.make_scanner()
+        sc.set_buffer(text)
+        out: list[tuple[str, int]] = []
+        pos = 0
+        step = 1
+        while True:
+            tok = sc.get_token()
+            if tok is None:
+                break
+            pos += step + sc.overshort_count * s.overshort_step
+            if sc.token_boundary:
+                pos = max(pos + s.boundary_step, 1)
+            step = 1
+            tok = self._normalize(tok)
+            if tok in s.stopwords:
+                step = s.stopword_step
+                continue
+            out.append((tok, pos))
+        return out
 
     def _emit_mmseg(self, toks: list[tuple[str, int]]) -> list[tuple[str, int]]:
         """Position stepping over ChineseTokenizer output: each token
@@ -244,6 +351,7 @@ class Tokenizer:
             or s.wordforms
             or s.morphology
             or self._mmseg is not None
+            or self._advanced
         ):
             return False
         if not hasattr(self, "_fold_ws_free"):

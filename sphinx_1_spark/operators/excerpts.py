@@ -158,11 +158,12 @@ def _scan_tokens(
     boundary_chars: str,
 ) -> list[_Tok]:
     """Source scan -> covering token stream (BuildExcerpt doc loop,
-    src/sphinxexcerpt.cpp:250-330).  Word runs follow the index
-    tokenizer's charset; junk spans split at whitespace flips;
-    stopword hits become SPACE tokens (wordid 0) keeping their span."""
+    src/sphinxexcerpt.cpp:250-330), driven by the real scalar scanner
+    so specials/duals/synonyms behave exactly like indexing does.
+    Junk between tokens splits at whitespace flips (AddJunk,
+    src/sphinxexcerpt.cpp:159-194); stopword hits become SPACE tokens
+    (wordid 0) keeping their source span."""
     s = tokenizer.settings
-    fold = tokenizer.fold
     toks: list[_Tok] = []
 
     def add_junk(start: int, length: int) -> None:
@@ -185,36 +186,24 @@ def _scan_tokens(
         ):
             toks.append(_Tok(TOK_BREAK, 0, 0, 0))
 
-    n = len(text)
-    i = 0
+    sc = tokenizer.make_scanner()
+    sc.set_buffer(text)
     last_end = 0
-    while i < n:
-        cp = ord(text[i])
-        folded = fold[cp] if cp < fold.size else 0
-        if folded == 0:
-            i += 1
-            continue
-        j = i
-        while j < n:
-            cpj = ord(text[j])
-            if (fold[cpj] if cpj < fold.size else 0) == 0:
-                break
-            j += 1
-        run = "".join(
-            chr(fold[ord(c)]) for c in text[i:j][:MAX_WORD_LEN]
-        )
-        if j - i < s.min_word_len:
-            i = j  # overshort: swallowed into junk
-            continue
-        add_junk(last_end, i - last_end)
-        norm = tokenizer._normalize(run)
+    while True:
+        tok = sc.get_token()
+        if tok is None:
+            break
+        start, end = sc.token_start, sc.token_end
+        add_junk(last_end, start - last_end)
+        norm = tokenizer._normalize(tok)
         if norm in s.stopwords:
-            toks.append(_Tok(TOK_SPACE, i, j - i, 0))
+            toks.append(_Tok(TOK_SPACE, start, end - start, 0))
         else:
-            toks.append(_Tok(TOK_WORD, i, j - i, _match_mask(norm, keywords)))
-        last_end = j
-        i = j
-    add_junk(last_end, n - last_end)
+            toks.append(
+                _Tok(TOK_WORD, start, end - start, _match_mask(norm, keywords))
+            )
+        last_end = end
+    add_junk(last_end, len(text) - last_end)
     toks.append(_Tok(TOK_NONE, 0, 0, 0))
     return toks
 

@@ -37,21 +37,33 @@ WORDS = "MS Windows"
 STOPWORDS = frozenset({"a", "the", "and", "of"})  # test/stopwords.txt
 
 
+SYNONYMS = (  # test/synonyms.txt
+    "MS Windows => Windows",
+    "Microsoft Windows => Windows",
+    "Windows => Windows",
+)
+
+
 def _variants():
     model = loads(open(MODEL, "rb").read())
     out = []
-    for stop_bit, stops in ((0, STOPWORDS), (1, frozenset())):
-        for mwl_bit, mwl in ((0, 1), (1, 3)):
-            vi = 8 + stop_bit * 4 + mwl_bit * 2  # syn=off, charset=utf8
-            out.append((vi, mwl, stops, model[vi][0]))
+    for syn_bit, syns in ((0, SYNONYMS), (1, ())):
+        for stop_bit, stops in ((0, STOPWORDS), (1, frozenset())):
+            for mwl_bit, mwl in ((0, 1), (1, 3)):
+                vi = syn_bit * 8 + stop_bit * 4 + mwl_bit * 2  # charset=utf8
+                out.append((vi, mwl, stops, syns, model[vi][0]))
     return out
 
 
 @pytest.mark.parametrize(
-    "vi,mwl,stops,runs", _variants(), ids=lambda v: str(v) if isinstance(v, int) else None
+    "vi,mwl,stops,syns,runs",
+    _variants(),
+    ids=lambda v: str(v) if isinstance(v, int) else None,
 )
-def test_excerpts_golden_test18(vi, mwl, stops, runs):
-    tk = Tokenizer(TokenizerSettings(min_word_len=mwl, stopwords=stops))
+def test_excerpts_golden_test18(vi, mwl, stops, syns, runs):
+    tk = Tokenizer(
+        TokenizerSettings(min_word_len=mwl, stopwords=stops, synonyms=syns)
+    )
     # runs = [opts, excerpts, opts, excerpts, opts, excerpts]
     for i in range(0, len(runs), 2):
         o = runs[i]
