@@ -246,21 +246,47 @@ def stem_soundex(word: str) -> str:
     return "".join(out)
 
 
+def _lazy_stemmer(name):
+    def proc(token: str) -> str:
+        from sphinx_1_spark.functions import stemmers
+
+        return getattr(stemmers, name)(token)
+
+    proc.__name__ = name
+    return proc
+
+
 _PROCESSORS = {
     "stem_en": stem_en,
     "soundex": stem_soundex,
+    # ports in functions/stemmers.py (golden-pinned vs the compiled
+    # reference processors)
+    "stem_ru": _lazy_stemmer("stem_ru"),
+    "stem_cz": _lazy_stemmer("stem_cz"),
+    "metaphone": _lazy_stemmer("stem_metaphone"),
 }
 
 
 def resolve_chain(names) -> list:
     """Morphology spec -> processor list (SPH_MORPH_* ids resolved in
-    ParseMorphology, src/sphinx.cpp:17284-17339)."""
-    try:
-        return [_PROCESSORS[nm] for nm in names]
-    except KeyError as e:
-        raise ValueError(
-            f"unknown morphology {e.args[0]!r}; known: {sorted(_PROCESSORS)}"
-        ) from None
+    ParseMorphology, src/sphinx.cpp:16890-16935).  `stem_enru` is the
+    reference's combined EN+RU chain entry; `none` is a no-op."""
+    out = []
+    for nm in names:
+        if nm == "none":
+            continue
+        if nm == "stem_enru":
+            out.append(_PROCESSORS["stem_en"])
+            out.append(_PROCESSORS["stem_ru"])
+            continue
+        try:
+            out.append(_PROCESSORS[nm])
+        except KeyError:
+            raise ValueError(
+                f"unknown morphology {nm!r}; known: "
+                f"{sorted(_PROCESSORS) + ['stem_enru', 'none']}"
+            ) from None
+    return out
 
 
 def apply_morphology(
