@@ -78,6 +78,11 @@ class TokenizerSettings:
     boundary_step: int = 0
     # escaped: backslash-escaping query-parser clone mode
     escaped: bool = False
+    # index_exact_words: additionally index the raw (pre-morphology)
+    # form of every token as "=<raw>", enabling =word exact-form
+    # queries (src/sphinx.cpp:18700-18716; MAGIC_WORD_HEAD_NONSTEMMED
+    # is spelled "=" here — '=' can never occur inside a token)
+    index_exact_words: bool = False
 
 
 class Tokenizer:
@@ -210,6 +215,13 @@ class Tokenizer:
         counter by overshort_step; stopwords advance by stopword_step
         but emit nothing.
         """
+        return [(n, p) for _, n, p in self._full_stream(text) if n is not None]
+
+    def _full_stream(self, text: str) -> list[tuple[str, str | None, int]]:
+        """[(raw_folded, normalized_or_None, pos)] for every token the
+        scanner keeps; normalized is None for stopword hits (wordid 0
+        — they still consume a position, which index_exact_words hits
+        reuse, src/sphinx.cpp:18700-18727)."""
         if self._mmseg is not None:
             return self._emit_mmseg(self._mmseg.tokenize(text.encode("utf-8")))
         if self._advanced:
@@ -220,7 +232,7 @@ class Tokenizer:
             return self._tokenize_cjk(cps, folded)
         return self._emit(self._runs(folded))
 
-    def _emit_scanner(self, text: str) -> list[tuple[str, int]]:
+    def _emit_scanner(self, text: str) -> list[tuple[str, str | None, int]]:
         """Position stepping over the full scalar scanner (BuildHits
         loop, src/sphinx.cpp:18528-18531): pos += last_step +
         overshorts*overshort_step, then the phrase-boundary bump
@@ -228,22 +240,23 @@ class Tokenizer:
         s = self.settings
         sc = self.make_scanner()
         sc.set_buffer(text)
-        out: list[tuple[str, int]] = []
+        out: list[tuple[str, str | None, int]] = []
         pos = 0
         step = 1
         while True:
-            tok = sc.get_token()
-            if tok is None:
+            raw = sc.get_token()
+            if raw is None:
                 break
             pos += step + sc.overshort_count * s.overshort_step
             if sc.token_boundary:
                 pos = max(pos + s.boundary_step, 1)
             step = 1
-            tok = self._normalize(tok)
+            tok = self._normalize(raw)
             if tok in s.stopwords:
                 step = s.stopword_step
+                out.append((raw, None, pos))
                 continue
-            out.append((tok, pos))
+            out.append((raw, tok, pos))
         return out
 
     def _emit_mmseg(self, toks: list[tuple[str, int]]) -> list[tuple[str, int]]:
@@ -253,17 +266,18 @@ class Tokenizer:
         min_word_len was already applied inside GetToken (dict words
         bypass it, matching the reference)."""
         s = self.settings
-        out: list[tuple[str, int]] = []
+        out: list[tuple[str, str | None, int]] = []
         pos = 0
         step = 1
-        for tok, overshorts in toks:
+        for raw, overshorts in toks:
             pos += step + overshorts * s.overshort_step
             step = 1
-            tok = self._normalize(tok)
+            tok = self._normalize(raw)
             if tok in s.stopwords:
                 step = s.stopword_step
+                out.append((raw, None, pos))
                 continue
-            out.append((tok, pos))
+            out.append((raw, tok, pos))
         return out
 
     # ------------------------------------------------------------------
@@ -284,7 +298,7 @@ class Tokenizer:
 
     def _emit(self, runs: list[np.ndarray]) -> list[tuple[str, int]]:
         s = self.settings
-        out: list[tuple[str, int]] = []
+        out: list[tuple[str, str | None, int]] = []
         pos = 0
         step = 1
         for run in runs:
@@ -294,15 +308,16 @@ class Tokenizer:
                 continue
             pos += step
             step = 1
-            tok = codepoints_to_text(run[:MAX_WORD_LEN])
-            tok = self._normalize(tok)
+            raw = codepoints_to_text(run[:MAX_WORD_LEN])
+            tok = self._normalize(raw)
             if tok in s.stopwords:
-                # stopword: no hit; next token's step includes stopword_step
-                # (Sphinx: wordid==0 -> iLastStep = stopword_step,
-                #  src/sphinx.cpp:18769-18771 / dict stopword filter)
+                # stopword: no plain hit; next token's step includes
+                # stopword_step (Sphinx: wordid==0 -> iLastStep =
+                # stopword_step, src/sphinx.cpp:18725-18727)
                 step = s.stopword_step
+                out.append((raw, None, pos))
                 continue
-            out.append((tok, pos))
+            out.append((raw, tok, pos))
         return out
 
     # ------------------------------------------------------------------
@@ -352,6 +367,7 @@ class Tokenizer:
             or s.morphology
             or self._mmseg is not None
             or self._advanced
+            or s.index_exact_words
         ):
             return False
         if not hasattr(self, "_fold_ws_free"):
@@ -407,7 +423,17 @@ class Tokenizer:
                 )
                 out.append((toks[-1], last))
                 continue
-            tps = self.tokenize_with_positions(text)
+            exact = self.settings.index_exact_words
+            stops = self.settings.stopwords
+            tps = []
+            for raw, norm, pos in self._full_stream(text):
+                # exact-form hit first, then the plain hit — both at
+                # the same position (src/sphinx.cpp:18700-18727); the
+                # exact hit's stopword check runs on the RAW form
+                if exact and raw not in stops:
+                    tps.append(("=" + raw, pos))
+                if norm is not None:
+                    tps.append((norm, pos))
             if not tps:
                 continue
             last_pos = tps[-1][1]
@@ -417,3 +443,8 @@ class Tokenizer:
                     wp |= HIT_FIELD_END
                 out.append((tok, wp))
         return out
+
+    def tokenize_with_raw(self, text: str) -> list[tuple[str | None, str]]:
+        """[(normalized_or_None, raw_folded)] — the query-parser path
+        for =exact terms (CSphDictExact, src/sphinx.cpp:10780)."""
+        return [(n, r) for r, n, _ in self._full_stream(text)]

@@ -181,6 +181,23 @@ def apply_ranker(
     idf_by_qpos: dict[int, float] | None = None,
 ) -> DataFrame:
     """Add an int `weight` column per the ranker; drops plan columns."""
+    if ranker in ("proximity_bm25", "proximity", "matchany", "wordcount") or (
+        score_mode == "exact32"
+    ):
+        # Optimization barrier for the Python rank UDFs: their `hits`
+        # (or `tfs`) argument is an aliased higher-order-function
+        # expression from the match compiler, and Spark 4.1 fails to
+        # extract a scalar pandas UDF over a nested-lambda HOF argument
+        # into ArrowEvalPython when an ORDER BY sits above and a
+        # MapInPandas below (the raw PythonUDF then hits
+        # InterpretedUnsafeProjection -> "Cannot evaluate expression").
+        # A docid hash exchange materializes the argument columns so
+        # the UDF sees plain attributes, which always extracts.  The
+        # matched relation at this point is the narrow candidate set
+        # (docid, tfidf, fieldmask, tfs[, hits]), so the extra
+        # exchange is small and keyed the same way downstream
+        # attribute joins want it.
+        matched = matched.repartition(F.col("docid"))
     if score_mode == "exact32":
         bm25part = make_bm25_part_exact32(idf_by_qpos or {})(F.col("tfs"))
     else:

@@ -89,9 +89,12 @@ class _Lexer:
             else:
                 # fold through the document tokenizer; a "word" chunk may
                 # split into several keywords (e.g. "i-phone" won't reach
-                # here since '-' lexes as NOT, but "ab.cd" does)
-                for w in tokenizer.tokenize(m.group("word")):
-                    self.toks.append(("WORD", w))
+                # here since '-' lexes as NOT, but "ab.cd" does).  The
+                # payload is (normalized_or_None, raw_folded): =exact
+                # terms use the raw form (CSphDictExact semantics),
+                # stopword-dropped keywords carry None
+                for norm, raw in tokenizer.tokenize_with_raw(m.group("word")):
+                    self.toks.append(("WORD", (norm, raw)))
         self.i = 0
 
     def _parse_field(self, spec: str) -> tuple[int, int]:
@@ -248,7 +251,17 @@ class QueryParser:
                 raise QueryParseError("expected keyword after '='/'^'")
             return None
         self._lex.next()
-        w = QWord(val, self._next_qpos(), field_start=field_start, exact=exact)
+        norm, raw = val
+        if exact:
+            # exact-form term: raw (pre-morphology) word id with the
+            # nonstemmed marker (CSphDictExact, src/sphinx.cpp:10780);
+            # no stopword filter on the normalized form here
+            word = "=" + raw
+        elif norm is None:
+            return None  # stopword keyword -> null node (SweepNulls)
+        else:
+            word = norm
+        w = QWord(word, self._next_qpos(), field_start=field_start, exact=exact)
         if self._lex.peek()[0] == "$":
             self._lex.next()
             w.field_end = True
@@ -266,7 +279,9 @@ class QueryParser:
                 break
             if kind == "WORD":
                 self._lex.next()
-                words.append(QWord(val, self._next_qpos()))
+                norm, _raw = val
+                if norm is not None:
+                    words.append(QWord(norm, self._next_qpos()))
             else:
                 # phrasetoken rules: operators inside quotes are ignored
                 self._lex.next()
@@ -277,9 +292,10 @@ class QueryParser:
         if kind in ("~", "/"):
             self._lex.next()
             k2, v2 = self._lex.next()
-            if k2 != "WORD" or not str(v2).isdigit():
+            num = v2[1] if k2 == "WORD" else None
+            if num is None or not str(num).isdigit():
                 raise QueryParseError(f"expected integer after {kind!r}")
-            n = int(v2)
+            n = int(num)
             op = "proximity" if kind == "~" else "quorum"
         if not words:
             return None
