@@ -42,19 +42,31 @@ HITS_SCHEMA = StructType(
 )
 
 
-def _field_hits_native(docid: Column, text: Column, field_id: int) -> "Column":
-    """Array of hit structs for one field, all in Catalyst expressions.
+def _tokens_native(text: Column) -> Column:
+    """Lower + trim separators + split, equivalent to the default
+    charset_table on ASCII text."""
+    toks = F.split(
+        F.regexp_replace(F.lower(text), f"^{_ASCII_SEP_RE}|{_ASCII_SEP_RE}$", ""),
+        _ASCII_SEP_RE,
+    )
+    return F.when(text.isNull() | (F.trim(text) == ""), F.array()).otherwise(toks)
+
+
+def _field_hits_native(docid: Column, toks: Column, field_id: int) -> "Column":
+    """Array of hit structs for one field over a MATERIALIZED token
+    array attribute.
 
     Position arithmetic parity: first token at pos 1, +1 per token
     (src/sphinx.cpp:18677-18682 with default steps and min_word_len=1);
     every hit at the last position gets HIT_FIELD_END
     (src/sphinx.cpp:18666-18672).
+
+    `toks` must be a plain column attribute, not the split expression:
+    F.size(toks) is referenced inside the per-element lambda, and
+    Catalyst does not hoist common subexpressions out of lambda
+    functions — an inline split would re-run per token, turning
+    tokenization O(tokens^2) per document.
     """
-    toks = F.split(
-        F.regexp_replace(F.lower(text), f"^{_ASCII_SEP_RE}|{_ASCII_SEP_RE}$", ""),
-        _ASCII_SEP_RE,
-    )
-    toks = F.when(text.isNull() | (F.trim(text) == ""), F.array()).otherwise(toks)
     n = F.size(toks)
     base = F.lit(field_id << 24)
     return F.filter(
@@ -77,12 +89,25 @@ def _field_hits_native(docid: Column, text: Column, field_id: int) -> "Column":
 def build_hits_native(
     df: DataFrame, docid_col: str, fields: list[str]
 ) -> DataFrame:
-    """Catalyst-only hit extraction for ASCII text fields."""
-    docid = F.col(docid_col).cast("long")
-    arrays = [_field_hits_native(docid, F.col(f), fid) for fid, f in enumerate(fields)]
+    """Catalyst-only hit extraction for ASCII text fields.
+
+    Token arrays are projected first so each field's split runs once
+    per row; the multi-reference non-cheap aliases keep CollapseProject
+    from inlining them back into the hit-struct lambdas."""
+    proj = df.select(
+        F.col(docid_col).cast("long").alias("_docid"),
+        *[
+            _tokens_native(F.col(f)).alias(f"_toks{fid}")
+            for fid, f in enumerate(fields)
+        ],
+    )
+    arrays = [
+        _field_hits_native(F.col("_docid"), F.col(f"_toks{fid}"), fid)
+        for fid in range(len(fields))
+    ]
     allhits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
     return (
-        df.select(F.explode(allhits).alias("h"))
+        proj.select(F.explode(allhits).alias("h"))
         .select("h.docid", "h.word", "h.wordpos")
     )
 

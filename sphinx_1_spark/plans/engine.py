@@ -80,6 +80,15 @@ class SphinxIndex:
         narrow fixed-width hits rows cache ~6x faster than the
         array-typed postings rows."""
         spark = df.sparkSession
+        # Tokenize parallelism must not be bound by the source file
+        # layout: a small parquet (or one huge row-group) arrives as a
+        # handful of partitions and would serialize the whole
+        # strip+tokenize+aggregate chain onto as many cores.  Fan out
+        # to the cluster's parallelism when the scan is narrower; wide
+        # scans (big data) keep their natural splits — no extra pass.
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
         native_ok = settings.tokenizer == TokenizerSettings()
         if settings.tokenizer_impl == "native" and native_ok:
             hits = build_hits_native(df, settings.docid_col, list(settings.fields))
