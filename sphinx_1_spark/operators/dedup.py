@@ -63,8 +63,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle): distinct k-token shingles per doc."""
-    toks = _tokens(F.col(text_col))
+    """(doc_id, shingle): distinct k-token shingles per doc.
+
+    The token array is materialized in its own projection first:
+    Catalyst does not hoist common subexpressions out of lambda
+    functions, so an inline split expression would re-run per shingle
+    index (O(tokens^2) per document)."""
+    proj = docs.select("doc_id", _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     shingles = F.when(
         n >= k,
@@ -74,7 +80,7 @@ def shingle_df(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
         ),
     ).otherwise(F.array())
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        proj.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
 

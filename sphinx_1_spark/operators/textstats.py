@@ -44,9 +44,13 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     CJK-char ratio > 0.15 -> 'zh'; English stopword ratio >= 0.08 ->
     'en'; else 'other'.  Deterministic and SQL-expressible."""
     text = F.col(text_col)
+    # materialize the token array once per row (multi-referenced
+    # non-cheap alias -> CollapseProject keeps the projection)
+    proj = docs.select("doc_id", text.alias("_text"), _tokens(text).alias("_toks"))
+    text = F.col("_text")
+    toks = F.col("_toks")
     n_chars = F.length(text)
     cjk = F.length(F.regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
-    toks = _tokens(text)
     stop_list = EN_STOPWORDS[0].split()
     n_stop = F.size(F.filter(toks, lambda t: t.isin(stop_list)))
     n_toks = F.size(toks)
@@ -55,7 +59,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when((n_toks > 0) & (n_stop / n_toks >= 0.08), "en")
         .otherwise("other")
     )
-    return docs.select("doc_id", pred.alias("lang_pred"))
+    return proj.select("doc_id", pred.alias("lang_pred"))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -63,8 +67,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stopword ratio, and mean word length — the classic web-text
     quality heuristics, fixed weights."""
     text = F.col(text_col)
+    proj = docs.select("doc_id", text.alias("_text"), _tokens(text).alias("_toks"))
+    text = F.col("_text")
+    toks = F.col("_toks")
     n_chars = F.length(text)
-    toks = _tokens(text)
     n_toks = F.size(toks)
     stop_list = EN_STOPWORDS[0].split()
     n_stop = F.size(F.filter(toks, lambda t: t.isin(stop_list)))
@@ -87,7 +93,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     quality = F.round(
         0.3 * len_score + 0.2 * punct_score + 0.3 * stop_score + 0.2 * wl_score, 6
     )
-    return docs.select("doc_id", quality.alias("quality"))
+    return proj.select("doc_id", quality.alias("quality"))
 
 
 def fingerprints(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
@@ -95,7 +101,11 @@ def fingerprints(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFra
     min of md5 over character k-grams (rolling-hash winnowing with
     window = whole doc); identical docs share fingerprints, near-
     identical usually do."""
-    text = F.lower(F.col(text_col))
+    # materialize lower(text) first: referenced inside the per-gram
+    # lambda, and Catalyst does not hoist CSE out of lambda functions
+    # (an inline lower() would re-run per gram, O(chars^2) per doc)
+    proj = docs.select("doc_id", F.lower(F.col(text_col)).alias("_ltext"))
+    text = F.col("_ltext")
     n = F.length(text)
     grams = F.when(
         n >= k,
@@ -104,4 +114,4 @@ def fingerprints(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFra
         ),
     ).otherwise(F.array(text))
     fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return proj.select("doc_id", fp.alias("fingerprint"))
