@@ -532,6 +532,82 @@ def q_ordinal(spark, sf_dir):
     )
 
 
+def q_weight_filter(spark, sf_dir):
+    """Late @weight filter (Filter_WeightRange applied post-ranking,
+    src/sphinxfilter.cpp:247-263 + SPH_SUBMIT_MATCH)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search(
+        "table scan",
+        ranker="bm25",
+        limit=100,
+        late_filters=[F.col("weight") >= 1300],
+    )
+    return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
+
+
+def q_bitfields(spark, sf_dir):
+    """Bit-packed attributes (attr:N bitcount locators,
+    src/sphinx.h:605-624, test_10): value packed as bits 0..3 =
+    user_id%13, bits 4..9 = value%50; filter + group on the unpacked
+    slices."""
+    ev = _events(spark, sf_dir)
+    packed = (
+        (F.col("user_id") % 13).cast("int")
+        + ((F.col("value").cast("int") % 50) * 16)
+    )
+    proj = ev.select("event_id", packed.alias("packed"))
+    lo = F.col("packed").bitwiseAND(F.lit(15))
+    hi = F.shiftright(F.col("packed"), 4).bitwiseAND(F.lit(63))
+    return (
+        proj.where(lo < 8)
+        .groupBy(hi.alias("hi_bits"))
+        .agg(
+            F.count(F.lit(1)).alias("at_count"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("hi_bits")
+    )
+
+
+def q_geo_sort(spark, sf_dir):
+    """Geo-anchor sort (SetGeoAnchor + @geodist sort, test_08/31):
+    distance from the anchor point with the reference haversine
+    constants, ascending."""
+    from sphinx_1_spark.functions import exprs as E
+
+    ev = _events(spark, sf_dir)
+    lat = F.radians(F.lit(37.0) + F.col("user_id") % 10)
+    lon = F.radians(F.lit(-122.0) + F.col("value") % 5)
+    gd = F.round(
+        E.geodist(lat, lon, F.radians(F.lit(37.5)), F.radians(F.lit(-122.5))), 3
+    )
+    return (
+        ev.select("event_id", gd.alias("geodist_m"))
+        .orderBy(F.col("geodist_m").asc(), F.col("event_id").asc())
+        .limit(50)
+    )
+
+
+def q_sort_random(spark, sf_dir):
+    """@random sort mode (src/sphinxsort.cpp:1521).  Deterministic
+    variant: rand = md5(seed || docid) so the oracle reproduces the
+    identical order (Sphinx's C rand() is not a portable contract)."""
+    ev = _events(spark, sf_dir)
+    r = F.md5(F.concat(F.lit("seed42:"), F.col("event_id").cast("string")))
+    return ev.select("event_id", r.alias("rnd")).orderBy("rnd").limit(50)
+
+
+def q_keywords(spark, sf_dir):
+    """BuildKeywords (GetKeywords, src/sphinx.cpp:16110): per-term
+    (word, docs, hits) dictionary stats; unknown terms drop out."""
+    idx = _docs_index(spark, sf_dir)
+    return (
+        idx.keywords("table scan nosuchword")
+        .select("word", "docs", "hits")
+        .orderBy("word")
+    )
+
+
 def q_sort_multi(spark, sf_dir):
     """sort_extended multi-key clause (<=5 keys,
     src/sphinxsort.cpp:1496): value desc, ts asc, @id asc."""
@@ -587,6 +663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_killlist_union": q_killlist_union,
         "q_sort_multi": q_sort_multi,
         "q_sort_timesegs": q_sort_timesegs,
+        "q_geo_sort": q_geo_sort,
+        "q_sort_random": q_sort_random,
+        "q_keywords": q_keywords,
+        "q_weight_filter": q_weight_filter,
+        "q_bitfields": q_bitfields,
         "q_mva_filter": q_mva_filter,
         "q_mva_group": q_mva_group,
         "q_ordinal": q_ordinal,
@@ -744,7 +825,19 @@ ORDER BY docs DESC, word ASC LIMIT 20"""
 SELECT count(*) AS total_found FROM (
   SELECT DISTINCT doc_id FROM hits WHERE word IN ('table', 'scan'))"""
 
+    keywords = t + """
+SELECT word, count(DISTINCT doc_id) AS docs, count(*) AS hits
+FROM hits WHERE word IN ('table', 'scan', 'nosuchword')
+GROUP BY word ORDER BY word"""
+
+    weight_filter = and2 + f"""
+SELECT doc_id, {_W} AS weight FROM matched
+WHERE {_W} >= 1300
+ORDER BY weight DESC, doc_id ASC LIMIT 100"""
+
     out = {
+        "q_keywords": keywords,
+        "q_weight_filter": weight_filter,
         "q_term_bm25": _topk_sql(term),
         "q_and_bm25": _topk_sql(and2),
         "q_or_bm25": _topk_sql(or2),
@@ -968,7 +1061,34 @@ GROUP BY v ORDER BY v"""
 SELECT doc_id, dense_rank() OVER (ORDER BY source) AS source_ord
 FROM documents ORDER BY doc_id LIMIT 100"""
 
+    geo_sort = """
+SELECT event_id,
+  round(6384000.0 * 2 * asin(least(1.0, sqrt(
+      pow(sin((radians(37.0 + user_id % 10) - radians(37.5)) / 2), 2)
+      + cos(radians(37.0 + user_id % 10)) * cos(radians(37.5))
+        * pow(sin((radians(-122.0 + fmod(value, 5)) - radians(-122.5)) / 2), 2)
+  ))), 3) AS geodist_m
+FROM events ORDER BY geodist_m ASC, event_id ASC LIMIT 50"""
+
+    sort_random = """
+SELECT event_id, md5('seed42:' || CAST(event_id AS VARCHAR)) AS rnd
+FROM events ORDER BY rnd LIMIT 50"""
+
+    bitfields = """
+WITH proj AS (
+  SELECT event_id,
+         CAST(user_id % 13 AS INT) + (CAST(trunc(value) AS INT) % 50) * 16 AS packed
+  FROM events
+)
+SELECT (packed // 16) & 63 AS hi_bits, count(*) AS at_count,
+       min(event_id) AS first_event
+FROM proj WHERE (packed & 15) < 8
+GROUP BY 1 ORDER BY hi_bits"""
+
     return {
+        "q_geo_sort": geo_sort,
+        "q_sort_random": sort_random,
+        "q_bitfields": bitfields,
         "q_fullscan_filter": fullscan,
         "q_group_attr": group_attr,
         "q_group_day": group_day,
