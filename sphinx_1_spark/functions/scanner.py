@@ -164,6 +164,136 @@ def _special2simple(folded: int) -> tuple[bool, int]:
     return False, folded
 
 
+class MultiformContainer:
+    """Multi-word wordforms (CSphMultiformContainer, built by
+    LoadWordformContainer src/sphinx.cpp: lines `w1 w2 ... > normal`
+    with two or more source words; single-word lines belong in the
+    plain wordforms map).  Lines must already be in folded (lowercase)
+    form — the reference folds them through the index tokenizer."""
+
+    def __init__(self, lines):
+        # key (first source token) -> list of (continuation_tokens, normal)
+        self.by_key: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+        for no, line in enumerate(lines, 1):
+            if ">" not in line:
+                raise ValueError(f"multiforms line {no}: '>' not found")
+            left, right = line.split(">", 1)
+            src = left.split()
+            dst = right.split()
+            if len(src) < 2 or not dst:
+                raise ValueError(
+                    f"multiforms line {no}: need `w1 w2 ... > normal` "
+                    "(single-word mappings go in wordforms)"
+                )
+            self.by_key.setdefault(src[0], []).append((tuple(src[1:]), dst[0]))
+        self.max_tokens = max(
+            (len(c) + 1 for forms in self.by_key.values() for c, _ in forms),
+            default=0,
+        )
+
+    def key_min_max(self, key: str) -> tuple[int, int]:
+        forms = self.by_key[key]
+        lens = [len(c) for c, _ in forms]
+        return min(lens), max(lens)
+
+
+class _Stored:
+    __slots__ = (
+        "token", "start", "end", "overshorts", "boundary", "was_special"
+    )
+
+    def __init__(self, sc: "Scanner", token: str):
+        self.token = token
+        self.start = sc.token_start
+        self.end = sc.token_end
+        self.overshorts = sc.overshort_count
+        self.boundary = sc.token_boundary
+        self.was_special = sc.was_special
+
+
+class MultiformScanner:
+    """CSphTokenizer_Filter::GetToken (src/sphinx.cpp:4981-5092):
+    buffers tokens keyed by a multiform's first word, replaces matched
+    sequences with the normal form (span = first token start .. last
+    token end, overshorts from the first token, boundary cleared);
+    near-eof underflow emits the buffered head token unchanged."""
+
+    def __init__(self, scanner: "Scanner", container: MultiformContainer):
+        self.sc = scanner
+        self.mf = container
+        self._stored: list[_Stored] = []
+
+    def set_buffer(self, text: str) -> None:
+        self.sc.set_buffer(text)
+        self._stored = []
+        self.token_start = 0
+        self.token_end = 0
+        self.overshort_count = 0
+        self.token_boundary = False
+        self.was_special = False
+
+    def _next_stored(self):
+        tok = self.sc.get_token()
+        if tok is None:
+            return None
+        return _Stored(self.sc, tok)
+
+    def _expose(self, rec: _Stored) -> str:
+        self.token_start = rec.start
+        self.token_end = rec.end
+        self.overshort_count = rec.overshorts
+        self.token_boundary = rec.boundary
+        self.was_special = rec.was_special
+        return rec.token
+
+    def get_token(self) -> str | None:
+        stored = self._stored
+        if stored:
+            head = stored[0]
+        else:
+            head = self._next_stored()
+            if head is None:
+                self.token_start = self.token_end = 0
+                self.overshort_count = 0
+                self.token_boundary = self.was_special = False
+                return None
+        forms = self.mf.by_key.get(head.token)
+        if forms is None:
+            if stored:
+                stored.pop(0)
+            return self._expose(head)
+
+        if not stored:
+            stored.append(head)
+        kmin, kmax = self.mf.key_min_max(head.token)
+        needed = (kmax + 1) - len(stored)
+        for _ in range(needed):
+            nxt = self._next_stored()
+            if nxt is None:
+                break
+            stored.append(nxt)
+
+        if len(stored) <= kmin:
+            return self._expose(stored.pop(0))
+
+        for cont, normal in forms:
+            if len(stored) <= len(cont):
+                continue
+            if all(
+                stored[j + 1].token == cont[j] for j in range(len(cont))
+            ):
+                per = 1 + len(cont)
+                self.token_start = stored[0].start
+                self.token_end = stored[per - 1].end
+                self.overshort_count = stored[0].overshorts
+                self.token_boundary = False
+                self.was_special = False
+                del stored[:per]
+                return normal
+
+        return self._expose(stored.pop(0))
+
+
 class Scanner:
     """Streaming GetToken over one text buffer.
 

@@ -78,6 +78,10 @@ class TokenizerSettings:
     boundary_step: int = 0
     # escaped: backslash-escaping query-parser clone mode
     escaped: bool = False
+    # multiforms: multi-word wordforms, raw "w1 w2 ... > normal"
+    # lines in folded form (CSphMultiformContainer + the token filter
+    # CSphTokenizer_Filter, src/sphinx.cpp:4954-5092)
+    multiforms: tuple = ()
     # index_exact_words: additionally index the raw (pre-morphology)
     # form of every token as "=<raw>", enabling =word exact-form
     # queries (src/sphinx.cpp:18700-18716; MAGIC_WORD_HEAD_NONSTEMMED
@@ -122,10 +126,11 @@ class Tokenizer:
         s = self.settings
         self._advanced = bool(
             s.specials or s.synonyms or s.ignore_chars or s.phrase_boundary
-            or s.escaped
+            or s.escaped or s.multiforms
         )
         self._lc = None
         self._syns: list = []
+        self._multiforms = None
 
     def _build_lc(self):
         """Flagged lowercaser + synonyms for the scalar scanner
@@ -176,12 +181,22 @@ class Tokenizer:
 
         if self._lc is None:
             self._build_lc()
-        return Scanner(
+        sc = Scanner(
             self._lc,
             self._syns,
             self.settings.min_word_len,
             self.settings.escaped,
         )
+        if self.settings.multiforms:
+            from sphinx_1_spark.functions.scanner import (
+                MultiformContainer,
+                MultiformScanner,
+            )
+
+            if self._multiforms is None:
+                self._multiforms = MultiformContainer(self.settings.multiforms)
+            return MultiformScanner(sc, self._multiforms)
+        return sc
 
     # ------------------------------------------------------------------
     def _normalize(self, tok: str) -> str:
