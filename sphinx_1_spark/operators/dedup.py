@@ -254,22 +254,24 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     toks = toks.select("doc_id", h.alias("h"))
-    bits = toks.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"), "h"
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1)
-        .otherwise(-1)
-        .alias("v"),
-    )
-    agg = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
-    fp = agg.groupBy("doc_id").agg(
+    # one hash-aggregate with 60 per-bit vote sums (map-side partial
+    # combine, single doc_id shuffle) instead of exploding 60 rows per
+    # token; identical votes/fingerprint definition
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-        ).alias("simhash")
-    )
-    return fp
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(60)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for i in range(60):
+        acc = acc + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -277,16 +279,27 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """(a, b, hamming): pairs within hamming distance via 15-bit-chunk
     LSH (4 chunks over 60 bits; exact for max_hamming <= 3)."""
-    fp = simhash64(docs, text_col)
-    chunks = None
-    for c in range(4):
-        part = fp.select(
-            "doc_id",
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(0x7FFF).alias("key"),
-            "simhash",
-        )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    # persist the fingerprints: the relation feeds both join sides
+    # (and previously 4 union branches), which would otherwise re-run
+    # the aggregation lineage per branch
+    fp = simhash64(docs, text_col).persist()
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(0x7FFF)
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "key"])
@@ -294,15 +307,19 @@ def simhash_neardup_pairs(
         .select(
             F.col("x.doc_id").alias("a"),
             F.col("y.doc_id").alias("b"),
-            F.col("x.simhash").alias("fa"),
-            F.col("y.simhash").alias("fb"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
         )
+    )
+    # hamming filter BEFORE the dedup of multi-chunk matches: bit_count
+    # is codegen-cheap, and it shrinks the distinct's shuffle to the
+    # near-dup survivors
+    return (
+        cand.where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
         .distinct()
     )
-    out = cand.withColumn(
-        "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    ).where(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
-    return out
 
 
 # ----------------------------------------------------------------------
