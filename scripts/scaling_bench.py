@@ -32,6 +32,10 @@ def run_once(cores: int, n_pages: int, seed: int = 42) -> dict:
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "8g")
+        # tmpfs shuffle scratch = the cluster's local NVMe; the
+        # sandbox virtual disk otherwise serializes shuffle IO and
+        # caps scaling regardless of cores
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
@@ -50,8 +54,11 @@ def run_once(cores: int, n_pages: int, seed: int = 42) -> dict:
         try:
             t0 = time.perf_counter()
             # the production job: strip -> tokenize -> postings agg ->
-            # VLB block encode -> parquet segment + dictionary + manifest
-            build_segments(pages, out_dir, n_shards=1)
+            # VLB block encode -> parquet segment + dictionary + manifest.
+            # encode_partitions is pinned so both cluster sizes run the
+            # IDENTICAL job (same shuffle layout, same emitted blocks) —
+            # cluster size must change throughput only, not the work.
+            build_segments(pages, out_dir, n_shards=1, encode_partitions=128)
             dt = time.perf_counter() - t0
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)

@@ -199,7 +199,8 @@ class MultiformContainer:
 
 class _Stored:
     __slots__ = (
-        "token", "start", "end", "overshorts", "boundary", "was_special"
+        "token", "start", "end", "overshorts", "boundary",
+        "boundary_offset", "was_special",
     )
 
     def __init__(self, sc: "Scanner", token: str):
@@ -208,6 +209,7 @@ class _Stored:
         self.end = sc.token_end
         self.overshorts = sc.overshort_count
         self.boundary = sc.token_boundary
+        self.boundary_offset = sc.boundary_offset
         self.was_special = sc.was_special
 
 
@@ -230,6 +232,7 @@ class MultiformScanner:
         self.token_end = 0
         self.overshort_count = 0
         self.token_boundary = False
+        self.boundary_offset = -1
         self.was_special = False
 
     def _next_stored(self):
@@ -243,6 +246,7 @@ class MultiformScanner:
         self.token_end = rec.end
         self.overshort_count = rec.overshorts
         self.token_boundary = rec.boundary
+        self.boundary_offset = rec.boundary_offset
         self.was_special = rec.was_special
         return rec.token
 

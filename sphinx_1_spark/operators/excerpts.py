@@ -38,6 +38,7 @@ tokenizer built once per executor process.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from dataclasses import replace as replace_settings
 
 import pandas as pd
 
@@ -155,35 +156,32 @@ def _scan_tokens(
     text: str,
     tokenizer: Tokenizer,
     keywords: list[_Keyword],
-    boundary_chars: str,
 ) -> list[_Tok]:
     """Source scan -> covering token stream (BuildExcerpt doc loop,
     src/sphinxexcerpt.cpp:250-330), driven by the real scalar scanner
-    so specials/duals/synonyms behave exactly like indexing does.
-    Junk between tokens splits at whitespace flips (AddJunk,
-    src/sphinxexcerpt.cpp:159-194); stopword hits become SPACE tokens
-    (wordid 0) keeping their source span."""
+    so specials/duals/synonyms/phrase boundaries behave exactly like
+    indexing does.  Junk between tokens splits at whitespace flips
+    with TOK_BREAK inserted at the tokenizer's phrase-boundary offset
+    (AddJunk, src/sphinxexcerpt.cpp:159-194); stopword hits become
+    SPACE tokens (wordid 0) keeping their source span."""
     s = tokenizer.settings
     toks: list[_Tok] = []
 
-    def add_junk(start: int, length: int) -> None:
+    def add_junk(start: int, length: int, boundary: int) -> None:
         if length <= 0:
             return
         chunk = start
-        boundary_seen = False
+        saved = 0
         for i in range(start + 1, start + length):
             if (text[i] in _SPACE_CHARS) != (text[chunk] in _SPACE_CHARS):
                 toks.append(_Tok(TOK_SPACE, chunk, i - chunk, 0))
-                if boundary_chars and not boundary_seen and any(
-                    c in boundary_chars for c in text[chunk:i]
-                ):
-                    toks.append(_Tok(TOK_BREAK, 0, 0, 0))
-                    boundary_seen = True
+                saved += i - chunk
                 chunk = i
+                if boundary != -1 and saved > boundary - start:
+                    toks.append(_Tok(TOK_BREAK, 0, 0, 0))
+                    boundary = -1
         toks.append(_Tok(TOK_SPACE, chunk, start + length - chunk, 0))
-        if boundary_chars and any(
-            c in boundary_chars for c in text[chunk:start + length]
-        ):
+        if boundary != -1:
             toks.append(_Tok(TOK_BREAK, 0, 0, 0))
 
     sc = tokenizer.make_scanner()
@@ -194,7 +192,11 @@ def _scan_tokens(
         if tok is None:
             break
         start, end = sc.token_start, sc.token_end
-        add_junk(last_end, start - last_end)
+        add_junk(
+            last_end,
+            start - last_end,
+            sc.boundary_offset if sc.token_boundary else -1,
+        )
         norm = tokenizer._normalize(tok)
         if norm in s.stopwords:
             toks.append(_Tok(TOK_SPACE, start, end - start, 0))
@@ -203,7 +205,11 @@ def _scan_tokens(
                 _Tok(TOK_WORD, start, end - start, _match_mask(norm, keywords))
             )
         last_end = end
-    add_junk(last_end, len(text) - last_end)
+    add_junk(
+        last_end,
+        len(text) - last_end,
+        sc.boundary_offset if sc.token_boundary else -1,
+    )
     toks.append(_Tok(TOK_NONE, 0, 0, 0))
     return toks
 
@@ -567,9 +573,19 @@ def build_excerpt(
         tk = tokenizer
     else:
         tk = Tokenizer(tokenizer)
+    if (
+        q.use_boundaries
+        and q.boundary_chars
+        and not tk.settings.phrase_boundary
+    ):
+        # convenience: explicit boundary chars build a boundary-aware
+        # tokenizer when the index settings carry none
+        spec = ", ".join(f"U+{ord(c):04X}" for c in q.boundary_chars)
+        tk = Tokenizer(
+            replace_settings(tk.settings, phrase_boundary=spec)
+        )
     keywords = _parse_keywords(words, tk)
-    boundary = q.boundary_chars if q.use_boundaries else ""
-    toks = _scan_tokens(text, tk, keywords, boundary)
+    toks = _scan_tokens(text, tk, keywords)
     source_codes = sum(t.length for t in toks)
 
     gen = _Generator(text, toks, keywords, q)

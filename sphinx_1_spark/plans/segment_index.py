@@ -129,6 +129,7 @@ def build_segments(
     with_positions: bool = True,
     docid_mode: str = "fingerprint",
     lineage_extra: dict | None = None,
+    encode_partitions: int | None = None,
 ) -> list[str]:
     """Resumable sharded build: shard i <- urls with xxhash64(url)%n == i.
 
@@ -154,7 +155,15 @@ def build_segments(
 
         hits = build_hits_fused(docs, "docid", "html", tok)
         docinfo = docs.select("docid", "url", "warc_ts", "lang")
-        blocks = encode_blocks_from_hits(hits, with_positions=with_positions)
+        # encode_partitions: pass an explicit value (sized from data
+        # volume, e.g. hits_bytes/128MB) to make the emitted block
+        # stream byte-identical regardless of cluster size; None
+        # derives it from the session's parallelism
+        blocks = encode_blocks_from_hits(
+            hits,
+            with_positions=with_positions,
+            num_partitions=encode_partitions,
+        )
         lineage = {
             "shard": shard,
             "n_shards": n_shards,

@@ -48,4 +48,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Shuffle scratch on tmpfs when available: the sandbox's virtual
+    # disk serializes shuffle IO and caps multi-core scaling; real
+    # clusters put spark.local.dir on local NVMe, which tmpfs stands
+    # in for here.
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     return builder.getOrCreate()

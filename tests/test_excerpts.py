@@ -83,6 +83,108 @@ def test_excerpts_golden_test18(vi, mwl, stops, syns, runs):
             )
 
 
+def test_excerpts_golden_test40_wildcards():
+    """test_40 'excerpts - wildcard matches': star keywords (prefix /
+    suffix / infix) over ASCII and Cyrillic docs, single config
+    (default utf-8 charset, min_word_len=1)."""
+    model = loads(open("/root/reference/test/test_40/model.bin", "rb").read())
+    flat = model[0][0]
+    docs = [
+        "He caught fish in deep pools with invisible fingers and ate them raw.",
+        "Невидимыми пальцами ловил он рыбу в глубоких омутах и ел её сырой.",
+    ]
+    tk = Tokenizer(TokenizerSettings())
+    opts = ExcerptOptions(
+        before_match="[B]", after_match="[A]", chunk_separator=" ... ",
+        limit=100, around=2,
+    )
+    # flat = [q, [excerpt], q, [excerpt], ...]; first 5 queries run on
+    # docs[0], the next 5 on docs[1]
+    for i in range(0, len(flat), 2):
+        q, want = flat[i], flat[i + 1][0]
+        doc = docs[0] if i < 10 else docs[1]
+        got = build_excerpt(doc, q, opts, tk)
+        assert got == want, f"query {q!r}\n  want {want!r}\n  got  {got!r}"
+
+
+def test_excerpts_golden_test56_boundaries():
+    """test_56 'excerpts & boundaries' (utf-8): use_boundaries passages
+    from phrase_boundary='.' with exact_phrase / weight_order combos,
+    morphology=stem_enru, min_word_len=3."""
+    model = loads(open("/root/reference/test/test_56/model.bin", "rb").read())
+    runs = model[0][0]
+    tk = Tokenizer(
+        TokenizerSettings(
+            min_word_len=3,
+            morphology=("stem_enru",),
+            phrase_boundary=".",
+            boundary_step=100,
+        )
+    )
+    d0 = (
+        "С другом в саду я сидел. Мокрый склонился бамбук. "
+        "Я шел по склону Фудзи. Старую женщину я."
+    )
+    d1 = "Я шел по склону Фудзи. Старую женщину я."
+    d2 = (
+        "С другом в саду я сидел. Мокрый склонился бамбук. "
+        "Я шел по склону Фудзи. Старую женщину я.  Шел не зная куда. "
+    )
+
+    def opts(weight_order, exact_phrase):
+        return ExcerptOptions(
+            chunk_separator="###",
+            limit=20,
+            use_boundaries=True,
+            weight_order=weight_order,
+            exact_phrase=exact_phrase,
+        )
+
+    cases = [
+        ([d0, d1], "шел", opts(False, False), runs[0]),
+        ([d2], "шел по склону", opts(False, True), runs[1]),
+        ([d2], "шел по склону", opts(True, True), runs[2]),
+        ([d2], "шел по склону", opts(True, False), runs[3]),
+    ]
+    for docs, words, o, want in cases:
+        for doc, exp in zip(docs, want):
+            got = build_excerpt(doc, words, o, tk)
+            assert got == exp, (
+                f"words={words!r} opts={o}\n  want {exp!r}\n  got  {got!r}"
+            )
+
+
+def test_excerpts_golden_test51_exact_phrase():
+    """test_51 'snippets vs exact_phrase': default options + exact
+    phrase passages over a multi-line document."""
+    model = loads(open("/root/reference/test/test_51/model.bin", "rb").read())
+    runs = model[0][0]  # [q1, [excerpt1], q2, [excerpt2]]
+    text = (
+        "\tone perfusate chubby profound chubby multiplicity promontory\n"
+        "\tchubby pilotfish pilotfish chubby bisect pilotfish perfusate\n"
+        "\tmultiplicity whichsoever pilotfish INVALID CAJUPUT reedbuck\n"
+        "\twhichsoever disposition felspar pilotfish reedbuck pilotfish\n"
+        "\tdetestable\n"
+        "\n"
+        "\ttwo bisect reedbuck whichsoever profound comforter detestable\n"
+        "\tbisect comforter CAJUPUT felspar INVALID humanism profound multiplicity\n"
+        "\tpromontory profound reedbuck perfusate promontory felspar\n"
+        "\tmultiplicity reedbuck profound profound whirligig detestable\n"
+        "\twhirligig INVALID\n"
+        "\n"
+        "\tthree pilotfish promontory CAJUPUT INVALID CAJUPUT INVALID EXPOSITOR\n"
+        "\twhirligig felspar disposition pilotfish chubby promontory\n"
+        "\tpilotfish INVALID CAJUPUT detestable INVALID felspar whichsoever profound\n"
+        "\twhichsoever comforter humanism detestable promontory comforter\n"
+        "\tchubby CAJUPUT INVALID humanism CAJUPUT"
+    )
+    tk = Tokenizer(TokenizerSettings())
+    for i in range(0, len(runs), 2):
+        q, want = runs[i], runs[i + 1][0]
+        got = build_excerpt(text, q, ExcerptOptions(exact_phrase=True), tk)
+        assert got == want, f"query {q!r}\n  want {want!r}\n  got  {got!r}"
+
+
 def test_excerpts_star_and_phrase():
     """Star wildcard + exact_phrase paths (no reference golden for
     these options in test_18; assert the behavioral contract)."""
