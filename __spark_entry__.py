@@ -422,6 +422,29 @@ def q_group_week(spark, sf_dir):
     return out.select(F.col("groupkey").alias("week"), "at_count", "max_value")
 
 
+def q_group_month(spark, sf_dir):
+    """GROUPBY_MONTH + GROUPBY_YEAR rollup in one result
+    (src/sphinxsort.cpp:240-245): per-month count/sum plus the
+    derived year bucket."""
+    from sphinx_1_spark.plans.attrs import group_key, group_query
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    out = group_query(
+        ev,
+        "ts",
+        group_func="month",
+        aggs=[F.round(F.sum("value"), 6).alias("sum_value")],
+        order_by=[F.col("groupkey").asc()],
+        limit=24,
+    )
+    return out.select(
+        F.col("groupkey").alias("month"),
+        F.date_trunc("year", F.col("groupkey")).cast("date").alias("year"),
+        "at_count",
+        "sum_value",
+    )
+
+
 def q_select_exprs(spark, sf_dir):
     """Expression engine (src/sphinxexpr.cpp:325-353): IF, INTERVAL,
     IDIV, MADD, GEODIST with reference constants."""
@@ -659,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_attr": q_group_attr,
         "q_group_day": q_group_day,
         "q_group_week": q_group_week,
+        "q_group_month": q_group_month,
         "q_select_exprs": q_select_exprs,
         "q_killlist_union": q_killlist_union,
         "q_sort_multi": q_sort_multi,
@@ -1000,6 +1024,12 @@ SELECT date_trunc('day', ts)::DATE AS day, count(*) AS at_count,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1 ORDER BY day LIMIT 40"""
 
+    group_month = """
+SELECT date_trunc('month', ts)::DATE AS month,
+       date_trunc('year', ts)::DATE AS year,
+       count(*) AS at_count, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY month LIMIT 24"""
+
     group_week = """
 SELECT (ts::DATE - CAST(dayofweek(ts) AS INT)) AS week, count(*) AS at_count,
        round(max(value), 6) AS max_value
@@ -1093,6 +1123,7 @@ GROUP BY 1 ORDER BY hi_bits"""
         "q_group_attr": group_attr,
         "q_group_day": group_day,
         "q_group_week": group_week,
+        "q_group_month": group_month,
         "q_select_exprs": select_exprs,
         "q_killlist_union": killlist,
         "q_sort_multi": sort_multi,

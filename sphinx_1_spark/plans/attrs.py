@@ -40,9 +40,7 @@ def group_key(col: Column, func: str = "attr") -> Column:
         return F.date_trunc("day", col).cast("date")
     if func == "week":
         # Sunday-start week like localtime tm_wday arithmetic
-        return F.date_sub(F.col("_gk_date"), 0) if False else F.date_sub(
-            col.cast("date"), (F.dayofweek(col) - 1)
-        )
+        return F.date_sub(col.cast("date"), F.dayofweek(col) - 1)
     if func == "month":
         return F.date_trunc("month", col).cast("date")
     if func == "year":
