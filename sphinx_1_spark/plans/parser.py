@@ -73,6 +73,7 @@ class _Lexer:
     def __init__(self, text: str, tokenizer: Tokenizer, field_names: list[str]):
         self.toks: list[tuple[str, object]] = []
         self.field_names = [f.lower() for f in field_names]
+        self._atom_base = 0
         pos = 0
         for m in _TOKEN_RE.finditer(text):
             if m.start() != pos:
@@ -90,11 +91,18 @@ class _Lexer:
                 # fold through the document tokenizer; a "word" chunk may
                 # split into several keywords (e.g. "i-phone" won't reach
                 # here since '-' lexes as NOT, but "ab.cd" does).  The
-                # payload is (normalized_or_None, raw_folded): =exact
-                # terms use the raw form (CSphDictExact semantics),
-                # stopword-dropped keywords carry None
-                for norm, raw in tokenizer.tokenize_with_raw(m.group("word")):
-                    self.toks.append(("WORD", (norm, raw)))
+                # payload is (normalized_or_None, raw_folded, atom_pos):
+                # =exact terms use the raw form (CSphDictExact
+                # semantics); stopword keywords carry None but still
+                # occupy their atom position, so phrases keep gaps
+                # (XQParser m_iAtomPos, src/sphinxquery.cpp:393,434-443)
+                entries = tokenizer._full_stream(m.group("word"))
+                for raw, norm, apos in entries:
+                    self.toks.append(
+                        ("WORD", (norm, raw, self._atom_base + apos))
+                    )
+                if entries:
+                    self._atom_base += entries[-1][2]
         self.i = 0
 
     def _parse_field(self, spec: str) -> tuple[int, int]:
@@ -251,7 +259,7 @@ class QueryParser:
                 raise QueryParseError("expected keyword after '='/'^'")
             return None
         self._lex.next()
-        norm, raw = val
+        norm, raw, pos = val
         if exact:
             # exact-form term: raw (pre-morphology) word id with the
             # nonstemmed marker (CSphDictExact, src/sphinx.cpp:10780);
@@ -261,7 +269,7 @@ class QueryParser:
             return None  # stopword keyword -> null node (SweepNulls)
         else:
             word = norm
-        w = QWord(word, self._next_qpos(), field_start=field_start, exact=exact)
+        w = QWord(word, pos, field_start=field_start, exact=exact)
         if self._lex.peek()[0] == "$":
             self._lex.next()
             w.field_end = True
@@ -279,9 +287,9 @@ class QueryParser:
                 break
             if kind == "WORD":
                 self._lex.next()
-                norm, _raw = val
+                norm, _raw, pos = val
                 if norm is not None:
-                    words.append(QWord(norm, self._next_qpos()))
+                    words.append(QWord(norm, pos))
             else:
                 # phrasetoken rules: operators inside quotes are ignored
                 self._lex.next()
