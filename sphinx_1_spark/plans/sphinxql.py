@@ -68,6 +68,9 @@ class SelectStmt:
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     offset: int = 0
     limit: int = 20
+    # OPTION name=value pairs (sphinxql.y:310-327): ranker and
+    # max_matches are honored; others are carried for inspection
+    options: dict = field(default_factory=dict)
 
 
 class Parser:
@@ -122,6 +125,14 @@ class Parser:
                 stmt.offset, stmt.limit = a, int(self.next())
             else:
                 stmt.limit = a
+        if self.accept("OPTION"):
+            while True:
+                name = self.next().lower()
+                self.expect("=")
+                val = self.next()
+                stmt.options[name] = int(val) if val.isdigit() else val
+                if not self.accept(","):
+                    break
         if self.peek() is not None:
             raise SphinxQLError(f"trailing tokens: {self.toks[self.i:]}")
         return stmt
@@ -233,8 +244,12 @@ def execute(
     if stmt.match is not None:
         if index is None:
             raise SphinxQLError("MATCH() requires an index")
+        max_matches = int(stmt.options.get("max_matches", 1 << 30))
         ranked = index.search(
-            stmt.match, limit=1 << 30, max_matches=1 << 30
+            stmt.match,
+            ranker=stmt.options.get("ranker"),
+            limit=max_matches,
+            max_matches=max_matches,
         )
         base = ranked if df is None else ranked.join(df, docid_col, "inner")
     else:

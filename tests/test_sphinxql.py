@@ -70,3 +70,20 @@ def test_execute_match(spark, docs_index):
     assert rows
     ws = [(r["weight"], r["id"]) for r in rows]
     assert ws == sorted(ws, key=lambda t: (-t[0], t[1]))
+
+
+def test_option_clause(spark, docs_index):
+    from sphinx_1_spark.plans.sphinxql import parse_select
+
+    s = parse_select(
+        "SELECT @id FROM documents WHERE MATCH('table') "
+        "LIMIT 5 OPTION ranker=bm25, max_matches=100"
+    )
+    assert s.options == {"ranker": "bm25", "max_matches": 100}
+    rows = sphinxql(
+        "SELECT @id, @weight FROM documents WHERE MATCH('table scan') "
+        "ORDER BY @weight DESC, @id ASC LIMIT 5 OPTION ranker=none",
+        index=docs_index,
+    ).collect()
+    # ranker NONE: every match weighs 1
+    assert rows and all(r["weight"] == 1 for r in rows)
