@@ -642,6 +642,44 @@ def q_sort_multi(spark, sf_dir):
     )
 
 
+def q_sphinxql(spark, sf_dir):
+    """SphinxQL SELECT end-to-end (grammar src/sphinxql.y:87-120,
+    searchd flow src/searchd.cpp:4657-4850): MATCH + attribute
+    conditions + ORDER BY pseudo-columns + LIMIT + OPTION ranker."""
+    from sphinx_1_spark.plans.sphinxql import sphinxql
+
+    idx = _docs_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("docid"), "lang", "n_chars"
+    )
+    out = sphinxql(
+        "SELECT @id, @weight, lang, n_chars FROM documents "
+        "WHERE MATCH('table scan') AND n_chars > 200 AND lang IN ('en', 'zh') "
+        "ORDER BY @weight DESC, @id ASC LIMIT 10 OPTION ranker=bm25",
+        df=docs,
+        index=idx,
+    )
+    return out.select(F.col("id").alias("doc_id"), "weight", "lang", "n_chars")
+
+
+def q_sphinxql_group(spark, sf_dir):
+    """SphinxQL grouped SELECT: COUNT(*), COUNT(DISTINCT attr) with
+    GROUP BY + ORDER BY (sphinxql.y:112-117 aggregates)."""
+    from sphinx_1_spark.plans.sphinxql import sphinxql
+
+    idx = _docs_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("docid"), "lang", "source"
+    )
+    return sphinxql(
+        "SELECT lang, COUNT(*) AS cnt, COUNT(DISTINCT source) AS uniq_src "
+        "FROM documents WHERE MATCH('table') "
+        "GROUP BY lang ORDER BY lang ASC LIMIT 20",
+        df=docs,
+        index=idx,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_bm25": q_term_bm25,
@@ -695,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mva_filter": q_mva_filter,
         "q_mva_group": q_mva_group,
         "q_ordinal": q_ordinal,
+        "q_sphinxql": q_sphinxql,
+        "q_sphinxql_group": q_sphinxql_group,
     }
 
 
@@ -914,6 +954,18 @@ ORDER BY doc_id LIMIT 1000"""
     out["q_wildcard_count"] = t + """
 SELECT count(*) AS total_found FROM (
   SELECT DISTINCT doc_id FROM hits WHERE word LIKE 'val%')"""
+
+    out["q_sphinxql"] = and2 + f"""
+SELECT m.doc_id, {_W} AS weight, d.lang, d.n_chars
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.n_chars > 200 AND d.lang IN ('en', 'zh')
+ORDER BY weight DESC, m.doc_id ASC LIMIT 10"""
+
+    out["q_sphinxql_group"] = t + """
+, m AS (SELECT DISTINCT doc_id FROM hits WHERE word = 'table')
+SELECT d.lang, count(*) AS cnt, count(DISTINCT d.source) AS uniq_src
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.lang ORDER BY lang ASC LIMIT 20"""
 
     out.update(_two_field_oracles())
     out.update(_pipeline_oracles())

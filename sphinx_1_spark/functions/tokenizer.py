@@ -87,6 +87,20 @@ class TokenizerSettings:
     # queries (src/sphinx.cpp:18700-18716; MAGIC_WORD_HEAD_NONSTEMMED
     # is spelled "=" here — '=' can never occur inside a token)
     index_exact_words: bool = False
+    # index-time substring expansion (src/sphinx.cpp:18596-18663,
+    # MAGIC_WORD_HEAD spelled "*" — '*' never occurs inside a token):
+    #   min_prefix_len > 0: every token additionally indexed as
+    #     "*<prefix>" for each prefix of length >= min_prefix_len
+    #     (including the full word), so `word*` queries are a single
+    #     O(1) dictionary lookup instead of a dictionary scan.
+    #   min_infix_len > 0: every substring of length >= min_infix_len
+    #     indexed as "*<substring>", serving `*word*` contains
+    #     queries the same way (O(len^2) index blowup, as in the
+    #     reference).  Mutually exclusive, prefix wins if both set.
+    # Expanded hits share the source token's position (field-end bit
+    # included), so phrases over starred terms stay positional.
+    min_prefix_len: int = 0
+    min_infix_len: int = 0
 
 
 class Tokenizer:
