@@ -642,6 +642,76 @@ def q_sort_multi(spark, sf_dir):
     )
 
 
+def _docs_index_prefix(spark: SparkSession, sf_dir: str):
+    """min_prefix_len=3 index: every token also indexed as its
+    "*"-marked prefixes (src/sphinx.cpp:18596-18663), so `word*` is a
+    single dictionary lookup at any scale."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+
+    key = ("documents_prefix", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = SphinxIndex.build(
+            docs,
+            IndexSettings(
+                docid_col="doc_id",
+                fields=("text",),
+                tokenizer=TokenizerSettings(min_prefix_len=3),
+            ),
+        )
+        _INDEX_CACHE[key] = idx.persist()
+    return _INDEX_CACHE[key]
+
+
+def q_prefix_bm25(spark, sf_dir):
+    """`word*` on an index-time prefix-expanded index: the starred
+    term compiles to ONE marked-term posting scan (no dictionary
+    scan), tf = occurrences of any 'tab'-prefixed token."""
+    idx = _docs_index_prefix(spark, sf_dir)
+    return _topk(idx, "tab*", ranker="bm25", k=10)
+
+
+def q_infix_count(spark, sf_dir):
+    """`*word*` contains-match on a min_infix_len index: one marked
+    substring-term lookup; count = docs with any token containing
+    'abl' (src/sphinx.cpp:10700-10770 star dispatch)."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+
+    key = ("documents_infix", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = SphinxIndex.build(
+            docs,
+            IndexSettings(
+                docid_col="doc_id",
+                fields=("text",),
+                tokenizer=TokenizerSettings(min_infix_len=3),
+            ),
+        ).persist()
+    idx = _INDEX_CACHE[key]
+    plan, _ = idx.match("*abl*")
+    return plan.agg(F.count(F.lit(1)).alias("total_found"))
+
+
+def q_multi_batch(spark, sf_dir):
+    """Multi-query batch over one shared posting scan (AddQuery/
+    RunQueries, src/searchd.cpp:3869-3918): two queries' top-10,
+    tagged, off a single wordid-union slice."""
+    from sphinx_1_spark.plans.multi import batch_search
+
+    idx = _docs_index(spark, sf_dir)
+    out = batch_search(
+        idx,
+        [
+            ("q1", "table scan", {"ranker": "bm25", "limit": 10}),
+            ("q2", "window", {"ranker": "bm25", "limit": 10}),
+        ],
+    )
+    return out.select("query", F.col("docid").alias("doc_id"), "weight")
+
+
 def q_sphinxql(spark, sf_dir):
     """SphinxQL SELECT end-to-end (grammar src/sphinxql.y:87-120,
     searchd flow src/searchd.cpp:4657-4850): MATCH + attribute
@@ -735,6 +805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ordinal": q_ordinal,
         "q_sphinxql": q_sphinxql,
         "q_sphinxql_group": q_sphinxql_group,
+        "q_prefix_bm25": q_prefix_bm25,
+        "q_infix_count": q_infix_count,
+        "q_multi_batch": q_multi_batch,
     }
 
 
@@ -954,6 +1027,55 @@ ORDER BY doc_id LIMIT 1000"""
     out["q_wildcard_count"] = t + """
 SELECT count(*) AS total_found FROM (
   SELECT DISTINCT doc_id FROM hits WHERE word LIKE 'val%')"""
+
+    # prefix-expanded index: the "*tab" term's tf per doc = number of
+    # 'tab'-prefixed token occurrences; df = docs with any such token
+    prefix = t + """
+, pre AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM hits WHERE word LIKE 'tab%' GROUP BY doc_id
+), idfv AS (
+  SELECT ln((n.n - df + 1)/df) / (2*1*ln(1+n.n)) AS idf
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS df FROM pre), ndocs n
+), matched AS (
+  SELECT doc_id, tf/(tf+1.2) * (SELECT idf FROM idfv) AS tfidf FROM pre
+)"""
+    out["q_prefix_bm25"] = _topk_sql(prefix)
+
+    out["q_infix_count"] = t + """
+SELECT count(*) AS total_found FROM (
+  SELECT DISTINCT doc_id FROM hits WHERE word LIKE '%abl%')"""
+
+    # two independent scoring pipelines (q differs: 2 terms vs 1), each
+    # top-10'd then tagged and unioned — the batch-query oracle
+    out["q_multi_batch"] = t + """
+, stats1 AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM hits WHERE word IN ('table', 'scan') GROUP BY word
+), idf1 AS (
+  SELECT word, ln((n.n - df + 1)/df) / (2*2*ln(1+n.n)) AS idf
+  FROM stats1, ndocs n
+), tf1 AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+  FROM hits WHERE word IN ('table', 'scan') GROUP BY doc_id, word
+), ta AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf1 WHERE word='table'), 0) AS tfidf FROM tf1 WHERE word='table')
+, tb AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf1 WHERE word='scan'), 0) AS tfidf FROM tf1 WHERE word='scan')
+, m1 AS (SELECT ta.doc_id, ta.tfidf + tb.tfidf AS tfidf FROM ta JOIN tb ON ta.doc_id = tb.doc_id)
+, stats2 AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM hits WHERE word = 'window'
+), idf2 AS (
+  SELECT ln((n.n - df + 1)/df) / (2*1*ln(1+n.n)) AS idf FROM stats2, ndocs n
+), m2 AS (
+  SELECT doc_id, tf0/(tf0+1.2) * (SELECT idf FROM idf2) AS tfidf
+  FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf0
+        FROM hits WHERE word = 'window' GROUP BY doc_id)
+)
+(SELECT 'q1' AS query, doc_id, """ + _W + """ AS weight FROM m1
+ ORDER BY weight DESC, doc_id ASC LIMIT 10)
+UNION ALL
+(SELECT 'q2' AS query, doc_id, """ + _W + """ AS weight FROM m2
+ ORDER BY weight DESC, doc_id ASC LIMIT 10)"""
 
     out["q_sphinxql"] = and2 + f"""
 SELECT m.doc_id, {_W} AS weight, d.lang, d.n_chars

@@ -471,6 +471,28 @@ class Tokenizer:
                 if pos == last_pos:
                     wp |= HIT_FIELD_END
                 out.append((tok, wp))
+        mp, mi = self.settings.min_prefix_len, self.settings.min_infix_len
+        if mp or mi:
+            # substring expansion over the emitted hits (both token
+            # paths), sharing each source hit's packed position
+            # (src/sphinx.cpp:18596-18663); "=" exact-form hits are
+            # never expanded (the reference expands only plain forms)
+            extra: list[tuple[str, int]] = []
+            for tok, wp in out:
+                if tok.startswith("="):
+                    continue
+                n = len(tok)
+                if mp:
+                    extra.extend(
+                        ("*" + tok[:ln], wp) for ln in range(mp, n + 1)
+                    )
+                else:
+                    extra.extend(
+                        ("*" + tok[i:j], wp)
+                        for i in range(n - mi + 1)
+                        for j in range(i + mi, n + 1)
+                    )
+            out.extend(extra)
         return out
 
     def tokenize_with_raw(self, text: str) -> list[tuple[str | None, str]]:

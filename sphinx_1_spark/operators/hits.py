@@ -86,8 +86,47 @@ def _field_hits_native(docid: Column, toks: Column, field_id: int) -> "Column":
     )
 
 
+def _star_expansions(word: Column, minp: int, mini: int) -> Column:
+    """Array of "*<substring>" expansions of one token (index-time
+    prefix/infix indexing, src/sphinx.cpp:18596-18663; the "*" marker
+    plays MAGIC_WORD_HEAD).  Prefix mode: every prefix of length >=
+    minp including the full word.  Infix mode: every substring of
+    length >= mini.  Empty array when the token is too short —
+    sequence() bounds are clamped then filtered so Spark never sees a
+    descending sequence(start > stop)."""
+    n = F.length(word)
+    if minp:
+        lens = F.filter(
+            F.sequence(F.lit(minp), F.greatest(n, F.lit(minp))),
+            lambda ln: ln <= n,
+        )
+        return F.transform(
+            lens, lambda ln: F.concat(F.lit("*"), word.substr(F.lit(1), ln))
+        )
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - mini + 1, F.lit(1))),
+        lambda i: i <= n - mini + 1,
+    )
+    return F.flatten(
+        F.transform(
+            starts,
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(F.lit(mini), F.greatest(n, F.lit(mini))),
+                    lambda ln: i + ln - 1 <= n,
+                ),
+                lambda ln: F.concat(F.lit("*"), word.substr(i, ln)),
+            ),
+        )
+    )
+
+
 def build_hits_native(
-    df: DataFrame, docid_col: str, fields: list[str]
+    df: DataFrame,
+    docid_col: str,
+    fields: list[str],
+    min_prefix_len: int = 0,
+    min_infix_len: int = 0,
 ) -> DataFrame:
     """Catalyst-only hit extraction for ASCII text fields.
 
@@ -106,10 +145,25 @@ def build_hits_native(
         for fid in range(len(fields))
     ]
     allhits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    return (
+    hits = (
         proj.select(F.explode(allhits).alias("h"))
         .select("h.docid", "h.word", "h.wordpos")
     )
+    if min_prefix_len or min_infix_len:
+        # second narrow explode (same codegen stage, no shuffle): each
+        # hit fans out into itself + its "*"-marked substring terms at
+        # the same packed position
+        w = F.col("word")
+        hits = hits.select(
+            "docid",
+            F.explode(
+                F.concat(
+                    F.array(w), _star_expansions(w, min_prefix_len, min_infix_len)
+                )
+            ).alias("word"),
+            "wordpos",
+        )
+    return hits
 
 
 def build_hits_fused(

@@ -14,7 +14,9 @@ src/sphinx.cpp:16262) onto declarative Spark plans:
 
 from __future__ import annotations
 
+import dataclasses
 import math
+import re
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
@@ -66,7 +68,15 @@ class SphinxIndex:
         self.docinfo = docinfo
         self.n_docs = n_docs
         self._tokenizer = Tokenizer(settings.tokenizer)
-        self._parser = QueryParser(self._tokenizer, list(settings.fields))
+        tk = settings.tokenizer
+        star_mode = (
+            "prefix" if tk.min_prefix_len
+            else "infix" if tk.min_infix_len
+            else "none"
+        )
+        self._parser = QueryParser(
+            self._tokenizer, list(settings.fields), star_mode=star_mode
+        )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -89,9 +99,21 @@ class SphinxIndex:
         parallelism = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < parallelism:
             df = df.repartition(parallelism)
-        native_ok = settings.tokenizer == TokenizerSettings()
+        # prefix/infix expansion is handled natively (a second narrow
+        # explode), so it does not disqualify the Catalyst fast path
+        tk = settings.tokenizer
+        native_ok = (
+            dataclasses.replace(tk, min_prefix_len=0, min_infix_len=0)
+            == TokenizerSettings()
+        )
         if settings.tokenizer_impl == "native" and native_ok:
-            hits = build_hits_native(df, settings.docid_col, list(settings.fields))
+            hits = build_hits_native(
+                df,
+                settings.docid_col,
+                list(settings.fields),
+                min_prefix_len=tk.min_prefix_len,
+                min_infix_len=tk.min_infix_len,
+            )
         else:
             hits = build_hits_arrow(
                 df, settings.docid_col, list(settings.fields), settings.tokenizer
@@ -171,13 +193,17 @@ class SphinxIndex:
 
         Spark-first equivalent of the reference's query-side star
         dictionaries (CSphDictStar/CSphDictStarV8,
-        src/sphinx.cpp:10612-10790) over a prefix/infix-expanded
-        index: the dictionary scan replaces index-side substring
-        expansion; an unmatched pattern matches nothing."""
-        import re
+        src/sphinx.cpp:10612-10790): the dictionary scan replaces
+        index-side substring expansion; an unmatched pattern matches
+        nothing.  Patterns the index's own "*"-namespace serves
+        (prefix mode `word*`, infix mode `*word*`) are left in place
+        for the parser, which compiles them to a single marked-term
+        dictionary lookup — the O(1) scale path."""
 
         def repl(m: "re.Match[str]") -> str:
             pat = m.group(0)
+            if self._star_served(pat):
+                return pat
             core = pat.strip("*").lower()
             if not core:
                 return pat
@@ -197,6 +223,23 @@ class SphinxIndex:
             return "(" + " | ".join(words) + ")"
 
         return re.sub(r"\*?[0-9a-zA-Z_]+\*|\*[0-9a-zA-Z_]+", repl, match)
+
+    def _star_served(self, pat: str) -> bool:
+        """True when the index's "*"-expanded namespace answers this
+        star pattern directly (one marked-term lookup, no dictionary
+        scan): `word*` on a min_prefix_len index, `*word*` on a
+        min_infix_len index (CSphDictStarV8 dispatch semantics,
+        src/sphinx.cpp:10700-10770)."""
+        tk = self.settings.tokenizer
+        core = pat.strip("*")
+        if not core or not re.fullmatch(r"[0-9a-zA-Z_]+", core):
+            return False
+        lead, trail = pat.startswith("*"), pat.endswith("*")
+        if tk.min_prefix_len and trail and not lead:
+            return len(core) >= tk.min_prefix_len
+        if tk.min_infix_len and trail and lead:
+            return len(core) >= tk.min_infix_len
+        return False
 
     def parse(self, match: str, mode: str = "extended2") -> XQNode:
         """Legacy match modes are rewritten to extended syntax

@@ -70,9 +70,16 @@ _TOKEN_RE = re.compile(
 
 
 class _Lexer:
-    def __init__(self, text: str, tokenizer: Tokenizer, field_names: list[str]):
+    def __init__(
+        self,
+        text: str,
+        tokenizer: Tokenizer,
+        field_names: list[str],
+        star_mode: str = "none",
+    ):
         self.toks: list[tuple[str, object]] = []
         self.field_names = [f.lower() for f in field_names]
+        self.star_mode = star_mode
         self._atom_base = 0
         pos = 0
         for m in _TOKEN_RE.finditer(text):
@@ -87,6 +94,34 @@ class _Lexer:
                 self.toks.append((m.group("op"), None))
             elif m.lastgroup == "field":
                 self.toks.append(("FIELD", self._parse_field(m.group("field"))))
+            elif (
+                self.star_mode != "none"
+                and m.group("word").endswith("*")
+                and "*" not in m.group("word").strip("*")
+                and m.group("word").strip("*")
+            ):
+                # starred keyword on a prefix/infix-expanded index:
+                # compile to the "*"-marked term — a single dictionary
+                # lookup against the index-time expansion namespace
+                # (CSphDictStarV8, src/sphinx.cpp:10700-10770).  The
+                # raw folded (pre-morphology) core is used, as the
+                # reference's star dicts bypass morphology.
+                entries = tokenizer._full_stream(m.group("word").strip("*"))
+                if len(entries) == 1:
+                    raw, _norm, apos = entries[0]
+                    self.toks.append(
+                        ("WORD", ("*" + raw, "*" + raw, self._atom_base + apos))
+                    )
+                    self._atom_base += apos
+                else:
+                    # multi-keyword core (e.g. "ab.cd*"): stars fold
+                    # as separators, keywords pass through plain
+                    for raw, norm, apos in entries:
+                        self.toks.append(
+                            ("WORD", (norm, raw, self._atom_base + apos))
+                        )
+                    if entries:
+                        self._atom_base += entries[-1][2]
             else:
                 # fold through the document tokenizer; a "word" chunk may
                 # split into several keywords (e.g. "i-phone" won't reach
@@ -139,13 +174,21 @@ class _Lexer:
 
 
 class QueryParser:
-    def __init__(self, tokenizer: Tokenizer, field_names: list[str]):
+    def __init__(
+        self,
+        tokenizer: Tokenizer,
+        field_names: list[str],
+        star_mode: str = "none",
+    ):
         self.tokenizer = tokenizer
         self.field_names = field_names
+        self.star_mode = star_mode
 
     # ------------------------------------------------------------------
     def parse(self, query: str) -> XQNode:
-        self._lex = _Lexer(query, self.tokenizer, self.field_names)
+        self._lex = _Lexer(
+            query, self.tokenizer, self.field_names, self.star_mode
+        )
         self._qpos = 0
         node = self._expr()
         kind, _ = self._lex.peek()
