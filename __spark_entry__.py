@@ -695,6 +695,71 @@ def q_infix_count(spark, sf_dir):
     return plan.agg(F.count(F.lit(1)).alias("total_found"))
 
 
+def q_show_meta(spark, sf_dir):
+    """SHOW META after a SELECT (src/searchd.cpp:5736+): last-query
+    total / total_found / per-keyword (docs, hits) stats.  The
+    nondeterministic `time` row is excluded from the gate compare."""
+    from sphinx_1_spark.plans.sphinxql import SphinxQLSession
+
+    idx = _docs_index(spark, sf_dir)
+    sess = SphinxQLSession(index=idx)
+    sess.execute(
+        "SELECT @id, @weight FROM documents WHERE MATCH('table scan') "
+        "ORDER BY @weight DESC, @id ASC LIMIT 10 OPTION ranker=bm25"
+    ).collect()
+    meta = sess.execute("SHOW META")
+    return meta.where(F.col("variable_name") != "time").orderBy(
+        "variable_name"
+    )
+
+
+def q_mode_phrase(spark, sf_dir):
+    """Legacy SPH_MATCH_PHRASE emulation (PrepareQueryEmulation,
+    src/sphinx.cpp:16179: quote + PROXIMITY ranker).  A full 2-word
+    phrase match has per-field LCS=2, so weight = 1000*(2^2) = 4000
+    for every match (LCS update src/sphinx.cpp:14084-14095)."""
+    idx = _docs_index(spark, sf_dir)
+    out = idx.search("table scan", mode="phrase", limit=10)
+    return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
+
+
+def q_attr_update(spark, sf_dir):
+    """UpdateAttributes (src/sphinx.cpp:7135) as copy-on-write: double
+    the value of every 97th event, then aggregate — proves the updated
+    relation, not the original, feeds downstream queries."""
+    from sphinx_1_spark.plans.attrs import update_attributes
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    updates = ev.where(F.col("event_id") % 97 == 0).select(
+        "event_id", (F.col("value") * 2).alias("value")
+    )
+    upd = update_attributes(ev, updates, ["value"], docid_col="event_id")
+    return (
+        upd.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("event_type")
+        .limit(20)
+    )
+
+
+def q_hitless_bm25(spark, sf_dir):
+    """Hitless term reader (ExtTermHitless_c, src/sphinx.cpp:11297):
+    an index built without position lists still serves bag-of-words
+    BM25 — tf/fieldmask live in the doclist, positions don't exist."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+
+    key = ("documents_hitless", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = SphinxIndex.build(
+            docs,
+            IndexSettings(
+                docid_col="doc_id", fields=("text",), with_positions=False
+            ),
+        ).persist()
+    return _topk(_INDEX_CACHE[key], "window", ranker="bm25", k=10)
+
+
 def q_multi_batch(spark, sf_dir):
     """Multi-query batch over one shared posting scan (AddQuery/
     RunQueries, src/searchd.cpp:3869-3918): two queries' top-10,
@@ -808,6 +873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_bm25": q_prefix_bm25,
         "q_infix_count": q_infix_count,
         "q_multi_batch": q_multi_batch,
+        "q_attr_update": q_attr_update,
+        "q_hitless_bm25": q_hitless_bm25,
+        "q_mode_phrase": q_mode_phrase,
+        "q_show_meta": q_show_meta,
     }
 
 
@@ -1045,6 +1114,40 @@ SELECT count(*) AS total_found FROM (
     out["q_infix_count"] = t + """
 SELECT count(*) AS total_found FROM (
   SELECT DISTINCT doc_id FROM hits WHERE word LIKE '%abl%')"""
+
+    # hitless index: same scoring pipeline, positions never consulted
+    out["q_hitless_bm25"] = out["q_term_bm25"]
+
+    out["q_show_meta"] = t + """
+, m AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT DISTINCT h1.doc_id FROM hits h1 JOIN hits h2 ON h1.doc_id = h2.doc_id
+    WHERE h1.word = 'table' AND h2.word = 'scan'))
+SELECT * FROM (
+  SELECT 'total' AS variable_name, CAST(least(c, 10) AS VARCHAR) AS value FROM m
+  UNION ALL SELECT 'total_found', CAST(c AS VARCHAR) FROM m
+  UNION ALL SELECT 'keyword[0]', 'table'
+  UNION ALL SELECT 'docs[0]', CAST((SELECT count(DISTINCT doc_id) FROM hits WHERE word='table') AS VARCHAR)
+  UNION ALL SELECT 'hits[0]', CAST((SELECT count(*) FROM hits WHERE word='table') AS VARCHAR)
+  UNION ALL SELECT 'keyword[1]', 'scan'
+  UNION ALL SELECT 'docs[1]', CAST((SELECT count(DISTINCT doc_id) FROM hits WHERE word='scan') AS VARCHAR)
+  UNION ALL SELECT 'hits[1]', CAST((SELECT count(*) FROM hits WHERE word='scan') AS VARCHAR)
+) ORDER BY variable_name"""
+
+    # legacy phrase mode: every full phrase match scores LCS=2 ->
+    # weight 1000*2^2; tiebreak docid asc
+    out["q_mode_phrase"] = t + """
+SELECT doc_id, 4000 AS weight FROM (
+  SELECT DISTINCT h1.doc_id
+  FROM hits h1 JOIN hits h2
+    ON h1.doc_id = h2.doc_id AND h2.pos = h1.pos + 1
+  WHERE h1.word = 'table' AND h2.word = 'scan')
+ORDER BY doc_id ASC LIMIT 10"""
+
+    out["q_attr_update"] = """
+SELECT event_type,
+       round(sum(CASE WHEN event_id % 97 = 0 THEN value * 2 ELSE value END), 6) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type LIMIT 20"""
 
     # two independent scoring pipelines (q differs: 2 terms vs 1), each
     # top-10'd then tagged and unioned — the batch-query oracle

@@ -118,3 +118,30 @@ def group_query(
     if order_by:
         grouped = grouped.orderBy(*order_by)
     return grouped.limit(limit)
+
+
+def update_attributes(
+    docinfo: DataFrame,
+    updates: DataFrame,
+    attrs: list[str],
+    docid_col: str = "docid",
+) -> DataFrame:
+    """UpdateAttributes (src/sphinx.cpp:7135-7290): poke new values
+    for the named attrs into matching docid rows.
+
+    The reference mutates the in-RAM .spa pool in place (binary-search
+    by docid, then widens the 128-row block min/max).  Tables here are
+    immutable, so this is copy-on-write: a broadcast left join +
+    coalesce produces the updated docinfo relation — semantically the
+    MERGE INTO of the batch world.  Docids absent from docinfo are
+    ignored (the reference returns the count of rows actually hit);
+    attrs not listed keep their old values.  Only scalar attrs are
+    updatable, as in 0.9.9 (no MVA/string update)."""
+    upd = updates.select(
+        F.col(docid_col),
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+    )
+    out = docinfo.join(F.broadcast(upd), docid_col, "left")
+    for a in attrs:
+        out = out.withColumn(a, F.coalesce(F.col(f"_new_{a}"), F.col(a)))
+    return out.drop(*[f"_new_{a}" for a in attrs])

@@ -48,6 +48,35 @@ def apply_killlists(
     return out
 
 
+def minimize_results(
+    results: list[DataFrame],
+    limit: int = 1000,
+    docid_col: str = "docid",
+) -> DataFrame:
+    """MinimizeAggrResult (src/searchd.cpp:3628-3820): when one query
+    spans several indexes, the per-index result sets are reduced to
+    their common attribute schema (intersection by column name, in
+    the first set's order), tagged with the index ordinal, unioned,
+    and re-sorted through a fresh queue (weight desc, docid asc —
+    sphinxsort.cpp:1159 comparator)."""
+    if not results:
+        raise ValueError("no result sets")
+    common = [
+        c
+        for c in results[0].columns
+        if all(c in r.columns for r in results[1:])
+    ]
+    if docid_col not in common or "weight" not in common:
+        raise ValueError("result sets must share docid and weight")
+    out = None
+    for tag, r in enumerate(results):
+        cur = r.select(*common).withColumn("tag", F.lit(tag))
+        out = cur if out is None else out.unionByName(cur)
+    return out.orderBy(
+        F.col("weight").desc(), F.col(docid_col).asc()
+    ).limit(limit)
+
+
 def batch_search(
     index,
     queries: list[tuple[str, str, dict]],

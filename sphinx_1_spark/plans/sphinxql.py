@@ -341,3 +341,61 @@ def sphinxql(
     sql: str, df: DataFrame | None = None, index=None, docid_col: str = "docid"
 ) -> DataFrame:
     return execute(parse_select(sql), df, index, docid_col)
+
+
+class SphinxQLSession:
+    """Stateful SphinxQL endpoint: SELECT statements update last-query
+    stats which SHOW META / SHOW WARNINGS then read — the MySQL-wire
+    session semantics of searchd (SHOW META handler
+    src/searchd.cpp:5736+; stats filled from CSphQueryResult,
+    src/sphinx.h:1752-1792)."""
+
+    def __init__(
+        self, df: DataFrame | None = None, index=None, docid_col: str = "docid"
+    ):
+        self.df = df
+        self.index = index
+        self.docid_col = docid_col
+        self._meta: list[tuple[str, str]] = []
+        self._warnings: list[str] = []
+        self._spark = (
+            df.sparkSession if df is not None
+            else index.spark if index is not None
+            else None
+        )
+
+    def execute(self, sql: str) -> DataFrame:
+        import time as _time
+
+        up = sql.strip().upper().rstrip(";")
+        if up == "SHOW META":
+            rows = self._meta or [("total", "0")]
+            return self._spark.createDataFrame(
+                rows, "variable_name string, value string"
+            )
+        if up == "SHOW WARNINGS":
+            return self._spark.createDataFrame(
+                [(i + 1, w) for i, w in enumerate(self._warnings)] or [],
+                "level int, message string",
+            )
+        if up.startswith("SHOW"):
+            raise SphinxQLError(f"unsupported SHOW statement: {sql!r}")
+
+        t0 = _time.perf_counter()
+        stmt = parse_select(sql)
+        out = execute(stmt, self.df, self.index, self.docid_col)
+        meta: list[tuple[str, str]] = []
+        if stmt.match is not None and self.index is not None:
+            plan, m = self.index.match(stmt.match)
+            total_found = plan.select("docid").distinct().count()
+            meta.append(("total", str(min(total_found, stmt.limit))))
+            meta.append(("total_found", str(total_found)))
+            meta.append(
+                ("time", f"{_time.perf_counter() - t0:.3f}")
+            )
+            for i, (w, (docs, hits)) in enumerate(m["stats"].items()):
+                meta.append((f"keyword[{i}]", w))
+                meta.append((f"docs[{i}]", str(docs)))
+                meta.append((f"hits[{i}]", str(hits)))
+        self._meta = meta
+        return out

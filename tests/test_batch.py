@@ -1,7 +1,11 @@
-"""Multi-query batch: shared posting scan (RunQueries,
-src/searchd.cpp:3869-3918)."""
+"""Multi-query batch (RunQueries, src/searchd.cpp:3869-3918), result
+minimize/merge (MinimizeAggrResult, src/searchd.cpp:3628-3820), and
+attribute update (UpdateAttributes, src/sphinx.cpp:7135)."""
 
-from sphinx_1_spark.plans.multi import batch_search
+from pyspark.sql import functions as F
+
+from sphinx_1_spark.plans.attrs import update_attributes
+from sphinx_1_spark.plans.multi import batch_search, minimize_results
 
 
 def test_batch_equals_individual(spark, docs_index):
@@ -24,3 +28,33 @@ def test_batch_equals_individual(spark, docs_index):
             for r in docs_index.search(match, **kw).collect()
         )
         assert got[tag] == solo, tag
+
+
+def test_minimize_results(spark, docs_index):
+    # two "index" result sets with different extra attrs: only the
+    # common schema survives, union re-sorted by weight desc, docid asc
+    r1 = docs_index.search("table", ranker="bm25", limit=5).withColumn(
+        "extra1", F.lit(1)
+    )
+    r2 = docs_index.search("window", ranker="bm25", limit=5).withColumn(
+        "extra2", F.lit(2)
+    )
+    merged = minimize_results([r1, r2], limit=10)
+    assert set(merged.columns) == {"docid", "weight", "tag"}
+    rows = merged.collect()
+    keys = [(-r["weight"], r["docid"]) for r in rows]
+    assert keys == sorted(keys)
+    assert {r["tag"] for r in rows} == {0, 1}
+
+
+def test_update_attributes(spark):
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["docid", "value"]
+    )
+    upd = spark.createDataFrame([(2, 99.0), (7, 1.0)], ["docid", "value"])
+    out = {
+        r["docid"]: r["value"]
+        for r in update_attributes(ev, upd, ["value"]).collect()
+    }
+    # docid 2 updated, 7 ignored (absent from docinfo), others kept
+    assert out == {1: 10.0, 2: 99.0, 3: 30.0}

@@ -87,3 +87,20 @@ def test_option_clause(spark, docs_index):
     ).collect()
     # ranker NONE: every match weighs 1
     assert rows and all(r["weight"] == 1 for r in rows)
+
+
+def test_show_meta_session(spark, docs_index):
+    from sphinx_1_spark.plans.sphinxql import SphinxQLSession
+
+    sess = SphinxQLSession(index=docs_index)
+    rows = sess.execute(
+        "SELECT @id FROM documents WHERE MATCH('table scan') "
+        "ORDER BY @weight DESC, @id ASC LIMIT 5 OPTION ranker=bm25"
+    ).collect()
+    meta = {r["variable_name"]: r["value"] for r in sess.execute("SHOW META").collect()}
+    assert meta["total"] == str(min(int(meta["total_found"]), 5))
+    assert meta["keyword[0]"] == "table" and meta["keyword[1]"] == "scan"
+    assert int(meta["docs[0]"]) > 0 and int(meta["hits[0]"]) >= int(meta["docs[0]"])
+    assert len(rows) == int(meta["total"])
+    # warnings: empty result set, not an error
+    assert sess.execute("SHOW WARNINGS").collect() == []
