@@ -695,6 +695,61 @@ def q_infix_count(spark, sf_dir):
     return plan.agg(F.count(F.lit(1)).alias("total_found"))
 
 
+def _docs_segment_set(spark: SparkSession, sf_dir: str):
+    """Compressed on-disk segment (delta+VLB 128-entry blocks with
+    block-max impacts, dictionary + checkpoints + manifest) built from
+    the documents corpus — the persisted-index serving path."""
+    import hashlib
+    import os
+
+    from sphinx_1_spark.operators.hits import build_hits_native
+    from sphinx_1_spark.operators.segments import encode_blocks_from_hits
+    from sphinx_1_spark.plans.segment_index import (
+        SegmentSet,
+        segment_complete,
+        write_segment,
+    )
+
+    key = ("documents_segset", sf_dir)
+    if key not in _INDEX_CACHE:
+        src = f"{sf_dir}/documents.parquet"
+        tag = hashlib.md5(
+            f"{sf_dir}:{os.path.getmtime(src)}".encode()
+        ).hexdigest()[:10]
+        path = f"/tmp/sphinx_gate_seg_{tag}/shard=00000"
+        if not segment_complete(path):
+            docs = spark.read.parquet(src)
+            hits = build_hits_native(docs, "doc_id", ["text"])
+            blocks = encode_blocks_from_hits(hits, with_positions=True)
+            docinfo = docs.select(F.col("doc_id").cast("long").alias("docid"))
+            write_segment(
+                spark, path, blocks, docinfo,
+                {"source": "documents", "sf_dir": sf_dir},
+            )
+        _INDEX_CACHE[key] = SegmentSet(spark, [path])
+    return _INDEX_CACHE[key]
+
+
+def q_wand_and(spark, sf_dir):
+    """Block-max WAND AND over the compressed segment store: rarest
+    term decoded fully, other terms decode only docid-range-overlapping
+    blocks (block min/max = the .spi checkpoint / doclist-zipper skip
+    data, ExtAnd_c src/sphinx.cpp:12365).  Exact: matches the
+    uncompressed BM25 oracle bit-for-bit."""
+    seg = _docs_segment_set(spark, sf_dir)
+    out = seg.wand_topk(["table", "scan"], k=10, mode="and")
+    return out.select(F.col("docid").alias("doc_id"), "weight")
+
+
+def q_wand_or(spark, sf_dir):
+    """Two-phase block-max WAND OR over the compressed store: theta
+    seeded from highest-impact blocks, pruned blocks re-admitted only
+    when they overlap surviving candidates."""
+    seg = _docs_segment_set(spark, sf_dir)
+    out = seg.wand_topk(["table", "scan"], k=10, mode="or")
+    return out.select(F.col("docid").alias("doc_id"), "weight")
+
+
 def q_show_meta(spark, sf_dir):
     """SHOW META after a SELECT (src/searchd.cpp:5736+): last-query
     total / total_found / per-keyword (docs, hits) stats.  The
@@ -877,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hitless_bm25": q_hitless_bm25,
         "q_mode_phrase": q_mode_phrase,
         "q_show_meta": q_show_meta,
+        "q_wand_and": q_wand_and,
+        "q_wand_or": q_wand_or,
     }
 
 
@@ -1117,6 +1174,11 @@ SELECT count(*) AS total_found FROM (
 
     # hitless index: same scoring pipeline, positions never consulted
     out["q_hitless_bm25"] = out["q_term_bm25"]
+
+    # WAND over the compressed segment store is exact: same oracles as
+    # the in-memory AND/OR scoring pipelines
+    out["q_wand_and"] = out["q_and_bm25"]
+    out["q_wand_or"] = out["q_or_bm25"]
 
     out["q_show_meta"] = t + """
 , m AS (
