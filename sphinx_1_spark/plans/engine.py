@@ -320,9 +320,16 @@ class SphinxIndex:
         score_mode: str = "fast64",
         with_attrs: bool = False,
         max_matches: int = MAX_MATCHES_DEFAULT,
+        sorted_output: bool = True,
     ) -> DataFrame:
         """Top-k search: (docid, weight) ordered by weight desc, docid
-        asc (queue comparator MatchRelevanceLt, sphinxsort.cpp:1159)."""
+        asc (queue comparator MatchRelevanceLt, sphinxsort.cpp:1159).
+
+        sorted_output=False skips the final ORDER BY + LIMIT — for
+        callers (SphinxQL, grouping) that re-sort downstream anyway:
+        an unbounded TakeOrderedAndProject over every match is a
+        cluster-scale anti-pattern when the caller's own sort
+        supersedes it."""
         ranker = self.default_ranker(mode, ranker)
         need_hits = ranker in (
             "proximity_bm25", "proximity", "wordcount", "matchany"
@@ -342,9 +349,10 @@ class SphinxIndex:
         cols = ["docid", "weight"] + (
             list(self.settings.attrs) if with_attrs else []
         )
-        out = ranked.select(*cols).orderBy(
-            F.col("weight").desc(), F.col("docid").asc()
-        )
+        out = ranked.select(*cols)
+        if not sorted_output:
+            return out
+        out = out.orderBy(F.col("weight").desc(), F.col("docid").asc())
         k = min(limit, max_matches)
         if offset:
             out = out.offset(offset)

@@ -244,12 +244,19 @@ def execute(
     if stmt.match is not None:
         if index is None:
             raise SphinxQLError("MATCH() requires an index")
+        # max_matches truncation happens BEFORE attribute filters (the
+        # searchd queue bound); without the OPTION there is nothing to
+        # truncate, so skip the inner global sort entirely — the
+        # statement's own ORDER BY supersedes it (an unbounded
+        # TakeOrdered over every match would be a scale anti-pattern)
+        bounded = "max_matches" in stmt.options
         max_matches = int(stmt.options.get("max_matches", 1 << 30))
         ranked = index.search(
             stmt.match,
             ranker=stmt.options.get("ranker"),
             limit=max_matches,
             max_matches=max_matches,
+            sorted_output=bounded,
         )
         base = ranked if df is None else ranked.join(df, docid_col, "inner")
     else:
@@ -294,6 +301,10 @@ def execute(
         if expr == "@count":
             return F.count(F.lit(1)).alias(alias or "count")
         return F.col(expr).alias(alias) if alias else F.col(expr)
+
+    if stmt.match is not None and not stmt.group_by and not stmt.order_by:
+        # searchd default sort mode: relevance (weight desc, id asc)
+        base = base.orderBy(F.col("weight").desc(), F.col(docid_col).asc())
 
     if stmt.group_by:
         aggs = [
