@@ -149,6 +149,27 @@ def q_field_limit(spark, sf_dir):
     return _topk(_docs_index2(spark, sf_dir), "@source src3", "bm25")
 
 
+def q_field_maxpos(spark, sf_dir):
+    """@field[N] max-position limit (ExtTermPos_c MAX_FIELD_POS
+    predicate, src/sphinx.cpp:12115-12143; ParseFields
+    src/sphinxquery.cpp:201-331): match only hits in the first N
+    positions of the field."""
+    return _topk(_docs_index2(spark, sf_dir), "@text[5] window", "bm25")
+
+
+def q_relaxed(spark, sf_dir):
+    """@@relaxed flag (src/sphinxquery.cpp:715): unknown-field
+    references match nothing instead of raising, so one query can
+    span heterogeneous indexes. 'table' still matches; the
+    @nosuchfield branch contributes zero docs (but 'scan' still
+    counts toward the IDF's q divisor)."""
+    return _topk(
+        _docs_index(spark, sf_dir),
+        "table | @@relaxed @nosuchfield scan",
+        "bm25",
+    )
+
+
 def q_field_weights(spark, sf_dir):
     """Per-field weights (BindWeights, src/sphinx.cpp:15947)."""
     idx = _docs_index2(spark, sf_dir)
@@ -912,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_end": q_anchor_end,
         "q_before": q_before,
         "q_field_limit": q_field_limit,
+        "q_field_maxpos": q_field_maxpos,
+        "q_relaxed": q_relaxed,
         "q_field_weights": q_field_weights,
         "q_rank_fieldmask": q_rank_fieldmask,
         "q_mode_all": q_mode_all,
@@ -1020,6 +1043,11 @@ def oracle_sql() -> dict[str, str]:
     term = t + _idf_cte(["window"]) + """
 , matched AS (SELECT doc_id, tfidf FROM """ + _term_tfidf("a", "window") + ")"
 
+    # table | @@relaxed @nosuchfield scan — the unknown-field branch
+    # matches nothing, but 'scan' still counts in the IDF q divisor
+    relaxed = t + _idf_cte(["table", "scan"]) + """
+, matched AS (SELECT doc_id, tfidf FROM """ + _term_tfidf("a", "table") + ")"
+
     and2 = t + _idf_cte(["table", "scan"]) + """
 , ta AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='table'), 0) AS tfidf FROM tf WHERE word='table')
 , tb AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='scan'), 0) AS tfidf FROM tf WHERE word='scan')
@@ -1114,6 +1142,7 @@ ORDER BY weight DESC, doc_id ASC LIMIT 100"""
         "q_keywords": keywords,
         "q_weight_filter": weight_filter,
         "q_term_bm25": _topk_sql(term),
+        "q_relaxed": _topk_sql(relaxed),
         "q_and_bm25": _topk_sql(and2),
         "q_or_bm25": _topk_sql(or2),
         "q_andnot_bm25": _topk_sql(andnot),
@@ -1341,8 +1370,27 @@ FROM matched ORDER BY weight DESC, doc_id ASC LIMIT 10"""
 SELECT doc_id, CAST(fieldmask AS INT) AS weight
 FROM matched ORDER BY weight DESC, doc_id ASC LIMIT 10"""
 
+    # @text[5] window — qualify only hits with per-field pos <= 5 in
+    # field 1; IDF df stays whole-index (dictionary stats)
+    field_maxpos = _HITS2_CTE + """
+, stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM hits2 WHERE word = 'window'
+), idf AS (
+  SELECT ln((n.n - df + 1)/df) / (2*1*ln(1+n.n)) AS idf FROM stats, ndocs n
+), matched AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf1
+  FROM hits2 WHERE word = 'window' AND fld = 1 AND pos <= 5
+  GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(floor((tf1/(tf1+1.2) * (SELECT idf FROM idf) + 0.5) * 1000) AS INT)
+    + 1000 AS weight
+FROM matched ORDER BY weight DESC, doc_id ASC LIMIT 10"""
+
     return {
         "q_field_limit": field_limit,
+        "q_field_maxpos": field_maxpos,
         "q_field_weights": field_weights,
         "q_rank_fieldmask": rank_fieldmask,
     }

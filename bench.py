@@ -27,17 +27,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from pyspark.sql import SparkSession
+    # The production session factory: the same config block we'd ship
+    # to a cluster (AQE + skew join, Arrow batch size, shuffle scratch
+    # on local NVMe / tmpfs, pinned UTC). Benchmarking the engine under
+    # its shipping config, not a bare default session.
+    from sphinx_1_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("sphinx_1_spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
+    spark = get_spark(app_name="sphinx_1_spark-bench", cores=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod

@@ -80,6 +80,7 @@ class _Lexer:
         self.toks: list[tuple[str, object]] = []
         self.field_names = [f.lower() for f in field_names]
         self.star_mode = star_mode
+        self.relaxed = False
         self._atom_base = 0
         pos = 0
         for m in _TOKEN_RE.finditer(text):
@@ -150,6 +151,10 @@ class _Lexer:
             spec = spec[: mm.start()]
         body = spec[1:]
         if body == "@relaxed":
+            # @@relaxed flag (src/sphinxquery.cpp:715): references to
+            # fields the index lacks become match-nothing instead of a
+            # parse error, for querying heterogeneous multi-index sets.
+            self.relaxed = True
             return (ALL_FIELDS, max_pos)
         if body == "*":
             return (ALL_FIELDS, max_pos)
@@ -160,6 +165,8 @@ class _Lexer:
         mask = 0
         for n in names:
             if n not in self.field_names:
+                if self.relaxed:
+                    continue  # zero bits -> term matches nothing
                 raise QueryParseError(f"no field '{n}' in index")
             mask |= 1 << self.field_names.index(n)
         return (mask, max_pos)
@@ -263,9 +270,13 @@ class QueryParser:
         return left
 
     def _atomf(self):
-        kind, val = self._lex.peek()
-        if kind == "FIELD":
-            self._lex.next()
+        # consecutive field specs (e.g. "@@relaxed @field word"): the
+        # last one wins — @@relaxed itself is a lexer flag and resets
+        # the spec to all-fields (XQParser ParseFields chain).
+        val = None
+        while self._lex.peek()[0] == "FIELD":
+            _, val = self._lex.next()
+        if val is not None:
             atom = self._atom()
             if atom is not None:
                 atom.set_field_spec(*val)

@@ -101,3 +101,23 @@ def test_querypos_skips_operators(parser):
         ("c", 3),
         ("d", 4),
     ]
+
+
+def test_relaxed_unknown_field(parser):
+    # @@relaxed (src/sphinxquery.cpp:715): unknown field matches
+    # nothing (zero mask) instead of raising
+    with pytest.raises(QueryParseError):
+        parser.parse("@nosuch a")
+    t = parser.parse("b | @@relaxed @nosuch a")
+    assert t.op == "or"
+    assert t.children[1].fields_mask == 0
+    # known field after the flag still resolves; @@relaxed alone
+    # resets the spec to all-fields
+    t2 = parser.parse("@@relaxed @title a")
+    assert t2.fields_mask == 1
+
+
+def test_field_maxpos(parser):
+    t = parser.parse("@title[7] a")
+    assert t.fields_mask == 1
+    assert t.max_field_pos == 7
