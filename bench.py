@@ -47,7 +47,7 @@ def main() -> None:
     from sphinx_1_spark.plans.pipeline import build_pages_index
     from sphinx_1_spark.sources.pages import generate_pages
 
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
     pages = generate_pages(spark, n_pages, seed=42, partitions=128).cache()
     pages.count()  # materialize corpus outside the timed window
 
@@ -57,6 +57,17 @@ def main() -> None:
     import tempfile
 
     from sphinx_1_spark.plans.segment_index import build_segments
+
+    # untimed warmup: a tiny segment build JIT-compiles the codegen
+    # stages and faults in the Python workers, so the timed runs
+    # measure steady-state throughput (what a long-running cluster
+    # job sees), not one-time JVM/JIT startup (~10 s here).
+    warm_pages = generate_pages(spark, 5000, seed=7, partitions=32)
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        build_segments(warm_pages, warm_dir, n_shards=1)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     seg_dir = tempfile.mkdtemp(prefix="bench_segs_")
     try:
