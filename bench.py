@@ -58,11 +58,14 @@ def main() -> None:
 
     from sphinx_1_spark.plans.segment_index import build_segments
 
-    # untimed warmup: a tiny segment build JIT-compiles the codegen
-    # stages and faults in the Python workers, so the timed runs
-    # measure steady-state throughput (what a long-running cluster
-    # job sees), not one-time JVM/JIT startup (~10 s here).
-    warm_pages = generate_pages(spark, 5000, seed=7, partitions=32)
+    # untimed warmup: a small segment build at the SAME partition
+    # shape (128 input partitions -> full worker pool) JIT-compiles
+    # the codegen stages and spins up every Python worker, so the
+    # timed runs measure steady-state throughput (what a long-running
+    # cluster job sees), not one-time JVM/JIT/worker startup (~15 s
+    # here; a tiny 32-partition warmup left the first full run ~10 s
+    # over steady state).
+    warm_pages = generate_pages(spark, 20000, seed=7, partitions=128)
     warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
     try:
         build_segments(warm_pages, warm_dir, n_shards=1)

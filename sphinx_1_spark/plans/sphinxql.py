@@ -398,7 +398,10 @@ class SphinxQLSession:
         meta: list[tuple[str, str]] = []
         if stmt.match is not None and self.index is not None:
             plan, m = self.index.match(stmt.match)
-            total_found = plan.select("docid").distinct().count()
+            # plan is one row per matched docid (compile_node merges
+            # AND/OR per doc), so a plain count IS the distinct count —
+            # no extra shuffle over the matched set
+            total_found = plan.select("docid").count()
             meta.append(("total", str(min(total_found, stmt.limit))))
             meta.append(("total_found", str(total_found)))
             meta.append(
