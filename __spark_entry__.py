@@ -291,7 +291,10 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """Approximate (LSH-bucketed IVF probe) — rows-only check."""
+    """LSH-bucketed IVF probe. Hash-derived (RNG-free) planes make
+    the approximate index fully deterministic, so the oracle embeds
+    the same plane constants as SQL literals and value-checks the
+    probed result exactly."""
     from sphinx_1_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_emb(spark, sf_dir), _ANN_QUERY, k=10, nbits=4, probe_hamming=1)
@@ -324,6 +327,24 @@ def q_fingerprint(spark, sf_dir):
     from sphinx_1_spark.operators.textstats import fingerprints
 
     return fingerprints(_docs(spark, sf_dir), k=5).orderBy("doc_id").limit(100)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (explode-shaped mapInPandas:
+    one payload row -> n_frames frame rows; deterministic fake
+    decoder slices payload bytes).  Gate compares frame length +
+    md5 per (doc, frame_idx); text is ASCII at the gate SF so the
+    byte-slice equals DuckDB's char-slice."""
+    from sphinx_1_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") <= 100)
+    fr = frame_sample(attach_payload(docs), n_frames=4)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
 
 
 def q_image_meta(spark, sf_dir):
@@ -927,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
         "q_image_meta": q_image_meta,
+        "q_frame_sample": q_frame_sample,
         "q_image_features": q_image_features,
         "q_excerpts": q_excerpts,
         "q_anchor_start": q_anchor_start,
@@ -1667,6 +1689,46 @@ WHERE round(list_dot_product(x.v, y.v)
 ORDER BY a, b"""
 
     qv = "[" + ", ".join(str(float(x)) for x in _ANN_QUERY) + "]::DOUBLE[]"
+
+    # IVF probe oracle: the LSH planes are hash-derived (no RNG
+    # state), so the SAME plane constants are embedded as SQL
+    # literals; bucket membership and the probe set are then exact
+    # relational predicates — the "approximate" index is fully
+    # deterministic and value-checkable
+    from sphinx_1_spark.operators.similarity import deterministic_planes
+
+    _nbits = 4
+    _planes = deterministic_planes(len(_ANN_QUERY), _nbits, 42)
+    _qb = 0
+    for _i, _p in enumerate(_planes):
+        if sum(float(a) * float(b) for a, b in zip(_ANN_QUERY, _p)) >= 0:
+            _qb |= 1 << _i
+    _probes = sorted({_qb} | {_qb ^ (1 << i) for i in range(_nbits)})
+    _plane_dps = ",\n    ".join(
+        "list_dot_product(v, ["
+        + ", ".join(str(float(x)) for x in p)
+        + f"]::DOUBLE[]) AS dp{i}"
+        for i, p in enumerate(_planes)
+    )
+    _bucket = " + ".join(
+        f"(CASE WHEN dp{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_nbits)
+    )
+    ann_ivf = f"""
+WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+    {_plane_dps}
+  FROM v0
+), q AS (SELECT {qv} AS q)
+SELECT vec_id,
+  round(list_dot_product(v, q.q)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.q, q.q))), 6)
+    AS cos
+FROM b, q
+WHERE ({_bucket}) IN ({", ".join(str(x) for x in _probes)})
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
     ann = f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1752,6 +1814,21 @@ SELECT doc_id,
   octet_length(encode(text))::INT AS n_bytes
 FROM m ORDER BY doc_id LIMIT 100"""
 
+    # frame_sample fake decoder: step = max(1, len//4),
+    # frame i = bytes[i*step:(i+1)*step]; ASCII text at the gate SF
+    # makes DuckDB's char substring equal the byte slice
+    frame_sample = """
+WITH d AS (
+  SELECT doc_id, text, greatest(1, length(text) // 4) AS step
+  FROM documents WHERE doc_id <= 100
+)
+SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx,
+  CAST(length(substring(d.text, CAST(t.i * step + 1 AS INT),
+                        CAST(step AS INT))) AS INT) AS frame_len,
+  md5(substring(d.text, CAST(t.i * step + 1 AS INT),
+                CAST(step AS INT))) AS frame_md5
+FROM d, range(4) t(i)"""
+
     feat_exprs = ",\n  ".join(
         f"round(('0x' || substr(h,{4*i+3},2) || substr(h,{4*i+1},2))::INT"
         f" / 65535.0, 6)"
@@ -1771,11 +1848,12 @@ FROM m ORDER BY doc_id LIMIT 100"""
         "q_dedup_simhash": simhash,
         "q_dedup_embed": embed,
         "q_ann_topk": ann,
-        # q_ann_ivf: approximate, rows-only (deliberately no oracle)
+        "q_ann_ivf": ann_ivf,
         "q_token_counts": token_counts,
         "q_langid": langid,
         "q_quality": quality,
         "q_fingerprint": fingerprint,
         "q_image_meta": image_meta,
+        "q_frame_sample": frame_sample,
         "q_image_features": image_features,
     }
