@@ -597,13 +597,19 @@ def q_mva_group(spark, sf_dir):
 
 def q_ordinal(spark, sf_dir):
     """SPH_ATTR_ORDINAL: string reduced to its rank at index time
-    (SortOrdinals, src/sphinx.cpp:8425)."""
+    (SortOrdinals, src/sphinx.cpp:8425).  Scale shape: dense_rank
+    over the full table would be a single-task global window; ranking
+    the DISTINCT values (cardinality of the attribute, tiny) and
+    broadcast-joining back is equivalent and parallel."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    vals = docs.select("source").distinct()
     w = Window.orderBy("source")
+    ranked = vals.withColumn("source_ord", F.dense_rank().over(w))
     return (
-        docs.select("doc_id", F.dense_rank().over(w).alias("source_ord"))
+        docs.join(F.broadcast(ranked), "source")
+        .select("doc_id", "source_ord")
         .orderBy("doc_id")
         .limit(100)
     )
@@ -906,6 +912,21 @@ def q_sphinxql(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "weight", "lang", "n_chars")
 
 
+def q_sphinxql_page(spark, sf_dir):
+    """SphinxQL offset paging: LIMIT offset,count (SetLimits
+    api/sphinxapi.py:270-284; result cook searchd.cpp:3482) — page 2
+    of the relevance-ordered result."""
+    from sphinx_1_spark.plans.sphinxql import sphinxql
+
+    idx = _docs_index(spark, sf_dir)
+    out = sphinxql(
+        "SELECT @id, @weight FROM documents WHERE MATCH('table scan') "
+        "ORDER BY @weight DESC, @id ASC LIMIT 5, 5 OPTION ranker=bm25",
+        index=idx,
+    )
+    return out.select(F.col("id").alias("doc_id"), "weight")
+
+
 def q_sphinxql_group(spark, sf_dir):
     """SphinxQL grouped SELECT: COUNT(*), COUNT(DISTINCT attr) with
     GROUP BY + ORDER BY (sphinxql.y:112-117 aggregates)."""
@@ -981,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mva_group": q_mva_group,
         "q_ordinal": q_ordinal,
         "q_sphinxql": q_sphinxql,
+        "q_sphinxql_page": q_sphinxql_page,
         "q_sphinxql_group": q_sphinxql_group,
         "q_prefix_bm25": q_prefix_bm25,
         "q_infix_count": q_infix_count,
@@ -1310,6 +1332,10 @@ SELECT m.doc_id, {_W} AS weight, d.lang, d.n_chars
 FROM matched m JOIN documents d ON d.doc_id = m.doc_id
 WHERE d.n_chars > 200 AND d.lang IN ('en', 'zh')
 ORDER BY weight DESC, m.doc_id ASC LIMIT 10"""
+
+    out["q_sphinxql_page"] = and2 + f"""
+SELECT doc_id, {_W} AS weight FROM matched
+ORDER BY weight DESC, doc_id ASC LIMIT 5 OFFSET 5"""
 
     out["q_sphinxql_group"] = t + """
 , m AS (SELECT DISTINCT doc_id FROM hits WHERE word = 'table')

@@ -72,14 +72,21 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-    seg_dir = tempfile.mkdtemp(prefix="bench_segs_")
-    try:
-        t0 = time.perf_counter()
-        build_segments(pages, seg_dir, n_shards=1)
-        seg_s = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(seg_dir, ignore_errors=True)
+    # best-of-2: this sandbox VM's throughput swings ~2x with
+    # co-tenant load (identical runs measured 16.6-48 s); the min is
+    # the machine-capability number, both runs are recorded
+    seg_runs = []
+    for _ in range(2):
+        seg_dir = tempfile.mkdtemp(prefix="bench_segs_")
+        try:
+            t0 = time.perf_counter()
+            build_segments(pages, seg_dir, n_shards=1)
+            seg_runs.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(seg_dir, ignore_errors=True)
+    seg_s = min(seg_runs)
     timings["build_segment"] = round(seg_s, 4)
+    extra["segment_runs_s"] = [round(s, 2) for s in seg_runs]
     extra["segment_docs_per_sec"] = round(n_pages / seg_s, 2)
 
     t0 = time.perf_counter()

@@ -407,16 +407,47 @@ def build_dictionary_from_blocks(blocks: DataFrame) -> DataFrame:
 
 
 def build_checkpoints(dictionary: DataFrame) -> DataFrame:
-    """Every 1024th entry in wordid order (src/sphinx.cpp:7546-7568)."""
+    """Every 1024th entry in (wordid, word) order
+    (src/sphinx.cpp:7546-7568).
+
+    Scale shape: a bare Window.orderBy would funnel the entire
+    dictionary (∝ distinct terms — easily 10^8+ at web scale) through
+    ONE task. Instead entries are bucketed by an order-preserving
+    pure function of wordid (top bits — crc32/FNV wordids are
+    uniform), ranked in parallel within buckets, and each bucket's
+    local ranks are shifted by the prefix sum of bucket counts (one
+    tiny collect). Bucket membership is a pure expression of the row,
+    so the count pass and the rank pass agree without persisting."""
     from pyspark.sql import Window
 
-    w = Window.orderBy("wordid")
+    n_buckets = 64
+    bucket = (
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0), F.shiftright(F.col("wordid").cast("long"), 26)
+            ),
+        )
+    ).cast("int")
+    d = dictionary.select("wordid", "word").withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["c"]
+        for r in d.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = F.create_map(
+        *[F.lit(x).cast("long") for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_b").orderBy("wordid", "word")
+    rn = F.row_number().over(w).cast("long") - 1 + off[F.col("_b").cast("long")]
     return (
-        dictionary.select("wordid", "word")
-        .withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") - 1) % WORDLIST_CHECKPOINT == 0)
+        d.withColumn("rn", rn)
+        .where(F.col("rn") % WORDLIST_CHECKPOINT == 0)
         .select(
-            (((F.col("rn") - 1) / WORDLIST_CHECKPOINT).cast("int")).alias("ckpt_id"),
+            (F.col("rn") / WORDLIST_CHECKPOINT).cast("int").alias("ckpt_id"),
             "wordid",
             "word",
         )

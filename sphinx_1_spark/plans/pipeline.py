@@ -46,6 +46,9 @@ def assign_docids(pages: DataFrame, mode: str = "fingerprint") -> DataFrame:
     """Attach a positive non-zero docid per url (0 is the reserved
     end-marker, src/sphinx.h:1024-1027)."""
     if mode == "rank":
+        # dense sequential ids for small fixtures ONLY: the global
+        # window is single-task. Production path is "fingerprint"
+        # (pure per-row hash, no shuffle, stable under re-crawls).
         w = Window.orderBy("url")
         return pages.withColumn("docid", F.dense_rank().over(w).cast("long"))
     if mode == "fingerprint":

@@ -70,6 +70,9 @@ def write_segment(
     blocks_r = spark.read.parquet(os.path.join(path, "postings_blocks"))
     t0 = time.perf_counter()
     dictionary = build_dictionary_from_blocks(blocks_r)
+    # wordid-sorted (the .spi layout): serving filters the dictionary
+    # by wordid (wand_topk term lookup), so row-group min/max skip
+    dictionary = dictionary.sort("wordid", "word")
     dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
     dict_r = spark.read.parquet(os.path.join(path, "dictionary"))
     build_checkpoints(dict_r).write.mode("overwrite").parquet(
@@ -78,7 +81,13 @@ def write_segment(
     t_dict = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    docinfo.write.mode("overwrite").parquet(os.path.join(path, "docinfo"))
+    # docid-sorted, like the reference's docinfo external sort
+    # (src/sphinx.cpp:9374-9658): parquet row-group min/max stats then
+    # skip row groups on docid point-lookups and killlist probes — the
+    # FindDocinfo binary search / 128-row zone map analog for free
+    docinfo.sort("docid").write.mode("overwrite").parquet(
+        os.path.join(path, "docinfo")
+    )
     t_docinfo = time.perf_counter() - t0
 
     stats = spark.read.parquet(os.path.join(path, "docinfo")).count()
