@@ -315,12 +315,11 @@ class SegmentSet:
                 return self.spark.createDataFrame([], "docid long, weight int")
             rare = min(terms, key=lambda w: idf[w][1])
             rare_blocks = term_blocks.where(F.col("wordid") == wids[rare])
-            ranges = [
-                (r["min_docid"], r["max_docid"])
-                for r in rare_blocks.select("min_docid", "max_docid").collect()
-            ]
-            ranges_df = self.spark.createDataFrame(
-                ranges or [(0, -1)], "lo long, hi long"
+            # the rare term's block ranges stay a DataFrame (no driver
+            # collect — df_rare/128 ranges could still be millions at
+            # web scale); broadcast feeds the overlap semi-join
+            ranges_df = rare_blocks.select(
+                F.col("min_docid").alias("lo"), F.col("max_docid").alias("hi")
             )
             others = term_blocks.where(F.col("wordid") != wids[rare])
             overlapping = others.join(
@@ -358,18 +357,15 @@ class SegmentSet:
         else:
             theta = (seeded[-1]["weight"] - 1000 - 1) / 1000.0 - 0.5
 
-        gmax = {
-            w: r["m"] or 0.0
-            for w, r in (
-                (
-                    w,
-                    term_blocks.where(F.col("wordid") == wids[w])
-                    .agg(F.max("max_impact").alias("m"))
-                    .collect()[0],
-                )
-                for w in terms
-            )
+        # one aggregate for every term's global max impact (was one
+        # Spark job per term)
+        _gm = {
+            r["wordid"]: r["m"]
+            for r in term_blocks.groupBy("wordid")
+            .agg(F.max("max_impact").alias("m"))
+            .collect()
         }
+        gmax = {w: float(_gm.get(wids[w]) or 0.0) for w in terms}
         sum_others = {
             w: sum(idf[o][0] * gmax[o] for o in terms if o != w) for w in terms
         }
