@@ -42,6 +42,29 @@ def _docs_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def _docs_index_stop(spark: SparkSession, sf_dir: str):
+    """Documents index with stopwords={'the'} (stopword_step=1):
+    stopword tokens are not indexed but still consume a hit position
+    (src/sphinx.cpp:18528-18531)."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+
+    key = ("documents_stop", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = SphinxIndex.build(
+            docs,
+            IndexSettings(
+                docid_col="doc_id",
+                fields=("text",),
+                tokenizer_impl="native",
+                tokenizer=TokenizerSettings(stopwords=frozenset({"the"})),
+            ),
+        )
+        _INDEX_CACHE[key] = idx.persist()
+    return _INDEX_CACHE[key]
+
+
 def _topk(idx, match: str, ranker: str = "bm25", k: int = 10) -> DataFrame:
     out = idx.search(match, ranker=ranker, limit=k)
     return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
@@ -75,6 +98,17 @@ def q_andnot_bm25(spark, sf_dir):
 
 def q_phrase_bm25(spark, sf_dir):
     return _topk(_docs_index(spark, sf_dir), '"table scan"', "bm25")
+
+
+def q_phrase_stopword(spark, sf_dir):
+    """Phrase with an in-query stopword (reference tests 15/17): on a
+    stopwords={'the'} index, 'the' becomes a null query node that
+    still occupies its atom position (XQParser m_iAtomPos,
+    src/sphinxquery.cpp:393,434-443) and document stopword tokens
+    consume a hit position (stopword_step=1, src/sphinx.cpp:18528) —
+    so '"table the scan"' requires table@p, scan@p+2 and does NOT
+    match adjacent 'table scan'."""
+    return _topk(_docs_index_stop(spark, sf_dir), '"table the scan"', "bm25")
 
 
 def q_quorum_bm25(spark, sf_dir):
@@ -952,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_or_bm25": q_or_bm25,
         "q_andnot_bm25": q_andnot_bm25,
         "q_phrase_bm25": q_phrase_bm25,
+        "q_phrase_stopword": q_phrase_stopword,
         "q_quorum_bm25": q_quorum_bm25,
         "q_proximity_bm25r": q_proximity_bm25r,
         "q_wordcount": q_wordcount,
@@ -1128,6 +1163,20 @@ def oracle_sql() -> dict[str, str]:
     WHERE h1.doc_id = ta.doc_id AND h1.word = 'table' AND h2.word = 'scan')
 )"""
 
+    # '"table the scan"' on the stopworded index: gap phrase,
+    # positions in _HITS_CTE already count the stopword token
+    phrase_stop = t + _idf_cte(["table", "scan"]) + """
+, ta AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='table'), 0) AS tfidf FROM tf WHERE word='table')
+, tb AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='scan'), 0) AS tfidf FROM tf WHERE word='scan')
+, matched AS (
+  SELECT ta.doc_id, ta.tfidf + tb.tfidf AS tfidf
+  FROM ta JOIN tb ON ta.doc_id = tb.doc_id
+  WHERE EXISTS (
+    SELECT 1 FROM hits h1 JOIN hits h2
+      ON h1.doc_id = h2.doc_id AND h2.pos = h1.pos + 2
+    WHERE h1.doc_id = ta.doc_id AND h1.word = 'table' AND h2.word = 'scan')
+)"""
+
     quorum = t + _idf_cte(["table", "scan", "value"]) + """
 , ta AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='table'), 0) AS tfidf FROM tf WHERE word='table')
 , tb AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='scan'), 0) AS tfidf FROM tf WHERE word='scan')
@@ -1191,6 +1240,7 @@ ORDER BY weight DESC, doc_id ASC LIMIT 100"""
         "q_or_bm25": _topk_sql(or2),
         "q_andnot_bm25": _topk_sql(andnot),
         "q_phrase_bm25": _topk_sql(phrase),
+        "q_phrase_stopword": _topk_sql(phrase_stop),
         "q_quorum_bm25": _topk_sql(quorum),
         "q_proximity_bm25r": _topk_sql(prox),
         "q_wordcount": wordcount,
