@@ -42,7 +42,13 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("sphinx_1_spark-build").getOrCreate()
+    from sphinx_1_spark.session import apply_engine_conf
+
+    # master/executors come from spark-submit; the engine ships its
+    # own session conf (AQE, Arrow batches, UTC, broadcast threshold)
+    spark = apply_engine_conf(
+        SparkSession.builder.appName("sphinx_1_spark-build")
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     from sphinx_1_spark.functions.tokenizer import TokenizerSettings

@@ -33,11 +33,27 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(32, 2 * ncores)
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = apply_engine_conf(builder, shuffle_partitions)
+    # Shuffle scratch on tmpfs when available: the sandbox's virtual
+    # disk serializes shuffle IO and caps multi-core scaling; real
+    # clusters put spark.local.dir on local NVMe, which tmpfs stands
+    # in for here.
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    return builder.getOrCreate()
+
+
+def apply_engine_conf(builder, shuffle_partitions: int | None = None):
+    """The engine's session config, master-agnostic — the same block
+    the spark-submit job applies (the cluster manager then sets
+    master/executors/local dirs via spark-submit --conf)."""
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -48,10 +64,3 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    # Shuffle scratch on tmpfs when available: the sandbox's virtual
-    # disk serializes shuffle IO and caps multi-core scaling; real
-    # clusters put spark.local.dir on local NVMe, which tmpfs stands
-    # in for here.
-    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
-    return builder.getOrCreate()
