@@ -844,6 +844,22 @@ def q_wand_or(spark, sf_dir):
     return out.select(F.col("docid").alias("doc_id"), "weight")
 
 
+def q_show_warnings(spark, sf_dir):
+    """SHOW WARNINGS after a star query whose core is shorter than
+    min_prefix_len (CheckQueryWord, src/sphinx.cpp:14790-14807): the
+    reference's exact warning text (trailing space included); the
+    query itself still runs via dictionary-LIKE expansion."""
+    from sphinx_1_spark.plans.sphinxql import SphinxQLSession
+
+    idx = _docs_index_prefix(spark, sf_dir)
+    sess = SphinxQLSession(index=idx)
+    sess.execute(
+        "SELECT @id, @weight FROM documents WHERE MATCH('ta* table') "
+        "ORDER BY @weight DESC, @id ASC LIMIT 5 OPTION ranker=bm25"
+    ).collect()
+    return sess.execute("SHOW WARNINGS")
+
+
 def q_show_meta(spark, sf_dir):
     """SHOW META after a SELECT (src/searchd.cpp:5736+): last-query
     total / total_found / per-keyword (docs, hits) stats.  The
@@ -1046,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hitless_bm25": q_hitless_bm25,
         "q_mode_phrase": q_mode_phrase,
         "q_show_meta": q_show_meta,
+        "q_show_warnings": q_show_warnings,
         "q_wand_and": q_wand_and,
         "q_wand_or": q_wand_or,
     }
@@ -1392,6 +1409,11 @@ ORDER BY weight DESC, doc_id ASC LIMIT 5 OFFSET 5"""
 SELECT d.lang, count(*) AS cnt, count(DISTINCT d.source) AS uniq_src
 FROM m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY lang ASC LIMIT 20"""
+
+    out["q_show_warnings"] = (
+        "SELECT 1 AS level, 'Query word length is less than "
+        "min prefix length. word: ''ta*'' ' AS message"
+    )
 
     out.update(_two_field_oracles())
     out.update(_pipeline_oracles())

@@ -224,6 +224,34 @@ class SphinxIndex:
 
         return re.sub(r"\*?[0-9a-zA-Z_]+\*|\*[0-9a-zA-Z_]+", repl, match)
 
+    def check_query_words(self, match: str) -> str | None:
+        """CheckQueryWord (src/sphinx.cpp:14790-14807): on a
+        prefix/infix-enabled index, a starred query word whose core is
+        shorter than the configured minimum sets the result warning
+        (infix checked before prefix; later words overwrite —
+        SetSprintf semantics). The query still runs."""
+        tk = self.settings.tokenizer
+        if not (tk.min_prefix_len or tk.min_infix_len):
+            return None
+        warning = None
+        for m in re.finditer(r"\*?[0-9a-zA-Z_]+\*?", match):
+            w = m.group(0)
+            head, tail = w.startswith("*"), w.endswith("*")
+            if not (head or tail):
+                continue
+            core_len = len(w) - (1 if head else 0) - (1 if tail else 0)
+            if tk.min_infix_len and core_len < tk.min_infix_len:
+                warning = (
+                    "Query word length is less than min infix length."
+                    f" word: '{w}' "
+                )
+            elif tk.min_prefix_len and core_len < tk.min_prefix_len:
+                warning = (
+                    "Query word length is less than min prefix length."
+                    f" word: '{w}' "
+                )
+        return warning
+
     def _star_served(self, pat: str) -> bool:
         """True when the index's "*"-expanded namespace answers this
         star pattern directly (one marked-term lookup, no dictionary

@@ -396,6 +396,11 @@ class SphinxQLSession:
         stmt = parse_select(sql)
         out = execute(stmt, self.df, self.index, self.docid_col)
         meta: list[tuple[str, str]] = []
+        self._warnings = []
+        if stmt.match is not None and self.index is not None:
+            warn = self.index.check_query_words(stmt.match)
+            if warn:
+                self._warnings = [warn]
         if stmt.match is not None and self.index is not None:
             plan, m = self.index.match(stmt.match)
             # plan is one row per matched docid (compile_node merges
