@@ -844,6 +844,28 @@ def q_wand_or(spark, sf_dir):
     return out.select(F.col("docid").alias("doc_id"), "weight")
 
 
+def q_multi_minimize(spark, sf_dir):
+    """Result minimize/merge across indexes with different schemas
+    (MinimizeAggrResult, src/searchd.cpp:3628-3820): per-index result
+    sets reduced to the common column set, tagged with the index
+    ordinal, unioned. Gate returns per-tag count + weight sum (the
+    merged relation aggregated — deterministic under cross-index
+    weight ties, which an order-based cut is not)."""
+    from sphinx_1_spark.plans.multi import minimize_results
+
+    r1 = _docs_index(spark, sf_dir).search("table", ranker="bm25", limit=1000)
+    r2 = _docs_index2(spark, sf_dir).search("table", ranker="bm25", limit=1000)
+    out = minimize_results([r1, r2], limit=1000)
+    return (
+        out.groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("weight").cast("long").alias("sum_weight"),
+        )
+        .orderBy("tag")
+    )
+
+
 def q_show_warnings(spark, sf_dir):
     """SHOW WARNINGS after a star query whose core is shorter than
     min_prefix_len (CheckQueryWord, src/sphinx.cpp:14790-14807): the
@@ -1063,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_phrase": q_mode_phrase,
         "q_show_meta": q_show_meta,
         "q_show_warnings": q_show_warnings,
+        "q_multi_minimize": q_multi_minimize,
         "q_wand_and": q_wand_and,
         "q_wand_or": q_wand_or,
     }
@@ -1409,6 +1432,54 @@ ORDER BY weight DESC, doc_id ASC LIMIT 5 OFFSET 5"""
 SELECT d.lang, count(*) AS cnt, count(DISTINCT d.source) AS uniq_src
 FROM m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY lang ASC LIMIT 20"""
+
+    # minimize/merge: index 0 = single-field docs index, index 1 =
+    # two-field (source, text) index; same corpus so N and df('table')
+    # coincide, weights differ only via the matched-field part
+    out["q_multi_minimize"] = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z_]+') AS arr
+  FROM documents
+), h1 AS (
+  SELECT doc_id, t.w AS word FROM tok, LATERAL (SELECT unnest(arr) AS w) t
+  WHERE t.w <> ''
+), tok2 AS (
+  SELECT doc_id, 0 AS fld,
+         string_split_regex(lower(source), '[^0-9a-z_]+') AS arr
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, string_split_regex(lower(text), '[^0-9a-z_]+')
+  FROM documents
+), h2 AS (
+  SELECT doc_id, fld, t.w AS word
+  FROM tok2, LATERAL (SELECT unnest(arr) AS w) t WHERE t.w <> ''
+), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+i1 AS (
+  SELECT ln((nd.n - df + 1)/df) / (2*1*ln(1+nd.n)) AS idf
+  FROM (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM h1 WHERE word = 'table'), nd
+), r1 AS (
+  SELECT doc_id,
+    CAST(floor((tf/(tf+1.2) * (SELECT idf FROM i1) + 0.5) * 1000) AS INT)
+      + 1000 AS weight, 0 AS tag
+  FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+        FROM h1 WHERE word = 'table' GROUP BY doc_id)
+), i2 AS (
+  SELECT ln((nd.n - df + 1)/df) / (2*1*ln(1+nd.n)) AS idf
+  FROM (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM h2 WHERE word = 'table'), nd
+), r2 AS (
+  SELECT doc_id,
+    CAST(floor((tf/(tf+1.2) * (SELECT idf FROM i2) + 0.5) * 1000) AS INT)
+      + 1000 * ((fm & 1) + ((fm >> 1) & 1)) AS weight, 1 AS tag
+  FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf,
+               bit_or(CASE WHEN fld = 0 THEN 1 ELSE 2 END) AS fm
+        FROM h2 WHERE word = 'table' GROUP BY doc_id)
+)
+SELECT tag, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(weight) AS BIGINT) AS sum_weight
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+GROUP BY tag ORDER BY tag"""
 
     out["q_show_warnings"] = (
         "SELECT 1 AS level, 'Query word length is less than "
