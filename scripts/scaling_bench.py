@@ -83,13 +83,26 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 8
     n_pages = int(args[1]) if len(args) > 1 else 20000
-    lo = run_once(n, n_pages)
-    hi = run_once(4 * n, n_pages)
+    repeat = (
+        int(sys.argv[sys.argv.index("--repeat") + 1])
+        if "--repeat" in sys.argv
+        else 1
+    )
+    # best-of-N per core level: this box's co-tenant load swings the
+    # identical run ~2x, so a single sample measures the neighbor's
+    # workload; the min is the machine-capability number. All samples
+    # are reported.
+    lo_runs = [run_once(n, n_pages) for _ in range(repeat)]
+    hi_runs = [run_once(4 * n, n_pages) for _ in range(repeat)]
+    lo = min(lo_runs, key=lambda r: r["seconds"])
+    hi = min(hi_runs, key=lambda r: r["seconds"])
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     out = {
         "n_pages": n_pages,
         "low": lo,
         "high": hi,
+        "low_runs_s": [r["seconds"] for r in lo_runs],
+        "high_runs_s": [r["seconds"] for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
