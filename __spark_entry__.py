@@ -844,6 +844,61 @@ def q_wand_or(spark, sf_dir):
     return out.select(F.col("docid").alias("doc_id"), "weight")
 
 
+def q_incremental(spark, sf_dir):
+    """Main+delta freshness (streaming/incremental.py): two
+    micro-batches with an overlapping re-crawl window (doc_id 250..299
+    in both; same url -> same fingerprint docid), the later delta's
+    kill-list suppresses the earlier copies, and search runs
+    per-segment with per-index IDF (header stats still count killed
+    rows) before merging — RunSubset + killlist chaining semantics
+    (src/searchd.cpp:3950, :4191). Full matched set returned keyed by
+    url, so the compare is cut-free under weight ties."""
+    import shutil
+    import tempfile
+
+    from sphinx_1_spark.streaming.incremental import IncrementalIndexer
+
+    key = ("incremental", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def pages_of(d):
+            return d.select(
+                F.concat(
+                    F.lit("doc://"), F.col("doc_id").cast("string")
+                ).alias("url"),
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+                F.encode(F.col("text"), "utf-8").alias("html"),
+                "text",
+                "lang",
+            )
+
+        out_dir = tempfile.mkdtemp(prefix="gate_incr_")
+        try:
+            idxr = IncrementalIndexer(out_dir)
+            idxr.process_batch(pages_of(docs.where(F.col("doc_id") <= 299)), 0)
+            # upper bound is a no-op at the sf0.01 gate scale (max doc_id
+            # 499) and caps the delta size at larger bench SFs
+            idxr.process_batch(
+                pages_of(docs.where(F.col("doc_id").between(250, 999))), 1
+            )
+            view = idxr.open_view(spark)
+            res = view.search_topk(["table", "scan"], k=100000, mode="and")
+            docinfo = view.docinfo().select("docid", "url")
+            rows = [
+                (r["url"], r["weight"])
+                for r in res.join(docinfo, "docid")
+                .select("url", "weight")
+                .collect()
+            ]
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        _INDEX_CACHE[key] = spark.createDataFrame(
+            rows or [("", 0)], "url string, weight int"
+        ).where(F.col("url") != "")
+    return _INDEX_CACHE[key]
+
+
 def q_multi_minimize(spark, sf_dir):
     """Result minimize/merge across indexes with different schemas
     (MinimizeAggrResult, src/searchd.cpp:3628-3820): per-index result
@@ -1086,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_show_meta": q_show_meta,
         "q_show_warnings": q_show_warnings,
         "q_multi_minimize": q_multi_minimize,
+        "q_incremental": q_incremental,
         "q_wand_and": q_wand_and,
         "q_wand_or": q_wand_or,
     }
@@ -1485,6 +1541,44 @@ GROUP BY tag ORDER BY tag"""
         "SELECT 1 AS level, 'Query word length is less than "
         "min prefix length. word: ''ta*'' ' AS message"
     )
+
+    # incremental main+delta: per-segment IDF (N1=docs<=299 incl.
+    # later-killed rows, N2=docs>=250), batch-1 matches restricted to
+    # live rows (doc_id <= 249), q=2 both segments
+    out["q_incremental"] = """
+WITH seg AS (
+  SELECT 1 AS s, doc_id, string_split_regex(lower(text), '[^0-9a-z_]+') AS arr
+  FROM documents WHERE doc_id <= 299
+  UNION ALL
+  SELECT 2, doc_id, string_split_regex(lower(text), '[^0-9a-z_]+')
+  FROM documents WHERE doc_id >= 250 AND doc_id <= 999
+), h AS (
+  SELECT s, doc_id, t.w AS word
+  FROM seg, LATERAL (SELECT unnest(arr) AS w) t WHERE t.w <> ''
+), nd AS (
+  SELECT s, CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM seg GROUP BY s
+), idf AS (
+  SELECT d.s, d.word,
+         ln((nd.n - d.df + 1)/d.df) / (2*2*ln(1+nd.n)) AS idf
+  FROM (SELECT s, word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM h WHERE word IN ('table','scan') GROUP BY s, word) d
+  JOIN nd ON nd.s = d.s
+), tf AS (
+  SELECT s, doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+  FROM h WHERE word IN ('table','scan') GROUP BY s, doc_id, word
+), scored AS (
+  SELECT tf.s, tf.doc_id,
+         sum(tf.tf/(tf.tf+1.2) * i.idf) AS tfidf,
+         count(*) AS nterms
+  FROM tf JOIN idf i ON i.s = tf.s AND i.word = tf.word
+  GROUP BY tf.s, tf.doc_id
+), matched AS (
+  SELECT s, doc_id,
+         CAST(floor((tfidf + 0.5) * 1000) AS INT) + 1000 AS weight
+  FROM scored WHERE nterms = 2
+)
+SELECT 'doc://' || doc_id AS url, weight FROM matched
+WHERE (s = 1 AND doc_id <= 249) OR s = 2"""
 
     out.update(_two_field_oracles())
     out.update(_pipeline_oracles())
