@@ -853,6 +853,7 @@ def q_incremental(spark, sf_dir):
     rows) before merging — RunSubset + killlist chaining semantics
     (src/searchd.cpp:3950, :4191). Full matched set returned keyed by
     url, so the compare is cut-free under weight ties."""
+    import os
     import shutil
     import tempfile
 
@@ -891,12 +892,52 @@ def q_incremental(spark, sf_dir):
                 .select("url", "weight")
                 .collect()
             ]
+            # compact (indexer --merge analog): merge all deltas into
+            # one segment with kill-listed rows purged; the merged
+            # index scores with GLOBAL collection stats
+            from sphinx_1_spark.plans.segment_index import SegmentSet
+
+            comp_dir = tempfile.mkdtemp(prefix="gate_compact_")
+            try:
+                idxr.compact(spark, comp_dir)
+                cseg = SegmentSet(
+                    spark, [os.path.join(comp_dir, "delta=0000000000")]
+                )
+                cres = cseg.wand_topk(["table", "scan"], k=100000, mode="and")
+                cinfo = (
+                    spark.read.parquet(
+                        os.path.join(comp_dir, "delta=0000000000", "docinfo")
+                    ).select("docid", "url")
+                )
+                crows = [
+                    (r["url"], r["weight"])
+                    for r in cres.join(cinfo, "docid")
+                    .select("url", "weight")
+                    .collect()
+                ]
+            finally:
+                shutil.rmtree(comp_dir, ignore_errors=True)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-        _INDEX_CACHE[key] = spark.createDataFrame(
-            rows or [("", 0)], "url string, weight int"
-        ).where(F.col("url") != "")
-    return _INDEX_CACHE[key]
+
+        def _mk(rws):
+            return spark.createDataFrame(
+                rws or [("", 0)], "url string, weight int"
+            ).where(F.col("url") != "")
+
+        _INDEX_CACHE[key] = (_mk(rows), _mk(crows))
+    return _INDEX_CACHE[key][0]
+
+
+def q_compact(spark, sf_dir):
+    """Index merge / compaction (indexer --merge, src/indexer.cpp:1029;
+    CSphIndex_VLN::Merge src/sphinx.cpp:9976): the incremental deltas
+    merged into ONE segment with kill-listed rows purged and the
+    dictionary re-aggregated — scoring then uses GLOBAL collection
+    stats over the live corpus (vs per-segment stats in
+    q_incremental), which shifts every weight."""
+    q_incremental(spark, sf_dir)  # shares the cached build
+    return _INDEX_CACHE[("incremental", sf_dir)][1]
 
 
 def q_multi_minimize(spark, sf_dir):
@@ -1142,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_show_warnings": q_show_warnings,
         "q_multi_minimize": q_multi_minimize,
         "q_incremental": q_incremental,
+        "q_compact": q_compact,
         "q_wand_and": q_wand_and,
         "q_wand_or": q_wand_or,
     }
@@ -1579,6 +1621,33 @@ WITH seg AS (
 )
 SELECT 'doc://' || doc_id AS url, weight FROM matched
 WHERE (s = 1 AND doc_id <= 249) OR s = 2"""
+
+    # compacted index: global stats over the LIVE corpus (batch-1
+    # live rows + batch 2); at the sf0.01 gate scale live = all docs
+    out["q_compact"] = """
+WITH live AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^0-9a-z_]+') AS arr
+  FROM documents
+  WHERE doc_id <= 249 OR (doc_id >= 250 AND doc_id <= 999)
+), h AS (
+  SELECT doc_id, t.w AS word
+  FROM live, LATERAL (SELECT unnest(arr) AS w) t WHERE t.w <> ''
+), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM live),
+idf AS (
+  SELECT d.word, ln((nd.n - d.df + 1)/d.df) / (2*2*ln(1+nd.n)) AS idf
+  FROM (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM h WHERE word IN ('table','scan') GROUP BY word) d, nd
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+  FROM h WHERE word IN ('table','scan') GROUP BY doc_id, word
+), scored AS (
+  SELECT tf.doc_id, sum(tf.tf/(tf.tf+1.2) * i.idf) AS tfidf,
+         count(*) AS nterms
+  FROM tf JOIN idf i ON i.word = tf.word GROUP BY tf.doc_id
+)
+SELECT 'doc://' || doc_id AS url,
+       CAST(floor((tfidf + 0.5) * 1000) AS INT) + 1000 AS weight
+FROM scored WHERE nterms = 2"""
 
     out.update(_two_field_oracles())
     out.update(_pipeline_oracles())
