@@ -533,6 +533,38 @@ def q_group_month(spark, sf_dir):
     )
 
 
+def q_select_math(spark, sf_dir):
+    """Expression-engine math builtins (function table
+    src/sphinxexpr.cpp:325-353): ABS CEIL FLOOR SIN COS LN LOG2 LOG10
+    EXP SQRT MIN(a,b) MAX(a,b) POW + BIGINT() promotion — the 'same
+    names' rows of SURVEY §2.9, all native Catalyst columns."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    u = F.col("user_id").cast("double")
+    sq = v * v + F.lit(1.0)
+    return (
+        ev.select(
+            "event_id",
+            F.round(F.abs(v - 10), 6).alias("abs_v"),
+            F.ceil(v).cast("long").alias("ceil_v"),
+            F.floor(v).cast("long").alias("floor_v"),
+            F.round(F.sin(v), 6).alias("sin_v"),
+            F.round(F.cos(v), 6).alias("cos_v"),
+            F.round(F.log(sq), 6).alias("ln_v"),
+            F.round(F.log2(sq), 6).alias("log2_v"),
+            F.round(F.log10(sq), 6).alias("log10_v"),
+            F.round(F.exp(-F.abs(v) / 100), 6).alias("exp_v"),
+            F.round(F.sqrt(F.abs(v)), 6).alias("sqrt_v"),
+            F.round(F.least(v, u), 6).alias("min_vu"),
+            F.round(F.greatest(v, u), 6).alias("max_vu"),
+            F.round(F.pow(F.abs(v) + 1, F.lit(1.5)), 6).alias("pow_v"),
+            (u * 1000000).cast("long").alias("big_u"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
 def q_select_exprs(spark, sf_dir):
     """Expression engine (src/sphinxexpr.cpp:325-353): IF, INTERVAL,
     IDIV, MADD, GEODIST with reference constants."""
@@ -1159,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_week": q_group_week,
         "q_group_month": q_group_month,
         "q_select_exprs": q_select_exprs,
+        "q_select_math": q_select_math,
         "q_killlist_union": q_killlist_union,
         "q_sort_multi": q_sort_multi,
         "q_sort_timesegs": q_sort_timesegs,
@@ -1878,6 +1911,23 @@ GROUP BY 1 ORDER BY hi_bits"""
         "q_group_week": group_week,
         "q_group_month": group_month,
         "q_select_exprs": select_exprs,
+        "q_select_math": """
+SELECT event_id,
+  round(abs(value - 10), 6) AS abs_v,
+  CAST(ceil(value) AS BIGINT) AS ceil_v,
+  CAST(floor(value) AS BIGINT) AS floor_v,
+  round(sin(value), 6) AS sin_v,
+  round(cos(value), 6) AS cos_v,
+  round(ln(value*value + 1.0), 6) AS ln_v,
+  round(log2(value*value + 1.0), 6) AS log2_v,
+  round(log10(value*value + 1.0), 6) AS log10_v,
+  round(exp(-abs(value)/100), 6) AS exp_v,
+  round(sqrt(abs(value)), 6) AS sqrt_v,
+  round(least(value, CAST(user_id AS DOUBLE)), 6) AS min_vu,
+  round(greatest(value, CAST(user_id AS DOUBLE)), 6) AS max_vu,
+  round(pow(abs(value) + 1, 1.5), 6) AS pow_v,
+  CAST(CAST(user_id AS DOUBLE) * 1000000 AS BIGINT) AS big_u
+FROM events ORDER BY event_id LIMIT 200""",
         "q_killlist_union": killlist,
         "q_sort_multi": sort_multi,
         "q_sort_timesegs": timesegs,
