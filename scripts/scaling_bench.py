@@ -80,14 +80,14 @@ def run_once(cores: int, n_pages: int, seed: int = 42) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(args[0]) if args else 8
-    n_pages = int(args[1]) if len(args) > 1 else 20000
-    repeat = (
-        int(sys.argv[sys.argv.index("--repeat") + 1])
-        if "--repeat" in sys.argv
-        else 1
-    )
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n", nargs="?", type=int, default=8)
+    ap.add_argument("n_pages", nargs="?", type=int, default=20000)
+    ap.add_argument("--repeat", type=int, default=1)
+    ns = ap.parse_args()
+    n, n_pages, repeat = ns.n, ns.n_pages, ns.repeat
     # best-of-N per core level: this box's co-tenant load swings the
     # identical run ~2x, so a single sample measures the neighbor's
     # workload; the min is the machine-capability number. All samples

@@ -53,3 +53,18 @@ def madd(a: Column, b: Column, c: Column) -> Column:
 
 def mul3(a: Column, b: Column, c: Column) -> Column:
     return a * b * c
+
+
+def now(epoch: int | None = None) -> Column:
+    """NOW() (Expr_GetTimestamp / SPH_EXPR_NOW row of the function
+    table, src/sphinxexpr.cpp:325-353): the reference caches the query
+    start time once at expression-setup, so every row of one query
+    sees the SAME integer epoch.  Pinned at plan-construction time
+    here for the same reason (a per-row current_timestamp() would
+    diverge across executors mid-query); pass `epoch` to pin it
+    explicitly (tests / oracle parity)."""
+    if epoch is None:
+        import time
+
+        epoch = int(time.time())
+    return F.lit(int(epoch)).cast("long")

@@ -49,6 +49,29 @@ def crc32_col(col: Column) -> Column:
     return F.crc32(col.cast("binary")).cast("long")
 
 
+def fnv64_col(col: Column) -> Column:
+    """Arrow-batched FNV-1a 64 wordid column (--enable-id64 parity,
+    sphFNV64 src/sphinx.cpp:16658-16671).  No Catalyst builtin exists
+    for FNV, so this is a vectorized pandas UDF — id64 is the one
+    place the wordid leaves whole-stage codegen."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _fnv64(words: pd.Series) -> pd.Series:
+        return fnv64_np(words)
+
+    return _fnv64(col)
+
+
+def word_id(word: str | bytes, impl: str = "crc32") -> int:
+    """Dispatch a single-token wordid by dictionary impl; fnv64 ids are
+    viewed as signed int64 to match the LongType column."""
+    if impl == "fnv64":
+        h = fnv64_word(word)
+        return h - (1 << 64) if h >= (1 << 63) else h
+    return crc32_word(word)
+
+
 def fnv64_np(words: pd.Series) -> pd.Series:
     """Vectorized-ish FNV-1a 64 for pandas UDF use (signed int64 view,
     since Spark LongType is signed; ids compare consistently either way

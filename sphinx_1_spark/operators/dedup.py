@@ -338,9 +338,12 @@ def embedding_neardup_pairs(
     Broadcast-matmul: the (normalized) matrix is broadcast to
     executors and each partition multiplies its slice against it with
     one numpy matmul — exact all-pairs, no quadratic join.  Beyond
-    `max_broadcast_rows` the matrix no longer fits an executor: LSH
-    sign-bucket first (similarity.lsh_bucket) and run this per bucket
-    — same verify stage, bounded broadcast."""
+    `max_broadcast_rows` the matrix no longer fits an executor and
+    this auto-switches to `embedding_neardup_bucketed` (sign-LSH
+    bucket → per-bucket matmul via applyInPandas): each bucket's
+    matrix is bounded, nothing is collected to the driver, and the
+    trade is the usual LSH recall (cross-bucket pairs are missed —
+    grow nbits to shrink buckets, shrink nbits to raise recall)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -352,9 +355,13 @@ def embedding_neardup_pairs(
 
     n_rows = emb.count()
     if n_rows > max_broadcast_rows:
-        raise ValueError(
-            f"{n_rows} rows exceed broadcast bound {max_broadcast_rows}; "
-            "bucket with similarity.lsh_bucket first"
+        # ~4 expected splits per doubling beyond the bound; buckets
+        # are uneven so overshoot by 2 bits
+        import math
+
+        nbits = max(4, math.ceil(math.log2(n_rows / max_broadcast_rows)) + 2)
+        return embedding_neardup_bucketed(
+            emb, tau=tau, nbits=nbits, id_col=id_col, vec_col=vec_col
         )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
@@ -393,3 +400,76 @@ def embedding_neardup_pairs(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def embedding_neardup_bucketed(
+    emb: DataFrame,
+    tau: float = 0.95,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) near-dup pairs WITHIN each sign-LSH bucket — the
+    10^12-row scale path of `embedding_neardup_pairs`.
+
+    One hash shuffle on the bucket id, then an in-bucket exact numpy
+    matmul per group (Arrow applyInPandas) — no driver collect, no
+    global broadcast, no quadratic join.  The planes are hash-derived
+    (similarity.deterministic_planes), so bucket membership is a pure
+    function of the vector: results are deterministic and the
+    equivalent bucket predicate can be stated in SQL (gate oracle).
+    Near-identical vectors (cos >= ~0.95) land in the same bucket
+    unless a plane separates them; recall rises as nbits falls.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sphinx_1_spark.operators.similarity import (
+        deterministic_planes,
+        lsh_bucket,
+    )
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = deterministic_planes(dim, nbits, seed)
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes).cast("int"))
+
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("a", LongType()),
+            StructField("b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        cand = np.argwhere((sims >= tau) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "bucket": np.full(len(cand), key[0], dtype=np.int32),
+                "a": ids[cand[:, 0]],
+                "b": ids[cand[:, 1]],
+                "cos": sims[cand[:, 0], cand[:, 1]],
+            }
+        )
+
+    return (
+        v.groupBy("bucket")
+        .applyInPandas(per_bucket, schema)
+        .select("a", "b", "cos")
+    )

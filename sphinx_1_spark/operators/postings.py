@@ -21,11 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sphinx_1_spark.functions.bits import field_bit_of_pos
-from sphinx_1_spark.functions.wordid import crc32_col
+from sphinx_1_spark.functions.wordid import crc32_col, fnv64_col
 from sphinx_1_spark.functions.tokenizer import HIT_FIELD_END, POS_MASK
 
 
-def build_postings(hits: DataFrame, with_positions: bool = True) -> DataFrame:
+def build_postings(
+    hits: DataFrame, with_positions: bool = True, wordid_impl: str = "crc32"
+) -> DataFrame:
     """Aggregate hits into per-(word, doc) postings.
 
     fieldmask: bit i set iff the word occurs in field i
@@ -41,10 +43,11 @@ def build_postings(hits: DataFrame, with_positions: bool = True) -> DataFrame:
     ]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list(F.col("wordpos"))).alias("positions"))
+    hash_col = fnv64_col if wordid_impl == "fnv64" else crc32_col
     return (
         hits.groupBy("word", "docid")
         .agg(*aggs)
-        .withColumn("wordid", crc32_col(F.col("word")))
+        .withColumn("wordid", hash_col(F.col("word")))
     )
 
 

@@ -98,6 +98,25 @@ def ivf_topk(
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
 
     # query bucket + neighbors within hamming distance
+    probes = _probe_set(query_vec, planes, probe_hamming)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    scored = (
+        v.where(F.col("bucket").isin(probes))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn)), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _probe_set(query_vec: list[float], planes: list[list[float]], probe_hamming: int) -> list[int]:
+    """Query bucket + all buckets within `probe_hamming` flipped bits."""
+    nbits = len(planes)
     qbucket = 0
     for i, p in enumerate(planes):
         dp = sum(float(a) * float(b) for a, b in zip(query_vec, p))
@@ -111,16 +130,66 @@ def ivf_topk(
         for i in range(nbits):
             for j in range(i + 1, nbits):
                 probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
 
+
+def build_ann_index(
+    emb: DataFrame,
+    path: str,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the ANN index as a BUCKET-PARTITIONED parquet table —
+    the analog of the reference's .spi/.spd split (a probe is an index
+    lookup, not a scan; src/sphinx.cpp:14811-14900 SetupQueryWord
+    binary-searches the checkpoint table the same way partition
+    pruning skips non-probed directories here).
+
+    Each sign-LSH bucket becomes one partition directory
+    (bucket=<id>/...), so `ivf_topk_indexed` reads ONLY the probed
+    buckets: at 10^12 rows a probe touches 2^-nbits * (1+nbits)
+    of the data instead of 100%.  Planes are hash-derived from
+    (dim, nbits, seed) — no sidecar metadata needed to re-derive them
+    at probe time."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = deterministic_planes(dim, nbits, seed)
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes).cast("int"))
+    # one shuffle keyed on bucket so each partition directory is
+    # written by the executors owning that bucket (no tiny-file spray:
+    # without it every task writes a file into every bucket dir)
+    v.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 4,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k over a persisted `build_ann_index`
+    table: the bucket IN (...) predicate lands on the partition column,
+    so the scan is partition-pruned to the probed buckets only
+    (verified by tests/test_plans.py plan assertion)."""
+    dim = len(query_vec)
+    planes = deterministic_planes(dim, nbits, seed)
+    probes = _probe_set(query_vec, planes, probe_hamming)
+    v = spark.read.parquet(path).where(F.col("bucket").isin(probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
-    scored = (
-        v.where(F.col("bucket").isin(list(probes)))
-        .select(
-            "vec_id",
-            F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn)), 6).alias(
-                "cos"
-            ),
-        )
+    scored = v.select(
+        "vec_id",
+        F.round(_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn)), 6).alias(
+            "cos"
+        ),
     )
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)

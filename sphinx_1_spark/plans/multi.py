@@ -57,8 +57,12 @@ def minimize_results(
     spans several indexes, the per-index result sets are reduced to
     their common attribute schema (intersection by column name, in
     the first set's order), tagged with the index ordinal, unioned,
-    and re-sorted through a fresh queue (weight desc, docid asc —
-    sphinxsort.cpp:1159 comparator)."""
+    deduplicated per docid (the reference sorts merged matches by
+    (docid, tag) and keeps only the first copy — searchd.cpp:3755
+    dupes sweep), and re-sorted through a fresh queue (weight desc,
+    docid asc — sphinxsort.cpp:1159 comparator)."""
+    from pyspark.sql import Window
+
     if not results:
         raise ValueError("no result sets")
     common = [
@@ -72,6 +76,14 @@ def minimize_results(
     for tag, r in enumerate(results):
         cur = r.select(*common).withColumn("tag", F.lit(tag))
         out = cur if out is None else out.unionByName(cur)
+    # first copy per docid wins (lowest tag); shuffle keyed on docid —
+    # no skew (docids are unique per index), scales as a plain hash agg
+    w = Window.partitionBy(docid_col).orderBy(F.col("tag").asc())
+    out = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return out.orderBy(
         F.col("weight").desc(), F.col(docid_col).asc()
     ).limit(limit)

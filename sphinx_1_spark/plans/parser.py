@@ -76,11 +76,12 @@ class _Lexer:
         tokenizer: Tokenizer,
         field_names: list[str],
         star_mode: str = "none",
+        relaxed: bool = False,
     ):
         self.toks: list[tuple[str, object]] = []
         self.field_names = [f.lower() for f in field_names]
         self.star_mode = star_mode
-        self.relaxed = False
+        self.relaxed = relaxed
         self._atom_base = 0
         pos = 0
         for m in _TOKEN_RE.finditer(text):
@@ -151,11 +152,10 @@ class _Lexer:
             spec = spec[: mm.start()]
         body = spec[1:]
         if body == "@relaxed":
-            # @@relaxed flag (src/sphinxquery.cpp:715): references to
-            # fields the index lacks become match-nothing instead of a
-            # parse error, for querying heterogeneous multi-index sets.
-            self.relaxed = True
-            return (ALL_FIELDS, max_pos)
+            # the reference recognizes @@relaxed only as a strncmp
+            # prefix of the whole query (src/sphinxquery.cpp:715-723),
+            # stripped before lexing; mid-query it is a syntax error
+            raise QueryParseError("@@relaxed is only valid at query start")
         if body == "*":
             return (ALL_FIELDS, max_pos)
         if body.startswith("("):
@@ -193,8 +193,19 @@ class QueryParser:
 
     # ------------------------------------------------------------------
     def parse(self, query: str) -> XQNode:
+        # @@relaxed is a whole-query prefix flag (strncmp before lexing,
+        # src/sphinxquery.cpp:715-723): unknown-field references are
+        # tolerated, and after parsing every node that ended up with an
+        # empty field mask is DELETED (DeleteNodesWOFields) so its
+        # keywords drop out of the query-word count / IDF q divisor.
+        relaxed = False
+        stripped = query.lstrip()
+        if stripped.lower().startswith("@@relaxed"):
+            relaxed = True
+            query = stripped[len("@@relaxed"):]
         self._lex = _Lexer(
-            query, self.tokenizer, self.field_names, self.star_mode
+            query, self.tokenizer, self.field_names, self.star_mode,
+            relaxed=relaxed,
         )
         self._qpos = 0
         node = self._expr()
@@ -203,9 +214,39 @@ class QueryParser:
             raise QueryParseError(f"unexpected token {kind!r}")
         if node is None:
             raise QueryParseError("empty query")
+        if relaxed:
+            node = self._delete_no_field_nodes(node)
+            if node is None:
+                raise QueryParseError(
+                    "query is empty (all terms reference unknown fields)"
+                )
         node = self._fixup_nots(node)
         if node.op == "not":
             raise QueryParseError("query is non-computable (top-level NOT)")
+        return node
+
+    @classmethod
+    def _delete_no_field_nodes(cls, node: XQNode) -> XQNode | None:
+        """DeleteNodesWOFields (src/sphinxquery.cpp:728-760): drop
+        subtrees whose field mask is empty; AND/OR keep surviving
+        siblings, a unary/binary node missing an operand drops whole."""
+        if node.words:
+            return None if node.fields_mask == 0 else node
+        kept = [
+            c for c in (cls._delete_no_field_nodes(ch) for ch in node.children)
+            if c is not None
+        ]
+        if node.op in ("and", "or"):
+            if not kept:
+                return None
+            if len(kept) == 1:
+                return kept[0]
+            node.children = kept
+            return node
+        # not / before (pre-FixupNots tree): all operands required
+        if len(kept) != len(node.children):
+            return None
+        node.children = kept
         return node
 
     def _next_qpos(self) -> int:

@@ -407,7 +407,11 @@ class SphinxQLSession:
             # AND/OR per doc), so a plain count IS the distinct count —
             # no extra shuffle over the matched set
             total_found = plan.select("docid").count()
-            meta.append(("total", str(min(total_found, stmt.limit))))
+            # 'total' = m_dMatches.GetLength() (searchd.cpp:5756):
+            # bounded by max_matches (OPTION or the 1000 default),
+            # NEVER by LIMIT — LIMIT only affects rows returned
+            max_matches = int(stmt.options.get("max_matches", 1000))
+            meta.append(("total", str(min(total_found, max_matches))))
             meta.append(("total_found", str(total_found)))
             meta.append(
                 ("time", f"{_time.perf_counter() - t0:.3f}")

@@ -110,7 +110,17 @@ def parse_docset(xml_text: str) -> dict:
                 # src/sphinx.cpp:21478
                 raise XmlPipeError("attribute 'id' required in <sphinx:document>")
             doc: dict = {"id": int(el.attrib["id"])}
-            by_name = {c.tag: (c.text or "") for c in el}
+            # the reference's expat handler accumulates ALL character
+            # data of an element (markup-bearing content keeps its
+            # text), and repeated field elements concatenate rather
+            # than last-one-wins (src/sphinx.cpp:21560 CharactersBuffer)
+            by_name: dict = {}
+            for c in el:
+                content = "".join(c.itertext())
+                if c.tag in by_name:
+                    by_name[c.tag] += " " + content
+                else:
+                    by_name[c.tag] = content
             for f in fields:
                 doc[f] = by_name.get(f, "")
             for name, typ in attrs:

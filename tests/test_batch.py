@@ -44,7 +44,12 @@ def test_minimize_results(spark, docs_index):
     rows = merged.collect()
     keys = [(-r["weight"], r["docid"]) for r in rows]
     assert keys == sorted(keys)
-    assert {r["tag"] for r in rows} == {0, 1}
+    # dupes sweep (searchd.cpp:3755): one copy per docid, lowest tag
+    docids = [r["docid"] for r in rows]
+    assert len(docids) == len(set(docids))
+    r1_ids = {r["docid"] for r in r1.collect()}
+    for r in rows:
+        assert r["tag"] == (0 if r["docid"] in r1_ids else 1)
 
 
 def test_update_attributes(spark):

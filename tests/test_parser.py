@@ -104,15 +104,24 @@ def test_querypos_skips_operators(parser):
 
 
 def test_relaxed_unknown_field(parser):
-    # @@relaxed (src/sphinxquery.cpp:715): unknown field matches
-    # nothing (zero mask) instead of raising
+    # @@relaxed (src/sphinxquery.cpp:715-760): recognized only as a
+    # whole-query prefix; unknown-field nodes are DELETED from the
+    # tree (DeleteNodesWOFields) so their keywords leave the
+    # query-word count entirely
     with pytest.raises(QueryParseError):
         parser.parse("@nosuch a")
-    t = parser.parse("b | @@relaxed @nosuch a")
-    assert t.op == "or"
-    assert t.children[1].fields_mask == 0
-    # known field after the flag still resolves; @@relaxed alone
-    # resets the spec to all-fields
+    # mid-query @@relaxed is a syntax error (strncmp prefix only)
+    with pytest.raises(QueryParseError):
+        parser.parse("b | @@relaxed @nosuch a")
+    t = parser.parse("@@relaxed @nosuch a | b")
+    assert t.op == "term" and t.words[0].word == "b"
+    from sphinx_1_spark.plans.parser import collect_words
+
+    assert [w.word for w in collect_words(t)] == ["b"]
+    # all branches unknown -> empty query
+    with pytest.raises(QueryParseError):
+        parser.parse("@@relaxed @nosuch a")
+    # known field after the flag still resolves
     t2 = parser.parse("@@relaxed @title a")
     assert t2.fields_mask == 1
 

@@ -98,9 +98,11 @@ def test_show_meta_session(spark, docs_index):
         "ORDER BY @weight DESC, @id ASC LIMIT 5 OPTION ranker=bm25"
     ).collect()
     meta = {r["variable_name"]: r["value"] for r in sess.execute("SHOW META").collect()}
-    assert meta["total"] == str(min(int(meta["total_found"]), 5))
+    # 'total' = min(total_found, max_matches default 1000), NOT LIMIT
+    # (searchd.cpp:5756 m_dMatches.GetLength())
+    assert meta["total"] == str(min(int(meta["total_found"]), 1000))
     assert meta["keyword[0]"] == "table" and meta["keyword[1]"] == "scan"
     assert int(meta["docs[0]"]) > 0 and int(meta["hits[0]"]) >= int(meta["docs[0]"])
-    assert len(rows) == int(meta["total"])
+    assert len(rows) == min(int(meta["total_found"]), 5)
     # warnings: empty result set, not an error
     assert sess.execute("SHOW WARNINGS").collect() == []
