@@ -84,6 +84,30 @@ def q_term_bm25(spark, sf_dir):
     return _topk(_docs_index(spark, sf_dir), "window", "bm25")
 
 
+def q_fnv64_bm25(spark, sf_dir):
+    """--enable-id64 parity (reference test_47/test_50): the same
+    query as q_term_bm25 over an index built end-to-end with
+    FNV-1a-64 wordids (sphFNV64 src/sphinx.cpp:16658-16671) — hits,
+    postings, dictionary and the query-side term hash all use the
+    64-bit id space, and results must be identical to the CRC32
+    build (the oracle IS q_term_bm25's)."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+
+    key = ("documents_fnv64", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = SphinxIndex.build(
+            docs,
+            IndexSettings(
+                docid_col="doc_id",
+                fields=("text",),
+                tokenizer_impl="native",
+                wordid="fnv64",
+            ),
+        )
+    return _topk(_INDEX_CACHE[key], "window", "bm25")
+
+
 def q_and_bm25(spark, sf_dir):
     return _topk(_docs_index(spark, sf_dir), "table scan", "bm25")
 
@@ -316,6 +340,20 @@ def q_dedup_embed(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), tau=0.4).orderBy("a", "b")
 
 
+def q_dedup_embed_lsh(spark, sf_dir):
+    """The 10^12-row scale path of embedding near-dup, forced here
+    regardless of input size: sign-LSH bucket (hash-derived planes)
+    -> one shuffle keyed on bucket -> per-bucket exact numpy matmul
+    (applyInPandas).  No driver collect, no global broadcast; the
+    deterministic planes make bucket membership an exact relational
+    predicate, so the oracle value-checks the in-bucket pair set."""
+    from sphinx_1_spark.operators.dedup import embedding_neardup_bucketed
+
+    return embedding_neardup_bucketed(
+        _emb(spark, sf_dir), tau=0.4, nbits=3, seed=42
+    ).orderBy("a", "b")
+
+
 _ANN_QUERY = [0.1, -0.2, 0.05] + [0.01] * 61  # fixed 64-dim probe
 
 
@@ -333,6 +371,28 @@ def q_ann_ivf(spark, sf_dir):
     from sphinx_1_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_emb(spark, sf_dir), _ANN_QUERY, k=10, nbits=4, probe_hamming=1)
+
+
+def q_ann_index(spark, sf_dir):
+    """Probe over the PERSISTED ANN index (the .spi/.spd analog —
+    src/sphinx.cpp:14811 SetupQueryWord makes a probe an index lookup,
+    not a scan): build_ann_index writes a bucket-partitioned parquet
+    table, ivf_topk_indexed's bucket IN (...) predicate lands on the
+    partition column so only the probed bucket directories are read
+    (partition pruning asserted in tests/test_plans.py)."""
+    import os
+
+    from sphinx_1_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    path = f"/tmp/sphinx1_ann_index_v1_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ann_index(_emb(spark, sf_dir), path, nbits=5, seed=7)
+    return ivf_topk_indexed(
+        spark, path, _ANN_QUERY, k=10, nbits=5, probe_hamming=2, seed=7
+    )
 
 
 def q_token_counts(spark, sf_dir):
@@ -1192,6 +1252,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's 50-entry correctness window."""
     return {
         "q_term_bm25": q_term_bm25,
+        "q_fnv64_bm25": q_fnv64_bm25,
         "q_and_bm25": q_and_bm25,
         "q_or_bm25": q_or_bm25,
         "q_andnot_bm25": q_andnot_bm25,
@@ -1207,8 +1268,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embed": q_dedup_embed,
+        "q_dedup_embed_lsh": q_dedup_embed_lsh,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_index": q_ann_index,
         "q_token_counts": q_token_counts,
         "q_langid": q_langid,
         "q_quality": q_quality,
@@ -1526,6 +1589,11 @@ SELECT count(*) AS total_found FROM (
 
     # hitless index: same scoring pipeline, positions never consulted
     out["q_hitless_bm25"] = out["q_term_bm25"]
+
+    # id64 build: wordid scheme is invisible in results — identical
+    # output proves the 64-bit hash is applied consistently on both
+    # the build and query sides (a mismatch returns zero rows)
+    out["q_fnv64_bm25"] = out["q_term_bm25"]
 
     # WAND over the compressed segment store is exact: same oracles as
     # the in-memory AND/OR scoring pipelines
@@ -2098,13 +2166,27 @@ def _pipeline_oracles() -> dict[str, str]:
 SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keeper
 FROM documents GROUP BY 1 ORDER BY text_hash LIMIT 100"""
 
+    # mirrors the operator's default max_shingle_df=1000 guard: hot
+    # shingles leave both the candidate join and the per-doc sizes
     jaccard = _SHINGLE_CTE + """
-, pairs AS (
+, shdf AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN shdf USING (shingle)
+), csizes AS (
+  SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id
+), pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
-""" + _JACCARD_VERIFY.format(pairs="pairs")
+SELECT a, b,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pairs p
+JOIN csizes sa ON sa.doc_id = p.a
+JOIN csizes sb ON sb.doc_id = p.b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.5
+ORDER BY a, b"""
 
     nh = 16
     p = (1 << 61) - 1
@@ -2233,6 +2315,73 @@ FROM b, q
 WHERE ({_bucket}) IN ({", ".join(str(x) for x in _probes)})
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
+    # persisted-index probe oracle: same relational trick with the
+    # q_ann_index parameters (nbits=5, seed=7, hamming<=2 probes) —
+    # partitioning is a physical property, so the logical result is
+    # exactly "scan restricted to the probe buckets"
+    from sphinx_1_spark.operators.similarity import _probe_set
+
+    _nbits5 = 5
+    _planes5 = deterministic_planes(len(_ANN_QUERY), _nbits5, 7)
+    _probes5 = _probe_set(_ANN_QUERY, _planes5, 2)
+    _plane_dps5 = ",\n    ".join(
+        "list_dot_product(v, ["
+        + ", ".join(str(float(x)) for x in p)
+        + f"]::DOUBLE[]) AS dp{i}"
+        for i, p in enumerate(_planes5)
+    )
+    _bucket5 = " + ".join(
+        f"(CASE WHEN dp{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_nbits5)
+    )
+    ann_index = f"""
+WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+    {_plane_dps5}
+  FROM v0
+), q AS (SELECT {qv} AS q)
+SELECT vec_id,
+  round(list_dot_product(v, q.q)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.q, q.q))), 6)
+    AS cos
+FROM b, q
+WHERE ({_bucket5}) IN ({", ".join(str(x) for x in _probes5)})
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+    # bucketed near-dup oracle: pairs restricted to equal LSH buckets
+    # (nbits=3, seed=42) — the scale path's recall trade is stated
+    # exactly as a relational predicate
+    _planes3 = deterministic_planes(len(_ANN_QUERY), 3, 42)
+    _plane_dps3 = ",\n    ".join(
+        "list_dot_product(v, ["
+        + ", ".join(str(float(x)) for x in p)
+        + f"]::DOUBLE[]) AS dp{i}"
+        for i, p in enumerate(_planes3)
+    )
+    _bucket3 = " + ".join(
+        f"(CASE WHEN dp{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(3)
+    )
+    embed_lsh = f"""
+WITH v0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+    {_plane_dps3}
+  FROM v0
+), bb AS (
+  SELECT vec_id, v, ({_bucket3}) AS bucket FROM b
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+  round(list_dot_product(x.v, y.v)
+    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+    AS cos
+FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v)
+    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+    >= 0.4
+ORDER BY a, b"""
+
     ann = f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2352,8 +2501,10 @@ FROM m ORDER BY doc_id LIMIT 100"""
         "q_dedup_minhash": minhash,
         "q_dedup_simhash": simhash,
         "q_dedup_embed": embed,
+        "q_dedup_embed_lsh": embed_lsh,
         "q_ann_topk": ann,
         "q_ann_ivf": ann_ivf,
+        "q_ann_index": ann_index,
         "q_token_counts": token_counts,
         "q_langid": langid,
         "q_quality": quality,
@@ -2378,6 +2529,7 @@ FROM m ORDER BY doc_id LIMIT 100"""
 # merged name -> (normalizer, [part gate keys]);  normalizer "dw"
 # coerces every part to (q, doc_id BIGINT, weight BIGINT)
 _MERGES: list[tuple[str, str | None, list[str]]] = [
+    ("q_term_ids", "dw", ["q_term_bm25", "q_fnv64_bm25"]),
     ("q_match_tree", "dw", [
         "q_and_bm25", "q_or_bm25", "q_andnot_bm25", "q_phrase_bm25",
         "q_phrase_stopword", "q_quorum_bm25", "q_proximity_bm25r",

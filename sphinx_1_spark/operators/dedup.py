@@ -93,10 +93,18 @@ def ngram_jaccard_pairs(
     k: int = 3,
     tau: float = 0.5,
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """(a, b, jaccard) for doc pairs with k-shingle Jaccard >= tau,
-    a < b; via the inverted shingle index (no all-pairs)."""
+    a < b; via the inverted shingle index (no all-pairs).
+
+    `max_shingle_df` drops shingles appearing in more than that many
+    docs BEFORE the self-join — the guard that keeps the candidate
+    join bounded at web scale (a boilerplate shingle shared by 10^6
+    docs would otherwise emit 10^12 candidate rows).  It is ON by
+    default; pass None only for corpora known to be boilerplate-free.
+    Capped shingles also leave the per-doc size, so the jaccard is
+    exact over the capped shingle sets."""
     sh = shingle_df(docs, k, text_col)
     if max_shingle_df:
         keep = (

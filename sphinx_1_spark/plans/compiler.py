@@ -36,7 +36,7 @@ from pyspark.sql.types import BooleanType
 
 from sphinx_1_spark.functions.bits import field_bit_of_pos
 from sphinx_1_spark.functions.tokenizer import HIT_FIELD_END, POS_MASK
-from sphinx_1_spark.functions.wordid import crc32_word
+from sphinx_1_spark.functions.wordid import word_id
 from sphinx_1_spark.plans.parser import ALL_FIELDS, QWord, XQNode
 
 SPH_BM25_K1 = 1.2  # src/sphinx.cpp:11146
@@ -52,9 +52,10 @@ class CompileContext:
     idf: dict[str, float]  # word -> idf (query-scope, driver-computed)
     need_hits: bool = False
     n_fields: int = 1
+    wordid_impl: str = "crc32"
 
     def term_scan(self, word: str) -> DataFrame:
-        wid = crc32_word(word)
+        wid = word_id(word, self.wordid_impl)
         return self.postings.where(F.col("wordid") == F.lit(wid))
 
 
@@ -231,7 +232,7 @@ def _word_term_frames(node: XQNode, ctx: CompileContext) -> list[DataFrame]:
             fields_mask=node.fields_mask,
             max_field_pos=node.max_field_pos,
         )
-        sub_ctx = CompileContext(ctx.postings, ctx.idf, True, ctx.n_fields)
+        sub_ctx = CompileContext(ctx.postings, ctx.idf, True, ctx.n_fields, ctx.wordid_impl)
         df = _compile_term(tnode, sub_ctx)
         # reduce hits to bare lcspos array for the positional predicate
         df = df.withColumn("lcs", F.transform(F.col("hits"), lambda h: h["lcspos"]))
@@ -479,7 +480,7 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
 
 
 def _with_hits(ctx: CompileContext) -> CompileContext:
-    return CompileContext(ctx.postings, ctx.idf, True, ctx.n_fields)
+    return CompileContext(ctx.postings, ctx.idf, True, ctx.n_fields, ctx.wordid_impl)
 
 
 _COMPILERS = {

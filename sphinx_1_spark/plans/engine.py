@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sphinx_1_spark.functions.tokenizer import Tokenizer, TokenizerSettings
-from sphinx_1_spark.functions.wordid import crc32_word
+from sphinx_1_spark.functions.wordid import word_id
 from sphinx_1_spark.operators.hits import build_hits_arrow, build_hits_native
 from sphinx_1_spark.operators.postings import (
     build_dictionary,
@@ -49,6 +49,10 @@ class IndexSettings:
     # pandas-UDF tokenizer (charset folding, CJK, stopwords).
     tokenizer_impl: str = "native"
     with_positions: bool = True
+    # "crc32" = 32-bit wordids (default build); "fnv64" = FNV-1a 64
+    # wordids (--enable-id64 parity, src/sphinx.cpp:16658-16671) --
+    # needed when the dictionary is big enough for CRC32 collisions.
+    wordid: str = "crc32"
 
 
 class SphinxIndex:
@@ -137,7 +141,11 @@ class SphinxIndex:
         spark = hits.sparkSession
         if persist:
             hits = hits.persist()
-        postings = build_postings(hits, with_positions=settings.with_positions)
+        postings = build_postings(
+            hits,
+            with_positions=settings.with_positions,
+            wordid_impl=settings.wordid,
+        )
         dictionary = build_dictionary(postings)
         n_docs = docinfo.count()
         return cls(spark, settings, postings, dictionary, docinfo, n_docs)
@@ -162,7 +170,7 @@ class SphinxIndex:
         """
         distinct = list(dict.fromkeys(words))
         q = len(distinct)
-        wids = [crc32_word(w) for w in distinct]
+        wids = [word_id(w, self.settings.wordid) for w in distinct]
         rows = (
             self.dictionary.where(F.col("wordid").isin(wids))
             .select("word", "docs", "hits")
@@ -329,6 +337,7 @@ class SphinxIndex:
             idf,
             need_hits=need_hits,
             n_fields=len(self.settings.fields),
+            wordid_impl=self.settings.wordid,
         )
         plan = compile_node(tree, ctx)
         idf_by_qpos = {w.querypos: idf.get(w.word, 0.0) for w in words}
@@ -414,7 +423,7 @@ class SphinxIndex:
         """BuildKeywords equivalent (GetKeywords src/sphinx.cpp:16110):
         per-term (word, docs, hits) stats."""
         toks = self._tokenizer.tokenize(query)
-        wids = [crc32_word(t) for t in toks]
+        wids = [word_id(t, self.settings.wordid) for t in toks]
         return self.dictionary.where(F.col("wordid").isin(wids)).select(
             "word", "docs", "hits"
         )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sphinx_1_spark.functions.wordid import crc32_word
+from sphinx_1_spark.functions.wordid import word_id
 from sphinx_1_spark.plans.parser import collect_words
 
 
@@ -113,7 +113,7 @@ def batch_search(
     for _tag, match, kw in queries:
         tree = index.parse(match, kw.get("mode", "extended2"))
         words.update(w.word for w in collect_words(tree))
-    wids = [crc32_word(w) for w in words]
+    wids = [word_id(w, index.settings.wordid) for w in words]
     shared = index.postings.where(F.col("wordid").isin(wids))
     if persist:
         shared = shared.persist()

@@ -151,3 +151,30 @@ def test_search_with_meta(docs_index, duck):
         ).fetchone()
         assert (meta["words"][w]["docs"], meta["words"][w]["hits"]) == d
     assert meta["time"] > 0
+
+
+def test_fnv64_index_matches_crc32(spark):
+    """--enable-id64 parity: an FNV-1a-64 build answers identically
+    to the CRC32 build (wordid scheme is invisible in results), and
+    its dictionary ids are genuinely 64-bit."""
+    from pyspark.sql import functions as F
+
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx32 = SphinxIndex.build(
+        docs,
+        IndexSettings(docid_col="doc_id", fields=("text",)),
+    )
+    idx64 = SphinxIndex.build(
+        docs,
+        IndexSettings(docid_col="doc_id", fields=("text",), wordid="fnv64"),
+    )
+    for match in ("window", "table scan", '"table scan"', "val* -scan"):
+        r32 = [tuple(r) for r in idx32.search(match, ranker="bm25", limit=10).collect()]
+        r64 = [tuple(r) for r in idx64.search(match, ranker="bm25", limit=10).collect()]
+        assert r32 == r64, match
+    wide = idx64.dictionary.where(
+        (F.col("wordid") > F.lit(1 << 32)) | (F.col("wordid") < 0)
+    ).count()
+    assert wide > 0  # ids occupy the 64-bit space, not CRC32's 32

@@ -229,3 +229,130 @@ def test_excerpts_dataframe_op(spark):
     }
     assert rows[1] == "hello world of <b>search</b> engines"
     assert rows[2] == "no matches here"
+
+
+# ----------------------------------------------------------------------
+# test/test_57 "snippets - boundaries, windows-1251": use_boundaries
+# over phrase_boundary='.', exact_phrase x weight_order interactions,
+# stem_enru morphology, min_word_len=3, SBCS cp1251 charset (decoded
+# to unicode; the default sbcs charset_table mapped to its unicode
+# codepoints).
+
+RU_SBCS_TABLE = (
+    "0..9, A..Z->a..z, _, a..z, U+0401->U+0451, U+0451, "
+    "U+0410..U+042F->U+0430..U+044F, U+0430..U+044F"
+)
+
+_T57_D1 = (
+    "С другом в саду я сидел. Мокрый склонился бамбук. "
+    "Я шел по склону Фудзи. Старую женщину я."
+)
+_T57_D2 = "Я шел по склону Фудзи. Старую женщину я."
+_T57_D3 = (
+    "С другом в саду я сидел. Мокрый склонился бамбук. "
+    "Я шел по склону Фудзи. Старую женщину я.  Шел не зная куда. "
+)
+
+_T57_CASES = [
+    ([_T57_D1, _T57_D2], "шел", dict(weight_order=False, exact_phrase=False)),
+    ([_T57_D3], "шел по склону", dict(weight_order=False, exact_phrase=True)),
+    ([_T57_D3], "шел по склону", dict(weight_order=True, exact_phrase=True)),
+    ([_T57_D3], "шел по склону", dict(weight_order=True, exact_phrase=False)),
+]
+
+
+def _t57_model():
+    raw = loads(open("/root/reference/test/test_57/model.bin", "rb").read())
+
+    def fix(x):
+        if isinstance(x, str):
+            return x.encode("latin-1").decode("cp1251")
+        return [fix(i) for i in x]
+
+    return fix(raw)[0][0]
+
+
+@pytest.mark.parametrize("case_i", range(4))
+def test_57_boundary_excerpts_byte_exact(case_i):
+    """Byte-identity vs the compiled reference's model.bin for every
+    test_57 BuildExcerpts call (boundaries + exact_phrase/weight_order
+    cross, Russian stemming active: 'склону' must also light up
+    'склонился' when the phrase constraint is off)."""
+    docs, words, opts = _T57_CASES[case_i]
+    golden = _t57_model()[case_i]
+    tk = Tokenizer(
+        TokenizerSettings(
+            charset_table=RU_SBCS_TABLE,
+            min_word_len=3,
+            morphology=("stem_enru",),
+            phrase_boundary="U+002E",
+            boundary_step=100,
+        )
+    )
+    q = ExcerptOptions(
+        use_boundaries=True,
+        single_passage=False,
+        chunk_separator="###",
+        limit=20,
+        **opts,
+    )
+    got = [build_excerpt(d, words, q, tk) for d in docs]
+    assert got == golden
+
+
+# ----------------------------------------------------------------------
+# test_18 SBCS (charset bit = 1) variants: the reference's sbcs
+# tokenizer consumes the document BYTE stream with the default sbcs
+# charset_table.  Emulated exactly by mapping every byte to the
+# codepoint of the same value (latin-1 view) and running the same
+# table in U+00xx space — completes test_18 to all 16 variants.
+
+SBCS_TABLE = (
+    "0..9, A..Z->a..z, _, a..z, U+00A8->U+00B8, U+00B8, "
+    "U+00C0..U+00DF->U+00E0..U+00FF, U+00E0..U+00FF"
+)
+
+
+def _sbcs_variants():
+    model = loads(open(MODEL, "rb").read())
+    out = []
+    for syn_bit, syns in ((0, SYNONYMS), (1, ())):
+        for stop_bit, stops in ((0, STOPWORDS), (1, frozenset())):
+            for mwl_bit, mwl in ((0, 1), (1, 3)):
+                vi = syn_bit * 8 + stop_bit * 4 + mwl_bit * 2 + 1
+                out.append((vi, mwl, stops, syns, model[vi][0]))
+    return out
+
+
+@pytest.mark.parametrize(
+    "vi,mwl,stops,syns,runs",
+    _sbcs_variants(),
+    ids=lambda v: str(v) if isinstance(v, int) else None,
+)
+def test_excerpts_golden_test18_sbcs(vi, mwl, stops, syns, runs):
+    def sb(s: str) -> str:  # unicode -> byte-space (latin-1 view)
+        return s.encode("utf-8").decode("latin-1")
+
+    tk = Tokenizer(
+        TokenizerSettings(
+            charset_table=SBCS_TABLE,
+            min_word_len=mwl,
+            stopwords=frozenset(sb(w) for w in stops),
+            synonyms=tuple(sb(s) for s in syns),
+        )
+    )
+    for i in range(0, len(runs), 2):
+        o, expected = runs[i], runs[i + 1]
+        opts = ExcerptOptions(
+            before_match=o["before_match"],
+            after_match=o["after_match"],
+            chunk_separator=o["chunk_separator"],
+            limit=o["limit"],
+            around=o["around"],
+        )
+        for doc, want in zip(DOCS, expected):
+            got = build_excerpt(sb(doc), sb(WORDS), opts, tk)
+            assert got == sb(want), (
+                f"variant {vi} limit={o['limit']} doc={doc!r}\n"
+                f"  want: {want!r}\n  got:  {got!r}"
+            )

@@ -109,3 +109,59 @@ def test_multimodal_plumbing(spark, docs):
     assert len(fr) == 24  # 6 docs x 4 frames
     with pytest.raises(NotImplementedError):
         decode_image_metadata(df, decoder="pil").collect()
+
+
+def test_embedding_bucketed_matches_broadcast_within_buckets(spark):
+    """The LSH-bucketed scale path returns exactly the broadcast
+    all-pairs result restricted to equal-bucket pairs (same planes)."""
+    from pyspark.sql import functions as F
+
+    from sphinx_1_spark.operators.dedup import (
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+    from sphinx_1_spark.operators.similarity import (
+        deterministic_planes,
+        lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nbits, seed, tau = 3, 42, 0.4
+    bucketed = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_neardup_bucketed(
+            emb, tau=tau, nbits=nbits, seed=seed
+        ).collect()
+    }
+    planes = deterministic_planes(64, nbits, seed)
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select(
+            "vec_id",
+            lsh_bucket(
+                F.col("embedding").cast("array<double>"), planes
+            ).alias("bucket"),
+        ).collect()
+    }
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_neardup_pairs(emb, tau=tau).collect()
+    }
+    expected = {
+        pair: cos
+        for pair, cos in exact.items()
+        if buckets[pair[0]] == buckets[pair[1]]
+    }
+    assert bucketed == expected
+    assert len(bucketed) > 0
+
+
+def test_embedding_neardup_autoswitches_above_broadcast_bound(spark):
+    """Above max_broadcast_rows the exact path must hand off to the
+    bucketed plan instead of raising (no collect cliff)."""
+    from sphinx_1_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_neardup_pairs(emb, tau=0.4, max_broadcast_rows=10)
+    rows = out.collect()  # must run, not raise
+    assert {tuple(r) for r in rows}  # non-empty at tau=0.4 on sf0.001

@@ -71,3 +71,38 @@ def test_hits_shuffle_is_single_exchange(spark):
     blocks = encode_blocks_from_hits(hits)
     plan = blocks._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
+    """A probe against the persisted ANN index must read only the
+    probed bucket partitions (the .spi lookup analog): the bucket
+    IN (...) predicate lands on the partition column, so the scan's
+    partition filters list the probe set and the file count shrinks
+    to the probed directories."""
+    from sphinx_1_spark.operators.similarity import (
+        _probe_set,
+        build_ann_index,
+        deterministic_planes,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann")
+    build_ann_index(emb, path, nbits=4, seed=42)
+    q = [0.1] * 64
+    out = ivf_topk_indexed(spark, path, q, k=5, nbits=4, probe_hamming=1, seed=42)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruning predicate must be on the partition column, and the
+    # non-probed buckets (here 16 - 5 = 11 of them) must not appear
+    probes = _probe_set(q, deterministic_planes(64, 4, 42), 1)
+    scan = plan.split("PartitionFilters")[1][:300]
+    assert "bucket" in scan
+    non_probed = [b for b in range(16) if b not in probes]
+    # rows from a non-probed bucket never reach the result
+    import pyspark.sql.functions as F
+
+    all_rows = spark.read.parquet(path)
+    probed_rows = all_rows.where(F.col("bucket").isin(probes)).count()
+    assert out.count() <= 5
+    assert probed_rows < all_rows.count()  # pruning is non-vacuous
