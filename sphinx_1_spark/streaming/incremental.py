@@ -83,17 +83,25 @@ class IncrementalIndexer:
             "mode": "streaming-delta",
             "build_wall_s": None,
         }
+        # kill-list FIRST: the manifest write inside write_segment is
+        # the segment's completion marker, so everything the marker
+        # covers must exist before it.  (Writing the kill-list after
+        # write_segment left a window where a killed job published a
+        # complete manifest with no kill-list — the replay then
+        # skipped the batch and superseded copies from earlier
+        # segments were never suppressed.)
+        docs.select("docid").write.mode("overwrite").parquet(
+            os.path.join(path, "killlist")
+        )
         m = write_segment(
             spark, path, blocks, docinfo, lineage, self.with_positions
         )
-        # kill-list: this batch's docids supersede earlier segments
-        docinfo_r = spark.read.parquet(os.path.join(path, "docinfo"))
-        docinfo_r.select("docid").write.mode("overwrite").parquet(
-            os.path.join(path, "killlist")
-        )
         m["lineage"]["build_wall_s"] = round(time.perf_counter() - t0, 3)
-        with open(os.path.join(path, MANIFEST), "w") as f:
+        # atomic rewrite: a kill mid-dump must not truncate the marker
+        tmp = os.path.join(path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(m, f, indent=2)
+        os.replace(tmp, os.path.join(path, MANIFEST))
 
     def attach(self, stream_df: DataFrame, **trigger_kwargs):
         """Wire as a writeStream foreachBatch sink; caller starts it.

@@ -143,3 +143,60 @@ def test_compact_preserves_results(spark, two_batches, tmp_path):
         for r in view2.search_topk(["the"], k=15, mode="or").collect()
     ]
     assert got == want
+
+
+def test_kill_mid_batch_resume(spark, two_batches, tmp_path, monkeypatch):
+    """Kill-the-writer test for the delta path (the segment builder
+    has one — scripts/build_index_job resume; the delta/kill-list
+    writer did not): a job killed before the manifest publish leaves
+    an incomplete segment, the replayed batch rebuilds it, and the
+    resumed view answers identically to a never-killed run.  Also
+    pins the ordering invariant: a published manifest implies the
+    kill-list exists (kill-list is written BEFORE the marker)."""
+    import os as _os
+
+    from sphinx_1_spark.plans import segment_index as si
+    from sphinx_1_spark.streaming.incremental import IncrementalIndexer
+
+    b0, b1 = two_batches
+    clean = IncrementalIndexer(str(tmp_path / "clean"))
+    clean.process_batch(b0, 0)
+    clean.process_batch(b1, 1)
+    cview = clean.open_view(spark)
+    want_urls = sorted(r["url"] for r in cview.docinfo().collect())
+    want_top = [
+        (r["docid"], r["weight"])
+        for r in cview.search_topk(["the"], k=20, mode="or").collect()
+    ]
+
+    out = str(tmp_path / "killed")
+    ix = IncrementalIndexer(out)
+    ix.process_batch(b0, 0)
+    real_replace = _os.replace
+
+    def boom(src, dst, *a, **k):
+        if str(dst).endswith(si.MANIFEST) and "delta=0000000001" in str(dst):
+            raise RuntimeError("kill -9")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(si.os, "replace", boom)
+    with pytest.raises(RuntimeError):
+        ix.process_batch(b1, 1)
+    monkeypatch.setattr(si.os, "replace", real_replace)
+
+    # the killed batch must NOT look complete; batch 0 must
+    assert not si.segment_complete(os.path.join(out, "delta=0000000001"))
+    assert si.segment_complete(os.path.join(out, "delta=0000000000"))
+
+    # replay (what the streaming checkpoint does on restart)
+    ix2 = IncrementalIndexer(out)
+    ix2.process_batch(b1, 1)
+    for p in ix2.segment_paths():  # marker => kill-list ordering
+        assert os.path.exists(os.path.join(p, "killlist"))
+    view = ix2.open_view(spark)
+    assert sorted(r["url"] for r in view.docinfo().collect()) == want_urls
+    got_top = [
+        (r["docid"], r["weight"])
+        for r in view.search_topk(["the"], k=20, mode="or").collect()
+    ]
+    assert got_top == want_top
