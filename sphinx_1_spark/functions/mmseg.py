@@ -43,6 +43,10 @@ import math
 
 import numpy as np
 
+from sphinx_1_spark.functions.charset import codepoints_to_text
+
+_DICT_CACHE: dict[str, "MMSegDict"] = {}
+
 
 def _charcount(b: bytes) -> int:
     """Leading (non-continuation) UTF-8 bytes — the reference counts
@@ -54,8 +58,50 @@ class MMSegDict:
     """word->freq dictionary with darts-like commonPrefixSearch."""
 
     def __init__(self, freq: dict[bytes, int]):
-        self.freq = freq
+        # darts cannot hold the empty key; mkdict never emits one
+        self.freq = {w: f for w, f in freq.items() if w}
+        freq = self.freq
         self.lengths = sorted({len(w) for w in freq})
+        self.max_len = self.lengths[-1] if self.lengths else 0
+        # First-byte dispatch: a prefix match requires byte equality at
+        # position 0, so only lengths of words sharing that first byte
+        # are candidates — exact, and skips the hash probes entirely on
+        # bytes that start no dictionary word (most of ASCII).
+        by_first: dict[int, set[int]] = {}
+        start_cps: set[int] = set()
+        self.valid_utf8_words = True
+        for w in freq:
+            by_first.setdefault(w[0], set()).add(len(w))
+            try:
+                start_cps.add(ord(w.decode("utf-8")[0]))
+            except (UnicodeDecodeError, IndexError):
+                # a word that is not valid UTF-8 defeats the
+                # first-codepoint gate; the tokenizer falls back to
+                # the scalar byte scanner for exactness
+                self.valid_utf8_words = False
+        self.lengths_by_first = {b: sorted(s) for b, s in by_first.items()}
+        # First-CODEPOINT gate for the vectorized tokenize pre-pass:
+        # in valid UTF-8, byte-prefix equality of two complete-char
+        # sequences starting at the same offset forces first-char
+        # equality (UTF-8 leading bytes are self-terminating), so a
+        # position whose codepoint starts no dict word cannot match.
+        if start_cps and self.valid_utf8_words:
+            mx = max(start_cps)
+            gate = np.zeros(mx + 1, dtype=bool)
+            gate[list(start_cps)] = True
+            self.start_gate: np.ndarray | None = gate
+        else:
+            self.start_gate = None
+
+    @classmethod
+    def load_cached(cls, path: str) -> "MMSegDict":
+        """Per-process cache: Spark reuses Python workers across tasks,
+        so the dict file (100k+ lines for a real Chinese dict) is
+        parsed once per worker instead of once per task."""
+        hit = _DICT_CACHE.get(path)
+        if hit is None:
+            hit = _DICT_CACHE[path] = cls.load(path)
+        return hit
 
     @classmethod
     def load(cls, path: str) -> "MMSegDict":
@@ -84,9 +130,14 @@ class MMSegDict:
         falls back to strlen when passed length 0
         (darts-clone.h:1282-1287), and the NUL-free buffer ends at the
         caller's terminator."""
+        if pos >= len(data):
+            return []
+        lengths = self.lengths_by_first.get(data[pos])
+        if lengths is None:
+            return []
         window = len(data) - pos if not maxlen else maxlen
         out = []
-        for ln in self.lengths:
+        for ln in lengths:
             if ln > window:
                 break
             f = self.freq.get(data[pos : pos + ln])
@@ -106,9 +157,29 @@ class ChineseTokenizer:
         self.dict = dict_
         self.fold = fold
         self.min_word_len = min_word_len
+        # Memo for the complex-chunk rule cascade: the decision depends
+        # only on the bytes in the A+B+C search window (3 * longest
+        # dict word), and buffer truncation is encoded in the key slice
+        # length, so equal keys give equal answers. Natural text is
+        # Zipfian, so the hit rate is high. Stored on the (per-process
+        # cached) dict so it survives across tasks.
+        self._bwl_cache: dict[bytes, int] = getattr(dict_, "_bwl_cache", None) or {}
+        dict_._bwl_cache = self._bwl_cache
+        self._bwl_window = 3 * dict_.max_len
 
     # ------------------------------------------------------------------
     def _best_word_length(self, data: bytes, pos: int) -> int:
+        key = data[pos : pos + self._bwl_window]
+        hit = self._bwl_cache.get(key)
+        if hit is not None:
+            return hit
+        if len(self._bwl_cache) >= (1 << 17):
+            self._bwl_cache.clear()
+        res = self._best_word_length_impl(data, pos)
+        self._bwl_cache[key] = res
+        return res
+
+    def _best_word_length_impl(self, data: bytes, pos: int) -> int:
         """MMSEG complex: 3-word chunk enumeration + 4 filter rules
         (getBestWordLength, src/sphinx.cpp:4418-4627)."""
         f32 = np.float32
@@ -192,7 +263,122 @@ class ChineseTokenizer:
 
         NULs are replaced with spaces first (SetBuffer,
         src/sphinx.cpp:4693-4696).
+
+        Dispatches to a vectorized pre-pass (numpy fold + token-run
+        boundaries + first-codepoint dict gate) when the buffer and
+        every dict word are valid UTF-8 — token-stream-identical to the
+        scalar loop (equivalence pinned by tests/test_mmseg.py); falls
+        back to the scalar byte scanner otherwise (the reference's
+        invalid-byte recovery is inherently sequential).
         """
+        if b"\0" in data:
+            data = data.replace(b"\0", b" ")
+        if self.dict.start_gate is not None:
+            try:
+                text = data.decode("utf-8")
+            except UnicodeDecodeError:
+                return self._tokenize_scalar(data)
+            return self._tokenize_fast(data, text)
+        return self._tokenize_scalar(data)
+
+    def _tokenize_fast(self, data: bytes, text: str) -> list[tuple[str, int]]:
+        """Vectorized main loop: one numpy pass computes per-codepoint
+        folds, byte offsets, token-run ends and the dict-start gate;
+        the Python loop then does O(1) work per *token* (the scalar
+        loop does O(1) per *codepoint* and a hash probe per position).
+
+        Exactness argument per step is inline; the scalar loop in
+        `_tokenize_scalar` stays the source of truth under test.
+        """
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        ncp = cps.size
+        if ncp == 0:
+            return []
+        d = self.dict
+        n = len(data)
+        # byte length per codepoint -> byte offset of each codepoint
+        blen = np.ones(ncp, dtype=np.int64)
+        blen[cps >= 0x80] = 2
+        blen[cps >= 0x800] = 3
+        blen[cps >= 0x10000] = 4
+        byte_off = np.zeros(ncp + 1, dtype=np.int64)
+        np.cumsum(blen, out=byte_off[1:])
+        # byte position -> codepoint index (dict words are whole
+        # chars, so advance always lands on a char boundary)
+        cp_at = np.empty(n + 1, dtype=np.int64)
+        cp_at[:n] = np.repeat(np.arange(ncp, dtype=np.int64), blen)
+        cp_at[n] = ncp
+        folded = self.fold[cps]
+        sep = folded == 0
+        # next separator index at-or-after each position
+        idx = np.arange(ncp, dtype=np.int64)
+        nxt = np.where(sep, idx, ncp)
+        next_sep = np.minimum.accumulate(nxt[::-1])[::-1]
+        # first-codepoint gate: False => no dict word starts here
+        gate = d.start_gate
+        gn = len(gate)
+        maybe = np.zeros(ncp, dtype=bool)
+        in_range = cps < gn
+        if in_range.any():
+            maybe[in_range] = gate[cps[in_range]]
+
+        out: list[tuple[str, int]] = []
+        i = 0
+        overshort = 0
+        mwl = self.min_word_len
+        cap = self.MAX_ACCUM_CP
+        prefix_search = d.prefix_search
+        while i < ncp:
+            if maybe[i]:
+                b = int(byte_off[i])
+                m = prefix_search(data, b, 256)
+                if m:
+                    # dict word: raw bytes, bypasses min_word_len
+                    wl = m[0][0] if len(m) == 1 else self._best_word_length(data, b)
+                    out.append(
+                        (data[b : b + wl].decode("utf-8", errors="replace"), overshort)
+                    )
+                    overshort = 0
+                    i = int(cp_at[b + wl])
+                    continue
+            if sep[i]:
+                # leading separator: scalar breaks back to dict search
+                # at the next position
+                i += 1
+                continue
+            # word-char run [i, e); scalar accumulates at most cap cps
+            # then keeps consuming to the separator
+            e = int(next_sep[i])
+            naccum = e - i
+            if naccum > cap:
+                naccum = cap
+            if naccum < mwl:
+                if e >= ncp:
+                    # EOF overshort is discarded, no token (scalar
+                    # `ended` path increments nothing)
+                    break
+                overshort += 1
+                i = e + 1
+                continue
+            tok = codepoints_to_text(folded[i : i + naccum])
+            out.append((tok, overshort))
+            overshort = 0
+            if e >= ncp:
+                break
+            # rewind-to-separator quirk: window measured from PAST the
+            # separator (m_pBufferMax - m_pCur); gate soundly skips the
+            # search when no dict word can start at the separator
+            if maybe[e] and prefix_search(
+                data, int(byte_off[e]), 256, n - int(byte_off[e + 1])
+            ):
+                i = e
+            else:
+                i = e + 1
+        return out
+
+    def _tokenize_scalar(self, data: bytes) -> list[tuple[str, int]]:
+        """Reference-shaped sequential scanner (the exactness source of
+        truth; serves invalid-UTF-8 buffers and non-UTF-8 dicts)."""
         if b"\0" in data:
             data = data.replace(b"\0", b" ")
         out: list[tuple[str, int]] = []

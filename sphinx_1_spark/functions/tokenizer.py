@@ -130,7 +130,7 @@ class Tokenizer:
             from sphinx_1_spark.functions.mmseg import ChineseTokenizer, MMSegDict
 
             self._mmseg = ChineseTokenizer(
-                MMSegDict.load(self.settings.mmseg_dict_path),
+                MMSegDict.load_cached(self.settings.mmseg_dict_path),
                 self.fold,
                 self.settings.min_word_len,
             )

@@ -136,6 +136,39 @@ def _html_for(i: int, seed: int) -> tuple[str, str]:
     return "".join(pieces), lang
 
 
+def write_mmseg_bench_dict(path: str, seed: int = 42) -> str:
+    """Deterministic mkdict-format ("word\\tfreq") segmentation
+    dictionary over the corpus's CJK char space (U+4E00..U+4FFF).
+
+    Shaped like a real Chinese dict: every single char is a word (real
+    dicts carry all common hanzi), plus 2-char and 3-char samples, so
+    most positions have >=2 prefix matches and the MMSEG rule cascade
+    actually runs — the benchmark exercises the same code paths a
+    production dict would.
+    """
+    rng = random.Random(seed ^ 0xD1C7)
+    base = 0x4E00
+    lines: list[str] = []
+    for c in range(0x200):
+        lines.append(f"{chr(base + c)}\t{rng.randint(100, 500000)}")
+    seen: set[str] = set()
+    for _ in range(30000):
+        w = "".join(chr(base + rng.randrange(0x200)) for _ in range(2))
+        f = rng.randint(10, 100000)
+        if w not in seen:
+            seen.add(w)
+            lines.append(f"{w}\t{f}")
+    for _ in range(8000):
+        w = "".join(chr(base + rng.randrange(0x200)) for _ in range(3))
+        f = rng.randint(5, 20000)
+        if w not in seen:
+            seen.add(w)
+            lines.append(f"{w}\t{f}")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path
+
+
 def generate_pages(
     spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:

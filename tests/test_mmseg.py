@@ -79,3 +79,57 @@ def test_mmseg_rule_filters(ztok):
     w3 = next(w for w in d.freq if len(w) == 9)  # 3-char word
     toks = [t for t, _ in ztok.tokenize(w3)]
     assert toks == [w3.decode("utf-8")]
+
+
+def test_fast_path_equals_scalar_fuzz(ztok):
+    """The vectorized tokenize pre-pass (_tokenize_fast) must be
+    token-stream-identical to the reference-shaped scalar loop on
+    mixed ASCII/CJK buffers, including dict-word rewinds, overshorts,
+    >64-cp runs, NULs and partial dict-word prefixes."""
+    import random
+
+    words = [w.decode("utf-8", "replace") for w in ztok.dict.freq]
+    rng = random.Random(0x5EED)
+
+    def mkdoc():
+        parts = []
+        for _ in range(rng.randint(0, 40)):
+            roll = rng.random()
+            if roll < 0.45:
+                parts.append(rng.choice(words))
+            elif roll < 0.62:
+                parts.append(
+                    "w%04d" % rng.randrange(5000) + rng.choice([" ", "", ". "])
+                )
+            elif roll < 0.72:
+                parts.append(
+                    "".join(
+                        chr(0x4E00 + rng.randrange(0x200))
+                        for _ in range(rng.randint(1, 5))
+                    )
+                )
+            elif roll < 0.80:
+                parts.append(
+                    rng.choice([" ", "\n", "\t", "-", "x", "a" * 70, "字" * 70])
+                )
+            elif roll < 0.90:
+                w = rng.choice(words)
+                parts.append(w[: max(1, len(w) - 1)])
+            else:
+                parts.append(chr(rng.randrange(0x20, 0x3000)))
+        return "".join(parts)
+
+    from sphinx_1_spark.functions.mmseg import ChineseTokenizer
+
+    for mwl in (1, 2):
+        tok = ChineseTokenizer(ztok.dict, ztok.fold, mwl)
+        for _ in range(400):
+            doc = mkdoc().encode("utf-8")
+            if rng.random() < 0.05:
+                doc += b"\0tail"
+            assert tok.tokenize(doc) == tok._tokenize_scalar(doc), doc[:120]
+
+
+def test_invalid_utf8_falls_back_to_scalar(ztok):
+    bad = "中文 test".encode() + b"\xe4\x80" + b" tail \xff\xfe"
+    assert ztok.tokenize(bad) == ztok._tokenize_scalar(bad)
