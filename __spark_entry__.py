@@ -1126,8 +1126,9 @@ def q_show_meta(spark, sf_dir):
 def q_mode_phrase(spark, sf_dir):
     """Legacy SPH_MATCH_PHRASE emulation (PrepareQueryEmulation,
     src/sphinx.cpp:16179: quote + PROXIMITY ranker).  A full 2-word
-    phrase match has per-field LCS=2, so weight = 1000*(2^2) = 4000
-    for every match (LCS update src/sphinx.cpp:14084-14095)."""
+    phrase match has per-field linear LCS=2 and the PROXIMITY ranker
+    emits it unscaled with no BM25 part (ExtRanker_Proximity_c,
+    src/sphinx.cpp:14295-14305), so weight = 2 for every match."""
     idx = _docs_index(spark, sf_dir)
     out = idx.search("table scan", mode="phrase", limit=10)
     return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
@@ -1616,10 +1617,12 @@ SELECT * FROM (
   UNION ALL SELECT 'hits[1]', CAST((SELECT count(*) FROM hits WHERE word='scan') AS VARCHAR)
 ) ORDER BY variable_name"""
 
-    # legacy phrase mode: every full phrase match scores LCS=2 ->
-    # weight 1000*2^2; tiebreak docid asc
+    # legacy phrase mode -> PROXIMITY ranker: every full phrase match
+    # scores per-field linear LCS=2, UNSCALED with no BM25 part
+    # (ExtRanker_Proximity_c flushes m_iWeight = sum_f lcs_f * w_f,
+    # src/sphinx.cpp:14295-14305); tiebreak docid asc
     out["q_mode_phrase"] = t + """
-SELECT doc_id, 4000 AS weight FROM (
+SELECT doc_id, 2 AS weight FROM (
   SELECT DISTINCT h1.doc_id
   FROM hits h1 JOIN hits h2
     ON h1.doc_id = h2.doc_id AND h2.pos = h1.pos + 1

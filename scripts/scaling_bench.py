@@ -86,6 +86,7 @@ def main() -> None:
     ap.add_argument("n", nargs="?", type=int, default=8)
     ap.add_argument("n_pages", nargs="?", type=int, default=20000)
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--json", dest="json_path", default=None)
     ns = ap.parse_args()
     n, n_pages, repeat = ns.n, ns.n_pages, ns.repeat
     # best-of-N per core level: this box's co-tenant load swings the
@@ -108,9 +109,8 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(out))
-    if "--json" in sys.argv:
-        path = sys.argv[sys.argv.index("--json") + 1]
-        with open(path, "w") as f:
+    if ns.json_path:
+        with open(ns.json_path, "w") as f:
             json.dump(out, f, indent=2)
 
 

@@ -325,13 +325,15 @@ class Tokenizer:
             ends = np.concatenate((ends, [folded.size]))
         return [folded[s:e] for s, e in zip(starts, ends)]
 
-    def _emit(self, runs: list[np.ndarray]) -> list[tuple[str, int]]:
+    def _emit(
+        self, runs: list[np.ndarray], exempt: list[bool] | None = None
+    ) -> list[tuple[str, int]]:
         s = self.settings
         out: list[tuple[str, str | None, int]] = []
         pos = 0
         step = 1
-        for run in runs:
-            if run.size < s.min_word_len:
+        for ri, run in enumerate(runs):
+            if (exempt is None or not exempt[ri]) and run.size < s.min_word_len:
                 # overshort: dropped, position advances extra
                 step += s.overshort_step
                 continue
@@ -372,14 +374,22 @@ class Tokenizer:
             if c != 0:
                 pieces.append((int(c), folded[i:j]))
             i = j
-        # expand CJK runs into 1-char tokens
+        # expand CJK runs into 1-char tokens; ngram chars are
+        # FLAG_CODEPOINT_SPECIAL (SetNgramChars, src/sphinx.cpp:4927-4929)
+        # and a special is returned as a standalone token with NO
+        # min_word_len check (GetToken handles the special before the
+        # overshort test, src/sphinx.cpp:4327-4360) — only the
+        # accumulated word preceding it is overshort-filtered
         runs: list[np.ndarray] = []
+        exempt: list[bool] = []
         for c, run in pieces:
             if c == 1:
                 runs.append(run)
+                exempt.append(False)
             else:
                 runs.extend(run[k : k + 1] for k in range(run.size))
-        return self._emit(runs)
+                exempt.extend([True] * run.size)
+        return self._emit(runs, exempt)
 
     # ------------------------------------------------------------------
     @property

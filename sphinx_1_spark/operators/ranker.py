@@ -69,15 +69,24 @@ def field_rank_bm25(fieldmask: Column, field_weights: list[int]) -> Column:
     return acc
 
 
-def make_lcs_rank(field_weights: list[int]):
-    """Pandas UDF computing uRank = sum_f lcs_f^2 * w_f from a node's
-    emitted hit stream, the exact loop of
-    ExtRanker_ProximityBM25_c::GetMatches (src/sphinx.cpp:14084-14095):
+def make_lcs_rank(field_weights: list[int], squared: bool = True):
+    """Pandas UDF computing uRank from a node's emitted hit stream,
+    the exact loop of ExtRanker_ProximityBM25_c::GetMatches
+    (src/sphinx.cpp:14084-14095):
 
       delta = lcspos - querypos
       curlcs = (delta == expdelta) ? curlcs + weight : weight
       lcs[field] = max(lcs[field], curlcs)
       expdelta = delta + spanlen - 1
+
+    squared=True: uRank = sum_f lcs_f^2 * w_f — the chinese-099 fork's
+    ProximityBM25 formula (src/sphinx.cpp:14048).
+    squared=False: uRank = sum_f lcs_f * w_f — ExtRanker_Proximity_c
+    (legacy MATCH_ALL, src/sphinx.cpp:14298) AND the formula upstream
+    0.9.9 used for ProximityBM25, which is what every shipped
+    test/test_NN/model.bin golden was generated with (the fork squared
+    the term without regenerating its e2e goldens; the replay harness
+    in tests/reference_harness.py therefore scores with squared=False).
     """
     w = np.asarray(field_weights, dtype=np.int64)
 
@@ -99,7 +108,10 @@ def make_lcs_rank(field_weights: list[int]):
                 if fld < len(lcs) and curlcs > lcs[fld]:
                     lcs[fld] = curlcs
                 expdelta = delta + int(h["spanlen"]) - 1
-            out[i] = int((lcs * lcs * w).sum())
+            if squared:
+                out[i] = int((lcs * lcs * w).sum())
+            else:
+                out[i] = int((lcs * w).sum())
         return pd.Series(out.astype(np.int32))
 
     return lcs_rank
@@ -181,9 +193,10 @@ def apply_ranker(
     idf_by_qpos: dict[int, float] | None = None,
 ) -> DataFrame:
     """Add an int `weight` column per the ranker; drops plan columns."""
-    if ranker in ("proximity_bm25", "proximity", "matchany", "wordcount") or (
-        score_mode == "exact32"
-    ):
+    if ranker in (
+        "proximity_bm25", "proximity_bm25_linear", "proximity",
+        "matchany", "wordcount",
+    ) or score_mode == "exact32":
         # Optimization barrier for the Python rank UDFs: their `hits`
         # (or `tfs`) argument is an aliased higher-order-function
         # expression from the match compiler, and Spark 4.1 fails to
@@ -206,9 +219,18 @@ def apply_ranker(
     if ranker == "proximity_bm25":
         urank = make_lcs_rank(field_weights)(F.col("hits"))
         weight = bm25part + urank * F.lit(SPH_BM25_SCALE)
+    elif ranker == "proximity_bm25_linear":
+        # upstream-0.9.9 ProximityBM25 (linear LCS) — the formula the
+        # reference's shipped model.bin e2e goldens were scored with;
+        # see make_lcs_rank docstring
+        urank = make_lcs_rank(field_weights, squared=False)(F.col("hits"))
+        weight = bm25part + urank * F.lit(SPH_BM25_SCALE)
     elif ranker == "proximity":
-        # legacy MATCH_ALL emulation: LCS part only (src/sphinx.cpp:14246)
-        weight = make_lcs_rank(field_weights)(F.col("hits")) * F.lit(SPH_BM25_SCALE)
+        # legacy MATCH_ALL/PHRASE emulation: linear LCS sum, UNSCALED —
+        # ExtRanker_Proximity_c::GetMatches flushes
+        # m_iWeight = sum_f lcs_f * w_f with no BM25 part and no
+        # SPH_BM25_SCALE (src/sphinx.cpp:14295-14305)
+        weight = make_lcs_rank(field_weights, squared=False)(F.col("hits"))
     elif ranker == "bm25":
         weight = bm25part + field_rank_bm25(
             F.col("fieldmask"), field_weights

@@ -367,9 +367,36 @@ class SphinxIndex:
         an unbounded TakeOrderedAndProject over every match is a
         cluster-scale anti-pattern when the caller's own sort
         supersedes it."""
+        out, _ = self._ranked(
+            match, mode, ranker, filters, late_filters, field_weights,
+            score_mode, with_attrs,
+        )
+        if not sorted_output:
+            return out
+        out = out.orderBy(F.col("weight").desc(), F.col("docid").asc())
+        k = min(limit, max_matches)
+        if offset:
+            out = out.offset(offset)
+        return out.limit(k)
+
+    # ------------------------------------------------------------------
+    def _ranked(
+        self,
+        match: str,
+        mode: str = "extended2",
+        ranker: str | None = None,
+        filters: list[Column] | None = None,
+        late_filters: list[Column] | None = None,
+        field_weights: list[int] | None = None,
+        score_mode: str = "fast64",
+        with_attrs: bool = False,
+    ) -> tuple[DataFrame, dict]:
+        """Compiled + ranked + filtered (but unsorted) match relation,
+        plus the query meta (per-term stats / IDF)."""
         ranker = self.default_ranker(mode, ranker)
         need_hits = ranker in (
-            "proximity_bm25", "proximity", "wordcount", "matchany"
+            "proximity_bm25", "proximity_bm25_linear", "proximity",
+            "wordcount", "matchany",
         )
         plan, meta = self.match(match, mode, need_hits, score_mode)
         weights = list(field_weights or [1] * len(self.settings.fields))
@@ -386,31 +413,42 @@ class SphinxIndex:
         cols = ["docid", "weight"] + (
             list(self.settings.attrs) if with_attrs else []
         )
-        out = ranked.select(*cols)
-        if not sorted_output:
-            return out
-        out = out.orderBy(F.col("weight").desc(), F.col("docid").asc())
-        k = min(limit, max_matches)
-        if offset:
-            out = out.offset(offset)
-        return out.limit(k)
+        return ranked.select(*cols), meta
 
-    # ------------------------------------------------------------------
     def search_with_meta(
-        self, match: str, limit: int = 20, **kwargs
+        self,
+        match: str,
+        limit: int = 20,
+        offset: int = 0,
+        max_matches: int = MAX_MATCHES_DEFAULT,
+        **kwargs,
     ) -> tuple[list, dict]:
         """Query + SHOW META-style result stats (CSphQueryResult,
         src/sphinx.h:1752-1792: matches, total, total_found, time,
-        per-term (docs, hits) stats)."""
+        per-term (docs, hits) stats).
+
+        total = min(total_found, max_matches): the match queue length
+        (m_dMatches.GetLength(), searchd.cpp:5756) — limit/offset bound
+        only the returned rows, never `total`.  total_found counts the
+        full filtered match set (m_iTotalMatches)."""
         import time as _time
 
         t0 = _time.perf_counter()
-        plan, meta = self.match(match, kwargs.get("mode", "extended2"))
-        total_found = plan.select("docid").distinct().count()
-        rows = self.search(match, limit=limit, **kwargs).collect()
+        ranked, meta = self._ranked(match, **kwargs)
+        ranked = ranked.cache()
+        try:
+            total_found = ranked.count()
+            out = ranked.orderBy(
+                F.col("weight").desc(), F.col("docid").asc()
+            )
+            if offset:
+                out = out.offset(offset)
+            rows = out.limit(min(limit, max_matches)).collect()
+        finally:
+            ranked.unpersist()
         elapsed = _time.perf_counter() - t0
         return rows, {
-            "total": len(rows),
+            "total": min(total_found, max_matches),
             "total_found": total_found,
             "time": round(elapsed, 3),
             "words": {

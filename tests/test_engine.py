@@ -135,7 +135,10 @@ def test_exact32_rank_matches_fast64(docs_index):
 
 def test_search_with_meta(docs_index, duck):
     rows, meta = docs_index.search_with_meta("table | scan", limit=10, ranker="bm25")
-    assert meta["total"] == len(rows) == 10
+    assert len(rows) == 10
+    # total = min(total_found, max_matches), NOT the LIMIT
+    # (m_dMatches.GetLength(), searchd.cpp:5756)
+    assert meta["total"] == min(meta["total_found"], 1000)
     want_found = duck.execute(
         """SELECT count(DISTINCT doc_id) FROM (
              SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z_]+')) AS w
