@@ -261,9 +261,11 @@ def q_mode_any(spark, sf_dir):
 
 
 def q_wildcard_count(spark, sf_dir):
-    """word* star syntax -> OR expansion over the dictionary
-    (query-side star dict, src/sphinx.cpp:10612); total_found."""
-    idx = _docs_index(spark, sf_dir)
+    """word* star syntax on a min_prefix_len index: ONE bare-prefix
+    dictionary entry lookup (CSphDictStarV8 prefix mangling,
+    src/sphinx.cpp:10734-10762) — no dictionary scan at any scale;
+    total_found."""
+    idx = _docs_index_prefix(spark, sf_dir)
     plan, _ = idx.match("val*")
     return plan.agg(F.count(F.lit(1)).alias("total_found"))
 

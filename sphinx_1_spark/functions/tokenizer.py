@@ -438,71 +438,117 @@ class Tokenizer:
         toks = codepoints_to_text(folded).split()
         return [t if len(t) <= MAX_WORD_LEN else t[:MAX_WORD_LEN] for t in toks]
 
-    def hits_for_doc(self, fields: list[str | None]) -> list[tuple[str, int]]:
+    def hits_for_doc(
+        self,
+        fields: list[str | None],
+        wordparts: list[str] | None = None,
+    ) -> list[tuple[str, int]]:
         """All (token, packed_wordpos) hits for one document.
 
         Field ids are the list ordinals (SPH_MAX_FIELDS=32 cap,
         src/sphinx.h:147); trailing hits of each field carry
         HIT_FIELD_END (src/sphinx.cpp:18666-18672).
+
+        `wordparts` gives each field's expansion kind ("whole" /
+        "prefix" / "infix" — SPH_WORDPART, src/sphinx.h:789-792,
+        prefix_fields/infix_fields config).  Default: every field is
+        prefix (min_prefix_len set), infix (min_infix_len set), or
+        whole.
+
+        Star-index dictionary namespaces mirror the reference's magic
+        markers, UNIFIED with the plain-word space exactly as the
+        reference CRCs them (src/sphinx.cpp:18534-18663):
+          "^*s$"  stemmed full word, both anchors  (\\1stem\\1 via
+                  GetWordIDWithMarkers — what a non-starred query
+                  word resolves to when enable_star=1)
+          "s"     bare substring/prefix expansions over the RAW
+                  (pre-morphology) word — the SAME namespace as plain
+                  words, which is what makes enable_star=0 implicit
+                  substring matching work
+          "^*s"   word-start anchored infix  (MAGIC_WORD_HEAD + s)
+          "s$"    word-end anchored infix    (s + MAGIC_WORD_TAIL)
+        Anchored forms are emitted only when min_infix_len>0
+        (bInfixMode, src/sphinx.cpp:18517).  The bare stemmed form is
+        additionally emitted when stemming changed the word
+        (src/sphinx.cpp:18578-18588) and for words too short to expand
+        (src/sphinx.cpp:18595-18607) — both reference quirks kept for
+        df/tf parity (a short stemmed-differently word emits its stem
+        twice).  Stopword tokens are never expanded
+        (GetWordIDWithMarkers returns 0 -> continue,
+        src/sphinx.cpp:17034-17042).
         """
+        s = self.settings
+        mp, mi = s.min_prefix_len, s.min_infix_len
+        star = bool(mp or mi)
+        if wordparts is None:
+            default_wp = "prefix" if mp else ("infix" if mi else "whole")
+            wordparts = [default_wp] * len(fields)
+        infix_mode = mi > 0
         fast = self._fast_path_ok
+        exact = s.index_exact_words
+        stops = s.stopwords
         out: list[tuple[str, int]] = []
         for fid, text in enumerate(fields):
             if not text:
                 continue
             base = fid << 24
+            kind = wordparts[fid] if fid < len(wordparts) else "whole"
             if fast:
-                toks = self._fast_tokens(text)
-                n = len(toks)
-                if not n:
-                    continue
-                last = base | n | HIT_FIELD_END
-                out.extend(
-                    (tok, base | (i + 1)) for i, tok in enumerate(toks[:-1])
-                )
-                out.append((toks[-1], last))
-                continue
-            exact = self.settings.index_exact_words
-            stops = self.settings.stopwords
-            tps = []
-            for raw, norm, pos in self._full_stream(text):
-                # exact-form hit first, then the plain hit — both at
-                # the same position (src/sphinx.cpp:18700-18727); the
-                # exact hit's stopword check runs on the RAW form
-                if exact and raw not in stops:
-                    tps.append(("=" + raw, pos))
-                if norm is not None:
-                    tps.append((norm, pos))
+                # fast path: no morphology/stopwords/exact -> raw==norm
+                tps: list[tuple[str, str | None, int]] = [
+                    (t, t, i + 1)
+                    for i, t in enumerate(self._fast_tokens(text))
+                ]
+            else:
+                tps = self._full_stream(text)
             if not tps:
                 continue
-            last_pos = tps[-1][1]
-            for tok, pos in tps:
+            last_pos = tps[-1][2]
+            for raw, norm, pos in tps:
                 wp = base | pos
                 if pos == last_pos:
+                    # ALL hits at the trailing position carry the flag
+                    # (mark-trailing-hits sweep, src/sphinx.cpp:
+                    # 18666-18672) — including exact/expansion entries
                     wp |= HIT_FIELD_END
-                out.append((tok, wp))
-        mp, mi = self.settings.min_prefix_len, self.settings.min_infix_len
-        if mp or mi:
-            # substring expansion over the emitted hits (both token
-            # paths), sharing each source hit's packed position
-            # (src/sphinx.cpp:18596-18663); "=" exact-form hits are
-            # never expanded (the reference expands only plain forms)
-            extra: list[tuple[str, int]] = []
-            for tok, wp in out:
-                if tok.startswith("="):
+                # exact-form hit: raw word, NONSTEMMED marker; its
+                # stopword check runs on the RAW form
+                # (GetWordIDNonStemmed, src/sphinx.cpp:17047-17053)
+                if exact and raw not in stops:
+                    out.append(("=" + raw, wp))
+                if norm is None:
                     continue
-                n = len(tok)
-                if mp:
-                    extra.extend(
-                        ("*" + tok[:ln], wp) for ln in range(mp, n + 1)
-                    )
-                else:
-                    extra.extend(
-                        ("*" + tok[i:j], wp)
-                        for i in range(n - mi + 1)
-                        for j in range(i + mi, n + 1)
-                    )
-            out.extend(extra)
+                if not star:
+                    out.append((norm, wp))
+                    continue
+                # full stemmed word with both magic markers — emitted
+                # for EVERY kept token on a star index, whole fields
+                # included (bGlobalPartialMatch, src/sphinx.cpp:
+                # 18685-18700)
+                out.append(("^*" + norm + "$", wp))
+                if kind == "whole":
+                    out.append((norm, wp))
+                    continue
+                if norm != raw:
+                    # stemmed word w/o markers, only when stemming
+                    # changed it (src/sphinx.cpp:18578-18588)
+                    out.append((norm, wp))
+                n = len(raw)
+                minlen = mp if kind == "prefix" else mi
+                if minlen > n:
+                    # too short to expand: plain stemmed word
+                    # (src/sphinx.cpp:18595-18607)
+                    out.append((norm, wp))
+                    continue
+                max_start = 0 if kind == "prefix" else n - minlen
+                for i in range(max_start + 1):
+                    for j in range(i + minlen, n + 1):
+                        sub = raw[i:j]
+                        out.append((sub, wp))
+                        if infix_mode and i == 0:
+                            out.append(("^*" + sub, wp))
+                        if infix_mode and j == n:
+                            out.append((sub + "$", wp))
         return out
 
     def tokenize_with_raw(self, text: str) -> list[tuple[str | None, str]]:

@@ -86,38 +86,71 @@ def _field_hits_native(docid: Column, toks: Column, field_id: int) -> "Column":
     )
 
 
-def _star_expansions(word: Column, minp: int, mini: int) -> Column:
-    """Array of "*<substring>" expansions of one token (index-time
-    prefix/infix indexing, src/sphinx.cpp:18596-18663; the "*" marker
-    plays MAGIC_WORD_HEAD).  Prefix mode: every prefix of length >=
-    minp including the full word.  Infix mode: every substring of
-    length >= mini.  Empty array when the token is too short —
+_EMPTY_STR_ARRAY = "array<string>"
+
+
+def _star_entries(word: Column, minp: int, mini: int) -> Column:
+    """Array of all star-index dictionary entries for one token
+    (index-time prefix/infix expansion, src/sphinx.cpp:18534-18663).
+    Namespaces are UNIFIED with the plain-word space exactly as the
+    reference CRCs them (see Tokenizer.hits_for_doc):
+
+      "^*w$"  full word, both magic markers — always emitted
+      "s"     bare substring/prefix expansions (shared namespace)
+      "^*s"   word-start anchored   (infix mode only)
+      "s$"    word-end anchored     (infix mode only)
+
+    Words shorter than the min length emit just the markers entry +
+    the bare word (src/sphinx.cpp:18595-18607).  The native path has
+    no morphology, so stem==raw and no separate stem entry exists.
     sequence() bounds are clamped then filtered so Spark never sees a
     descending sequence(start > stop)."""
     n = F.length(word)
+    markers = F.array(F.concat(F.lit("^*"), word, F.lit("$")))
+    minlen = minp or mini
     if minp:
         lens = F.filter(
             F.sequence(F.lit(minp), F.greatest(n, F.lit(minp))),
             lambda ln: ln <= n,
         )
-        return F.transform(
-            lens, lambda ln: F.concat(F.lit("*"), word.substr(F.lit(1), ln))
+        exp = F.transform(lens, lambda ln: word.substr(F.lit(1), ln))
+    else:
+        starts = F.filter(
+            F.sequence(F.lit(1), F.greatest(n - mini + 1, F.lit(1))),
+            lambda i: i <= n - mini + 1,
         )
-    starts = F.filter(
-        F.sequence(F.lit(1), F.greatest(n - mini + 1, F.lit(1))),
-        lambda i: i <= n - mini + 1,
-    )
-    return F.flatten(
-        F.transform(
-            starts,
-            lambda i: F.transform(
-                F.filter(
-                    F.sequence(F.lit(mini), F.greatest(n, F.lit(mini))),
-                    lambda ln: i + ln - 1 <= n,
+        empty = F.array().cast(_EMPTY_STR_ARRAY)
+        exp = F.flatten(
+            F.transform(
+                starts,
+                lambda i: F.flatten(
+                    F.transform(
+                        F.filter(
+                            F.sequence(F.lit(mini), F.greatest(n, F.lit(mini))),
+                            lambda ln: i + ln - 1 <= n,
+                        ),
+                        lambda ln: F.concat(
+                            F.array(word.substr(i, ln)),
+                            F.when(
+                                i == 1,
+                                F.array(
+                                    F.concat(F.lit("^*"), word.substr(i, ln))
+                                ),
+                            ).otherwise(empty),
+                            F.when(
+                                i + ln - 1 == n,
+                                F.array(
+                                    F.concat(word.substr(i, ln), F.lit("$"))
+                                ),
+                            ).otherwise(empty),
+                        ),
+                    )
                 ),
-                lambda ln: F.concat(F.lit("*"), word.substr(i, ln)),
-            ),
+            )
         )
+    return F.concat(
+        markers,
+        F.when(n < minlen, F.array(word)).otherwise(exp),
     )
 
 
@@ -127,6 +160,7 @@ def build_hits_native(
     fields: list[str],
     min_prefix_len: int = 0,
     min_infix_len: int = 0,
+    wordpart: str | None = None,
 ) -> DataFrame:
     """Catalyst-only hit extraction for ASCII text fields.
 
@@ -151,16 +185,18 @@ def build_hits_native(
     )
     if min_prefix_len or min_infix_len:
         # second narrow explode (same codegen stage, no shuffle): each
-        # hit fans out into itself + its "*"-marked substring terms at
-        # the same packed position
+        # hit fans out into its star-index dictionary entries at the
+        # same packed position.  wordpart="whole" on a star index
+        # still emits the markers entry + plain word
+        # (bGlobalPartialMatch, src/sphinx.cpp:18685-18700).
         w = F.col("word")
+        if wordpart == "whole":
+            entries = F.array(F.concat(F.lit("^*"), w, F.lit("$")), w)
+        else:
+            entries = _star_entries(w, min_prefix_len, min_infix_len)
         hits = hits.select(
             "docid",
-            F.explode(
-                F.concat(
-                    F.array(w), _star_expansions(w, min_prefix_len, min_infix_len)
-                )
-            ).alias("word"),
+            F.explode(entries).alias("word"),
             "wordpos",
         )
     return hits
@@ -225,6 +261,7 @@ def build_hits_arrow(
     docid_col: str,
     fields: list[str],
     settings: TokenizerSettings,
+    wordparts: list[str] | None = None,
 ) -> DataFrame:
     """Full-fidelity hit extraction via Arrow-batched mapInPandas."""
     cols = [docid_col] + fields
@@ -248,7 +285,7 @@ def build_hits_arrow(
                     (field_arrs[j][i] if field_arrs[j][i] is not None else "")
                     for j in range(len(fields))
                 ]
-                for w, wp in tok.hits_for_doc(row_fields):
+                for w, wp in tok.hits_for_doc(row_fields, wordparts):
                     docids.append(did)
                     words.append(w)
                     poss.append(wp)

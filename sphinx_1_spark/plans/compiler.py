@@ -484,6 +484,7 @@ def _with_hits(ctx: CompileContext) -> CompileContext:
 
 
 _COMPILERS = {
+    "empty": lambda node, ctx: _empty(ctx),
     "term": _compile_term,
     "and": _compile_and,
     "or": _compile_or,

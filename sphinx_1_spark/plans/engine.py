@@ -53,6 +53,41 @@ class IndexSettings:
     # wordids (--enable-id64 parity, src/sphinx.cpp:16658-16671) --
     # needed when the dictionary is big enough for CRC32 collisions.
     wordid: str = "crc32"
+    # enable_star: star-syntax dict at query time (SetupStarDict,
+    # src/sphinx.cpp:16026-16052).  With prefix/infix indexing and
+    # enable_star=False, query words match indexed substrings
+    # IMPLICITLY (the legacy behavior: expansions share the plain
+    # CRC namespace) and '*' folds away as a separator.  sphinx.conf
+    # defaults this to 0; our API defaults to True since star syntax
+    # is the common case -- the config-driven build maps an absent
+    # enable_star to 0.
+    enable_star: bool = True
+    # prefix_fields / infix_fields: per-field wordpart lists
+    # (src/sphinx.cpp:19158-19171); empty tuple = all fields
+    # (IsFieldInStr with an empty list matches everything).
+    prefix_fields: tuple[str, ...] = ()
+    infix_fields: tuple[str, ...] = ()
+
+    def wordparts(self) -> list[str]:
+        """Per-field expansion kind (SPH_WORDPART, src/sphinx.h:
+        789-792): prefix/infix iff the matching min len is set AND the
+        field is listed (or the list is empty)."""
+        tk = self.tokenizer
+        out = []
+        for f in self.fields:
+            pref = tk.min_prefix_len > 0 and (
+                not self.prefix_fields or f in self.prefix_fields
+            )
+            inf = tk.min_infix_len > 0 and (
+                not self.infix_fields or f in self.infix_fields
+            )
+            if pref and inf:
+                raise ValueError(
+                    f"field '{f}' is marked for both infix and prefix"
+                    " indexing"
+                )
+            out.append("infix" if inf else "prefix" if pref else "whole")
+        return out
 
 
 class SphinxIndex:
@@ -73,11 +108,15 @@ class SphinxIndex:
         self.n_docs = n_docs
         self._tokenizer = Tokenizer(settings.tokenizer)
         tk = settings.tokenizer
-        star_mode = (
-            "prefix" if tk.min_prefix_len
-            else "infix" if tk.min_infix_len
-            else "none"
-        )
+        # V8 star dict dispatch checks infixes FIRST (m_bInfixes,
+        # src/sphinx.cpp:10705); installed only when enable_star
+        # (SetupStarDict, src/sphinx.cpp:16030-16035)
+        star_mode = "none"
+        if settings.enable_star:
+            if tk.min_infix_len:
+                star_mode = "infix"
+            elif tk.min_prefix_len:
+                star_mode = "prefix"
         self._parser = QueryParser(
             self._tokenizer, list(settings.fields), star_mode=star_mode
         )
@@ -104,11 +143,16 @@ class SphinxIndex:
         if df.rdd.getNumPartitions() < parallelism:
             df = df.repartition(parallelism)
         # prefix/infix expansion is handled natively (a second narrow
-        # explode), so it does not disqualify the Catalyst fast path
+        # explode), so it does not disqualify the Catalyst fast path —
+        # but per-field wordpart mixes and mixed prefix+infix configs
+        # fall back to the arrow tokenizer
         tk = settings.tokenizer
+        wordparts = settings.wordparts()
         native_ok = (
             dataclasses.replace(tk, min_prefix_len=0, min_infix_len=0)
             == TokenizerSettings()
+            and len(set(wordparts)) == 1
+            and not (tk.min_prefix_len and tk.min_infix_len)
         )
         if settings.tokenizer_impl == "native" and native_ok:
             hits = build_hits_native(
@@ -117,10 +161,15 @@ class SphinxIndex:
                 list(settings.fields),
                 min_prefix_len=tk.min_prefix_len,
                 min_infix_len=tk.min_infix_len,
+                wordpart=wordparts[0] if wordparts else "whole",
             )
         else:
             hits = build_hits_arrow(
-                df, settings.docid_col, list(settings.fields), settings.tokenizer
+                df,
+                settings.docid_col,
+                list(settings.fields),
+                settings.tokenizer,
+                wordparts=wordparts,
             )
         docinfo = df.select(
             F.col(settings.docid_col).cast("long").alias("docid"),
@@ -192,46 +241,6 @@ class SphinxIndex:
         return idf, {w: stats.get(w, (0, 0)) for w in distinct}
 
     # ------------------------------------------------------------------
-    MAX_WILDCARD_EXPANSIONS = 100
-
-    def expand_wildcards(self, match: str) -> str:
-        """Star-syntax support (`word*`, `*word`, `*word*`): rewrite
-        each starred token to an OR-group of the dictionary words it
-        matches, capped at MAX_WILDCARD_EXPANSIONS by descending df.
-
-        Spark-first equivalent of the reference's query-side star
-        dictionaries (CSphDictStar/CSphDictStarV8,
-        src/sphinx.cpp:10612-10790): the dictionary scan replaces
-        index-side substring expansion; an unmatched pattern matches
-        nothing.  Patterns the index's own "*"-namespace serves
-        (prefix mode `word*`, infix mode `*word*`) are left in place
-        for the parser, which compiles them to a single marked-term
-        dictionary lookup — the O(1) scale path."""
-
-        def repl(m: "re.Match[str]") -> str:
-            pat = m.group(0)
-            if self._star_served(pat):
-                return pat
-            core = pat.strip("*").lower()
-            if not core:
-                return pat
-            like = ("%" if pat.startswith("*") else "") + core + (
-                "%" if pat.endswith("*") else ""
-            )
-            rows = (
-                self.dictionary.where(F.col("word").like(like))
-                .orderBy(F.col("docs").desc(), F.col("word").asc())
-                .limit(self.MAX_WILDCARD_EXPANSIONS)
-                .select("word")
-                .collect()
-            )
-            words = [r["word"] for r in rows]
-            if not words:
-                return "__sphinx_no_match__"
-            return "(" + " | ".join(words) + ")"
-
-        return re.sub(r"\*?[0-9a-zA-Z_]+\*|\*[0-9a-zA-Z_]+", repl, match)
-
     def check_query_words(self, match: str) -> str | None:
         """CheckQueryWord (src/sphinx.cpp:14790-14807): on a
         prefix/infix-enabled index, a starred query word whose core is
@@ -260,28 +269,15 @@ class SphinxIndex:
                 )
         return warning
 
-    def _star_served(self, pat: str) -> bool:
-        """True when the index's "*"-expanded namespace answers this
-        star pattern directly (one marked-term lookup, no dictionary
-        scan): `word*` on a min_prefix_len index, `*word*` on a
-        min_infix_len index (CSphDictStarV8 dispatch semantics,
-        src/sphinx.cpp:10700-10770)."""
-        tk = self.settings.tokenizer
-        core = pat.strip("*")
-        if not core or not re.fullmatch(r"[0-9a-zA-Z_]+", core):
-            return False
-        lead, trail = pat.startswith("*"), pat.endswith("*")
-        if tk.min_prefix_len and trail and not lead:
-            return len(core) >= tk.min_prefix_len
-        if tk.min_infix_len and trail and lead:
-            return len(core) >= tk.min_infix_len
-        return False
-
     def parse(self, match: str, mode: str = "extended2") -> XQNode:
         """Legacy match modes are rewritten to extended syntax
-        (PrepareQueryEmulation, src/sphinx.cpp:16179-16213)."""
-        if "*" in match:
-            match = self.expand_wildcards(match)
+        (PrepareQueryEmulation, src/sphinx.cpp:16179-16213).
+
+        '*' handling is reference-faithful: on a star-enabled
+        prefix/infix index the parser compiles each star shape to one
+        mangled-entry lookup; everywhere else the tokenizer folds '*'
+        away as a separator (no star dict installed — SetupStarDict,
+        src/sphinx.cpp:16030-16035)."""
         if mode in ("extended", "extended2"):
             return self._parser.parse(match)
         if mode == "all":
@@ -329,9 +325,27 @@ class SphinxIndex:
         DataFrame (docid, tfidf, fieldmask, tfs[, hits]) + query meta."""
         tree = self.parse(match, mode)
         words = collect_words(tree)
-        idf, stats = self._compute_idf(
+        idf, raw_stats = self._compute_idf(
             [w.word for w in words], float32=(score_mode == "exact32")
         )
+        # word-stats keys are the DISPLAY form (m_sDictWord — stemmed,
+        # stars as typed, no magic markers; src/sphinx.cpp:11628-11631,
+        # 14674-14686); lookups/IDF stay keyed by the mangled entry
+        stats = {}
+        for w in words:
+            stats.setdefault(
+                w.display or w.word, raw_stats.get(w.word, (0, 0))
+            )
+        if getattr(tree, "stats_words", None):
+            # relaxed-deleted terms: dictionary stats still reported,
+            # but no IDF contribution and no match (see XQNode)
+            _, extra = self._compute_idf(
+                [w.word for w in tree.stats_words], float32=False
+            )
+            for w in tree.stats_words:
+                stats.setdefault(
+                    w.display or w.word, extra.get(w.word, (0, 0))
+                )
         ctx = CompileContext(
             self.postings,
             idf,

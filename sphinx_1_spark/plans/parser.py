@@ -27,21 +27,30 @@ ALL_FIELDS = 0xFFFFFFFF
 
 @dataclass
 class QWord:
-    word: str
+    word: str  # dictionary lookup key (post dict mangling)
     querypos: int
     field_start: bool = False  # ^word
     field_end: bool = False  # word$
     exact: bool = False  # =word (index_exact_words)
+    # word stats / SHOW META form: the query word as typed (stars
+    # kept, magic markers absent) — m_sDictWord semantics,
+    # src/sphinx.cpp:11628-11631
+    display: str = ""
 
 
 @dataclass
 class XQNode:
-    op: str  # term|phrase|proximity|quorum|and|or|not|andnot|before
+    op: str  # term|phrase|proximity|quorum|and|or|not|andnot|before|empty
     words: list[QWord] = dc_field(default_factory=list)
     children: list["XQNode"] = dc_field(default_factory=list)
     max_distance: int = 0  # ~N / quorum threshold
     fields_mask: int = ALL_FIELDS
     max_field_pos: int = 0  # @field[N], 0 = unlimited
+    # op="empty" only: words parsed before DeleteNodesWOFields pruned
+    # them — they still get dictionary stats in the result (the
+    # reference's term setup collects stats before matching), but do
+    # not count toward the IDF q divisor or match anything
+    stats_words: list[QWord] = dc_field(default_factory=list)
 
     def set_field_spec(self, mask: int, max_pos: int) -> None:
         """SetFieldSpec propagates into children that have no own spec
@@ -60,6 +69,7 @@ class QueryParseError(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<before><<)
+  | (?P<num>\d+)(?=$|\s|[()|"~/\-!^$=@<])
   | (?P<op>[()|"~/\-!^$=])
   | (?P<field>@(?:@relaxed|\*|\(\s*[\w,\s]+\s*\)|\w+)(?:\[\d+\])?)
   | (?P<word>[^\s()|"~/\-!^$=@]+)
@@ -67,6 +77,27 @@ _TOKEN_RE = re.compile(
 """,
     re.VERBOSE,
 )
+
+
+def _star_core_stream(tokenizer: Tokenizer, core: str, n_stars: int):
+    """Token stream for a starred keyword's core.  Query parsing
+    enables the short-token filter (EnableQueryParserMode,
+    src/sphinx.h:430): any token that starts or ends with '*'
+    BYPASSES the min_word_len overshort drop entirely
+    (ShortTokenFilter, src/sphinx.cpp:3080-3083) — 'i*' is a live
+    keyword even on a min_word_len=3 index.  Emulated by folding the
+    bare core through a variant tokenizer with min_word_len=1."""
+    s = tokenizer.settings
+    if s.min_word_len <= 1 or n_stars == 0:
+        return tokenizer._full_stream(core)
+    var = getattr(tokenizer, "_star_variant", None)
+    if var is None:
+        import dataclasses
+
+        var = tokenizer._star_variant = Tokenizer(
+            dataclasses.replace(s, min_word_len=1)
+        )
+    return var._full_stream(core)
 
 
 class _Lexer:
@@ -90,6 +121,22 @@ class _Lexer:
             pos = m.end()
             if m.lastgroup == "ws":
                 continue
+            if m.lastgroup == "num":
+                # numbers are lexed RAW before the tokenizer sees them
+                # (XQParser_t::GetToken digit pre-scan,
+                # src/sphinxquery.cpp:340-382): '~3' parses even when
+                # 0-9 are outside charset_table or min_word_len drops
+                # single digits.  The number doubles as a keyword when
+                # the tokenizer keeps it (TOK_INT iStrIndex).
+                digits = m.group("num")
+                entries = tokenizer._full_stream(digits)
+                kw = None
+                if entries:
+                    raw, norm, _apos = entries[0]
+                    self._atom_base += 1  # m_iAtomPos++ iff token kept
+                    kw = (self._plain_key(norm), raw, self._atom_base, norm)
+                self.toks.append(("NUM", (int(digits), kw)))
+                continue
             if m.lastgroup == "before":
                 self.toks.append(("BEFORE", None))
             elif m.lastgroup == "op":
@@ -98,21 +145,38 @@ class _Lexer:
                 self.toks.append(("FIELD", self._parse_field(m.group("field"))))
             elif (
                 self.star_mode != "none"
-                and m.group("word").endswith("*")
+                and ("*" in m.group("word"))
                 and "*" not in m.group("word").strip("*")
                 and m.group("word").strip("*")
             ):
-                # starred keyword on a prefix/infix-expanded index:
-                # compile to the "*"-marked term — a single dictionary
-                # lookup against the index-time expansion namespace
-                # (CSphDictStarV8, src/sphinx.cpp:10700-10770).  The
-                # raw folded (pre-morphology) core is used, as the
-                # reference's star dicts bypass morphology.
-                entries = tokenizer._full_stream(m.group("word").strip("*"))
+                # starred keyword on a star-enabled prefix/infix index:
+                # a SINGLE dictionary lookup against the mangled entry
+                # (CSphDictStarV8::GetWordID, src/sphinx.cpp:
+                # 10680-10767).  Morphology and the stopword check are
+                # skipped when any star is present; the raw folded core
+                # is mangled per mode:
+                #   infix:   word* -> ^*word   *word -> word$
+                #            *word* -> word
+                #   prefix:  head star ignored; word* -> word (bare
+                #            prefix entry), *word/word -> ^*word$
+                #            (exact full-word match)
+                # The display form (word stats / SHOW META) keeps the
+                # stars as typed (m_sDictWord is the unmangled buffer,
+                # src/sphinx.cpp:11628-11631).
+                word = m.group("word")
+                h, t = word.startswith("*"), word.endswith("*")
+                entries = _star_core_stream(
+                    tokenizer, word.strip("*"), int(h) + int(t)
+                )
                 if len(entries) == 1:
                     raw, _norm, apos = entries[0]
+                    if self.star_mode == "infix":
+                        key = ("" if h else "^*") + raw + ("" if t else "$")
+                    else:
+                        key = raw if t else "^*" + raw + "$"
+                    display = ("*" if h else "") + raw + ("*" if t else "")
                     self.toks.append(
-                        ("WORD", ("*" + raw, "*" + raw, self._atom_base + apos))
+                        ("WORD", (key, raw, self._atom_base + apos, display))
                     )
                     self._atom_base += apos
                 else:
@@ -120,7 +184,10 @@ class _Lexer:
                     # as separators, keywords pass through plain
                     for raw, norm, apos in entries:
                         self.toks.append(
-                            ("WORD", (norm, raw, self._atom_base + apos))
+                            ("WORD", (
+                                self._plain_key(norm), raw,
+                                self._atom_base + apos, norm,
+                            ))
                         )
                     if entries:
                         self._atom_base += entries[-1][2]
@@ -128,19 +195,32 @@ class _Lexer:
                 # fold through the document tokenizer; a "word" chunk may
                 # split into several keywords (e.g. "i-phone" won't reach
                 # here since '-' lexes as NOT, but "ab.cd" does).  The
-                # payload is (normalized_or_None, raw_folded, atom_pos):
-                # =exact terms use the raw form (CSphDictExact
+                # payload is (lookup_key_or_None, raw_folded, atom_pos,
+                # display): =exact terms use the raw form (CSphDictExact
                 # semantics); stopword keywords carry None but still
                 # occupy their atom position, so phrases keep gaps
                 # (XQParser m_iAtomPos, src/sphinxquery.cpp:393,434-443)
                 entries = tokenizer._full_stream(m.group("word"))
                 for raw, norm, apos in entries:
                     self.toks.append(
-                        ("WORD", (norm, raw, self._atom_base + apos))
+                        ("WORD", (
+                            self._plain_key(norm), raw,
+                            self._atom_base + apos, norm,
+                        ))
                     )
                 if entries:
                     self._atom_base += entries[-1][2]
         self.i = 0
+
+    def _plain_key(self, norm: str | None) -> str | None:
+        """Dictionary lookup key for a non-starred keyword.  On a
+        star-enabled index every plain word resolves to the stemmed
+        full-word entry with both magic markers (\\1stem\\1 — the
+        !bHeadStar && !bTailStar branch of CSphDictStarV8::GetWordID,
+        src/sphinx.cpp:10693-10728 infix / 10747-10757 prefix)."""
+        if norm is None or self.star_mode == "none":
+            return norm
+        return "^*" + norm + "$"
 
     def _parse_field(self, spec: str) -> tuple[int, int]:
         """@field / @(f1,f2) / @* / @@relaxed [+ optional [N] max-pos]
@@ -213,13 +293,20 @@ class QueryParser:
         if kind is not None:
             raise QueryParseError(f"unexpected token {kind!r}")
         if node is None:
-            raise QueryParseError("empty query")
+            # a query whose every keyword was dropped (stopword,
+            # overshort, empty phrase) is NOT an error: the reference
+            # returns success with zero matches and no per-word stats
+            # (XQParser m_bEmpty, NULL root -> ranker matches nothing)
+            return XQNode("empty")
         if relaxed:
+            pre = collect_words(node)
             node = self._delete_no_field_nodes(node)
             if node is None:
-                raise QueryParseError(
-                    "query is empty (all terms reference unknown fields)"
-                )
+                # all terms referenced unknown fields: zero matches,
+                # but the parsed words still carry dictionary stats
+                # (upstream keeps the zero-mask terms; stats were
+                # collected at term setup before matching)
+                return XQNode("empty", stats_words=pre)
         node = self._fixup_nots(node)
         if node.op == "not":
             raise QueryParseError("query is non-computable (top-level NOT)")
@@ -349,22 +436,34 @@ class QueryParser:
             self._lex.next()
             field_start = True
             kind, val = self._lex.peek()
-        if kind != "WORD":
+        if kind == "NUM":
+            # TOK_INT as keyword (XQParser tInt.iStrIndex): the number
+            # participates as a keyword iff the tokenizer kept it
+            self._lex.next()
+            _n, kw = val
+            if kw is None:
+                return None
+            norm, raw, pos, display = kw
+        elif kind != "WORD":
             if exact or field_start:
                 raise QueryParseError("expected keyword after '='/'^'")
             return None
-        self._lex.next()
-        norm, raw, pos = val
+        else:
+            self._lex.next()
+            norm, raw, pos, display = val
         if exact:
             # exact-form term: raw (pre-morphology) word id with the
             # nonstemmed marker (CSphDictExact, src/sphinx.cpp:10780);
             # no stopword filter on the normalized form here
-            word = "=" + raw
+            word = display = "=" + raw
         elif norm is None:
             return None  # stopword keyword -> null node (SweepNulls)
         else:
             word = norm
-        w = QWord(word, pos, field_start=field_start, exact=exact)
+        w = QWord(
+            word, pos, field_start=field_start, exact=exact,
+            display=display or word,
+        )
         if self._lex.peek()[0] == "$":
             self._lex.next()
             w.field_end = True
@@ -382,21 +481,32 @@ class QueryParser:
                 break
             if kind == "WORD":
                 self._lex.next()
-                norm, _raw, pos = val
+                norm, _raw, pos, display = val
                 if norm is not None:
-                    words.append(QWord(norm, pos))
+                    words.append(QWord(norm, pos, display=display or norm))
+            elif kind == "NUM":
+                self._lex.next()
+                _n, kw = val
+                if kw is not None and kw[0] is not None:
+                    words.append(
+                        QWord(kw[0], kw[2], display=kw[3] or kw[0])
+                    )
             else:
                 # phrasetoken rules: operators inside quotes are ignored
                 self._lex.next()
-        # optional ~N (proximity) or /N (quorum)
+        # optional ~N (proximity) or /N (quorum); the count is lexed
+        # raw (digit pre-scan), never through the tokenizer
         kind, _ = self._lex.peek()
         n = 0
         op = "phrase"
         if kind in ("~", "/"):
             self._lex.next()
             k2, v2 = self._lex.next()
-            num = v2[1] if k2 == "WORD" else None
-            if num is None or not str(num).isdigit():
+            if k2 == "NUM":
+                num = v2[0]
+            elif k2 == "WORD" and str(v2[1]).isdigit():
+                num = v2[1]
+            else:
                 raise QueryParseError(f"expected integer after {kind!r}")
             n = int(num)
             op = "proximity" if kind == "~" else "quorum"

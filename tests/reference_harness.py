@@ -528,11 +528,18 @@ def make_index_settings(test: RefTest, index_name: str | None = None):
     if one("overshort_step"):
         tk["overshort_step"] = int(one("overshort_step"))
     enable_star = bool(int(one("enable_star") or 0))
-    if enable_star:
-        if one("min_prefix_len"):
-            tk["min_prefix_len"] = int(one("min_prefix_len"))
-        elif one("min_infix_len"):
-            tk["min_infix_len"] = int(one("min_infix_len"))
+    if one("min_prefix_len"):
+        tk["min_prefix_len"] = int(one("min_prefix_len"))
+    if one("min_infix_len"):
+        tk["min_infix_len"] = int(one("min_infix_len"))
+    prefix_fields = tuple(
+        f.strip().lower()
+        for f in (one("prefix_fields") or "").split(",") if f.strip()
+    )
+    infix_fields = tuple(
+        f.strip().lower()
+        for f in (one("infix_fields") or "").split(",") if f.strip()
+    )
     if one("exceptions"):
         txt = _read_aux_file(test, one("exceptions"))
         if txt is not None:
@@ -546,6 +553,9 @@ def make_index_settings(test: RefTest, index_name: str | None = None):
         attrs=tuple(attrs),
         tokenizer=TokenizerSettings(**tk),
         tokenizer_impl="arrow",
+        enable_star=enable_star,
+        prefix_fields=prefix_fields,
+        infix_fields=infix_fields,
     )
     return settings, table, name
 
@@ -662,8 +672,22 @@ def replay(spark, test_id: str, subtest: int = 0,
            queries: list[int] | None = None) -> list[str]:
     """Run every query of one subtest; returns a flat diff list."""
     test = load_test(test_id, subtest=subtest)
-    idx = build_index(spark, test)
     model_results = test.model[subtest]
+    # ubertest records a whole-subtest indexer failure as the literal
+    # string 'failed' (e.g. a field marked for both prefix and infix
+    # indexing, src/sphinx.cpp:19163-19164)
+    golden_failed = model_results in ("failed", ["failed"])
+    try:
+        idx = build_index(spark, test)
+    except Exception as e:
+        if golden_failed:
+            return []
+        return [f"[{test_id} st{subtest}] build failed: {e}"]
+    if golden_failed:
+        return [
+            f"[{test_id} st{subtest}] golden expects indexer failure,"
+            " build succeeded"
+        ]
     errs: list[str] = []
     for qi, q in enumerate(test.queries):
         if queries is not None and qi not in queries:

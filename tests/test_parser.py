@@ -118,9 +118,11 @@ def test_relaxed_unknown_field(parser):
     from sphinx_1_spark.plans.parser import collect_words
 
     assert [w.word for w in collect_words(t)] == ["b"]
-    # all branches unknown -> empty query
-    with pytest.raises(QueryParseError):
-        parser.parse("@@relaxed @nosuch a")
+    # all branches unknown -> empty tree (NOT an error: the reference
+    # answers zero matches, with dict stats for the deleted words)
+    t_empty = parser.parse("@@relaxed @nosuch a")
+    assert t_empty.op == "empty"
+    assert [w.word for w in t_empty.stats_words] == ["a"]
     # known field after the flag still resolves
     t2 = parser.parse("@@relaxed @title a")
     assert t2.fields_mask == 1
