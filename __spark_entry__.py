@@ -1061,8 +1061,9 @@ def q_multi_minimize(spark, sf_dir):
     """Result minimize/merge across indexes with different schemas
     (MinimizeAggrResult, src/searchd.cpp:3628-3820): per-index result
     sets reduced to the common column set, tagged with the index
-    ordinal, unioned, then deduplicated per docid keeping the lowest
-    tag (the reference's dupes sweep, searchd.cpp:3755). Gate returns
+    ordinal, unioned, then deduplicated per docid keeping the highest
+    tag (the dupes sweep sorts (docid asc, tag desc) and keeps the
+    first copy — searchd.cpp:2515,3803). Gate returns
     per-tag count + weight sum (the merged relation aggregated —
     deterministic under cross-index weight ties, which an order-based
     cut is not)."""
@@ -1730,10 +1731,10 @@ i1 AS (
 )
 SELECT tag, CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(weight) AS BIGINT) AS sum_weight
-FROM (SELECT * FROM r1
+FROM (SELECT * FROM r2
       UNION ALL
-      SELECT * FROM r2
-      WHERE doc_id NOT IN (SELECT doc_id FROM r1))
+      SELECT * FROM r1
+      WHERE doc_id NOT IN (SELECT doc_id FROM r2))
 GROUP BY tag ORDER BY tag"""
 
     # literal oracle: md5 of every excerpt over the pinned sf0.01

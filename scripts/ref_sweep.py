@@ -1,0 +1,89 @@
+"""Sweep the reference e2e suite through tests/reference_harness.
+
+For each test/test_NN dir: replay every subtest and print one line:
+  test_NN OK (queries=N subtests=M)
+  test_NN DIFF n=K  first: <first diff>
+  test_NN SKIP <reason>      (unsupported machinery, declared below)
+  test_NN ERROR <exception>
+
+Usage: python3 scripts/ref_sweep.py [test_NN ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.reference_harness import (  # noqa: E402
+    REF_TEST_ROOT, load_test, replay, subtest_count,
+)
+
+# searchd-only / out-of-scope machinery per SURVEY §2.1; a test whose
+# config or queries require these is reported SKIP with the reason.
+UNSUPPORTED_CFG = (
+    ("type = distributed", "distributed agents"),
+    ("agent =", "distributed agents"),
+    ("xmlpipe", "xmlpipe source via indexer exec"),
+    ("sql_query_pre", "SQL-side session state"),
+    ("sql_joined_field", "sql_joined_field"),
+    ("sql_file_field", "sql_file_field"),
+    ("mssql", "mssql driver"),
+    ("csvpipe", "csvpipe"),
+)
+
+
+def classify_skip(test) -> str | None:
+    cfg = test.config_text
+    for needle, why in UNSUPPORTED_CFG:
+        if needle in cfg:
+            return why
+    if not test.queries:
+        return "no queries section (custom php test)"
+    return None
+
+
+def main() -> None:
+    ids = sys.argv[1:] or sorted(
+        d for d in os.listdir(REF_TEST_ROOT)
+        if d.startswith("test_")
+        and os.path.exists(os.path.join(REF_TEST_ROOT, d, "model.bin"))
+    )
+    from sphinx_1_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for tid in ids:
+        t0 = time.time()
+        try:
+            test = load_test(tid)
+            why = classify_skip(test)
+            if why:
+                print(f"{tid} SKIP {why}", flush=True)
+                continue
+            n_st = subtest_count(tid)
+            errs: list[str] = []
+            for st in range(n_st):
+                errs.extend(replay(spark, tid, subtest=st))
+            dt = time.time() - t0
+            if errs:
+                print(
+                    f"{tid} DIFF n={len(errs)} ({dt:.0f}s)  first: {errs[0][:220]}",
+                    flush=True,
+                )
+            else:
+                print(
+                    f"{tid} OK (queries={len(test.queries)} subtests={n_st},"
+                    f" {dt:.0f}s)",
+                    flush=True,
+                )
+        except Exception as e:
+            tb = traceback.format_exc().splitlines()[-1]
+            print(f"{tid} ERROR {e.__class__.__name__}: {str(e)[:200]} | {tb[:120]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

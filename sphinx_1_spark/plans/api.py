@@ -1,0 +1,418 @@
+"""SphinxAPI serving layer: the Query() call surface of searchd.
+
+Implements the client-visible semantics of HandleCommandSearch
+(src/searchd.cpp:4100-4500) over one or more SphinxIndex objects:
+
+* SetSortMode: relevance / extended clause / expr / attr asc-desc /
+  time segments (sphCreateQueue, src/sphinxsort.cpp:1961-2121);
+  SPH_SORT_EXPR computes the float32 @expr virtual attr and orders
+  (@expr desc, id asc) (MatchExpr_fn, :1265);
+* SetGroupBy (+SetGroupDistinct): exact grouping with the reference's
+  integer group keys, @count/@distinct virtual attrs, groupsort
+  ordering; total_found counts groups (CSphKBufferGroupSorter::PushEx
+  m_iTotal, src/sphinxsort.cpp:226);
+* multi-index unions: later indexes' kill-lists become exclusion
+  filters on earlier indexes (searchd.cpp:4185-4196), per-index
+  total_found sums then dupes subtract (:3818), dupes resolve to the
+  lowest index tag (:3803-3810) or to weighted-rank sums under
+  SetIndexWeights (:3775-3800); per the 0.9.9 assignment quirk the
+  reported word stats are the LAST local index's (:4221);
+* SetLimits cutoff: matching stops after N matches in processing
+  (docid) order;
+* SetIDRange, offset/limit paging, max_matches bounding.
+
+The heavy lifting (match tree -> ranked relation) stays in
+SphinxIndex._ranked; this layer only adds the sorting/grouping/merge
+plan on top, all in native Spark expressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sphinx_1_spark.functions.exprparse import parse_expression
+from sphinx_1_spark.plans.attrs import (
+    api_group_query,
+    custom_sort_column,
+    parse_sort_clause,
+    sort_clause_columns,
+    time_segment,
+)
+
+
+@dataclass
+class ApiQuery:
+    """One SphinxClient::Query() worth of state."""
+
+    query: str
+    mode: str = "all"
+    ranker: str | None = None
+    sortmode: str = "relevance"  # relevance|extended|expr|attr_asc|attr_desc|time_segments
+    sortby: str = ""
+    groupattr: str | None = None
+    groupfunc: str = "attr"
+    groupsort: str = "@group desc"
+    groupdistinct: str | None = None
+    filters: list[Column] | None = None
+    id_range: tuple[int, int] | None = None
+    cutoff: int = 0
+    offset: int = 0
+    limit: int = 20
+    max_matches: int = 1000
+    index_weights: dict[str, int] | None = None
+    select: list[tuple[str, str]] = dc_field(default_factory=list)
+    # extra virtual attrs: [(alias, expression)] (SetSelect subset)
+    now_epoch: int = 0
+    score_mode: str = "exact32"
+
+
+class ApiQueryError(ValueError):
+    pass
+
+
+def _attr_types(idx) -> dict[str, str]:
+    """Lowercased attr name -> 'int'|'bigint'|'float'|'mva' from the
+    docinfo schema."""
+    out = {}
+    for f in idx.docinfo.schema.fields:
+        t = f.dataType.simpleString()
+        if t in ("float", "double"):
+            out[f.name.lower()] = "float"
+        elif t == "bigint":
+            out[f.name.lower()] = "bigint"
+        elif t.startswith("array"):
+            out[f.name.lower()] = "mva"
+        else:
+            out[f.name.lower()] = "int"
+    return out
+
+
+def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
+    """Final ordering per sortmode (sphCreateQueue dispatch)."""
+    if q.sortmode == "relevance":
+        return [F.col("weight").desc(), F.col("docid").asc()]
+    if q.sortmode == "extended":
+        keys = parse_sort_clause(q.sortby, set(attr_types))
+        if keys == "random":
+            # deterministic stand-in documented in SURVEY (md5 order)
+            return [F.md5(F.col("docid").cast("string")).asc()]
+        if keys == "custom":
+            return [
+                custom_sort_column(q.now_epoch).desc(),
+                F.col("docid").asc(),
+            ]
+        return sort_clause_columns(keys, attr_types)
+    if q.sortmode == "expr":
+        return [F.col("@expr").desc(), F.col("docid").asc()]
+    if q.sortmode == "attr_asc":
+        return [F.col(q.sortby).asc(), F.col("docid").asc()]
+    if q.sortmode == "attr_desc":
+        return [F.col(q.sortby).desc(), F.col("docid").asc()]
+    if q.sortmode == "time_segments":
+        return [
+            F.col("@timeseg").asc(),
+            F.col("weight").desc(),
+            F.col(q.sortby).desc(),
+            F.col("docid").asc(),
+        ]
+    raise ApiQueryError(f"unknown sorting mode {q.sortmode!r}")
+
+
+def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
+    """Ranked match relation joined with docinfo + virtual attrs."""
+    filters = list(q.filters or [])
+    if q.id_range:
+        lo, hi = q.id_range
+        filters.append(F.col("docid").between(F.lit(lo), F.lit(hi)))
+    for flt in extra_filters or []:
+        filters.append(flt)
+    if not q.query.strip():
+        # empty query = fullscan over docinfo, weight 1 per match
+        # (MatchFullScan, src/sphinx.cpp:14722)
+        ranked = idx.docinfo.withColumn("weight", F.lit(1).cast("int"))
+        for flt in filters:
+            ranked = ranked.where(flt)
+        meta = {"stats": {}}
+    else:
+        ranked, meta = idx._ranked(
+            q.query,
+            mode=q.mode,
+            ranker=q.ranker,
+            filters=filters,
+            score_mode=q.score_mode,
+            with_attrs=True,
+        )
+    attr_types = _attr_types(idx)
+    for alias, expr in q.select:
+        col, t = parse_expression(
+            expr, attr_types, now_epoch=q.now_epoch,
+            id64=idx.settings.wordid != "crc32",
+        )
+        ranked = ranked.withColumn(alias, col)
+        attr_types[alias.lower()] = t
+    if q.sortmode == "expr":
+        col, _t = parse_expression(
+            q.sortby, attr_types, now_epoch=q.now_epoch,
+            id64=idx.settings.wordid != "crc32",
+        )
+        ranked = ranked.withColumn("@expr", col.cast("float"))
+        attr_types["@expr"] = "float"
+    if q.sortmode == "time_segments":
+        ranked = ranked.withColumn(
+            "@timeseg", time_segment(F.col(q.sortby), q.now_epoch)
+        )
+    if q.cutoff:
+        # SetLimits cutoff: the match loop stops after N accepted
+        # matches; single-index processing order is docid asc
+        ranked = (
+            ranked.orderBy(F.col("docid").asc()).limit(q.cutoff)
+        )
+    return ranked, meta, attr_types
+
+
+def _collect_sorted(
+    matches: DataFrame,
+    q: ApiQuery,
+    attr_types: dict[str, str],
+    n_total: int,
+):
+    if q.groupattr:
+        mva = attr_types.get(q.groupattr.lower()) == "mva"
+        grouped = api_group_query(
+            matches,
+            q.groupattr,
+            q.groupfunc,
+            q.groupsort,
+            attr_types,
+            distinct_attr=q.groupdistinct,
+            mva=mva,
+            limit=q.max_matches,
+            max_matches=q.max_matches,
+        )
+        rows = grouped.collect()
+        total_found = n_total  # caller passes the group count
+        out = rows[q.offset : q.offset + q.limit]
+        return out, min(total_found, q.max_matches), total_found
+    out = matches.orderBy(*_sort_columns(q, attr_types))
+    if q.offset:
+        out = out.offset(q.offset)
+    rows = out.limit(min(q.limit, q.max_matches)).collect()
+    return rows, min(n_total, q.max_matches), n_total
+
+
+def api_query(
+    indexes: list[tuple[str, object, DataFrame | None]],
+    q: ApiQuery,
+) -> tuple[list, dict]:
+    """Run one API query over [(name, index, killlist_or_None)] in
+    config order.  Returns (rows, meta): meta has total, total_found,
+    words (the last index's stats — 0.9.9 searchd.cpp:4221 assigns,
+    not merges)."""
+    if not indexes:
+        raise ApiQueryError("no indexes")
+
+    per_index = []
+    words_acc: dict[str, list[int]] = {}
+    for i, (name, idx, _kill) in enumerate(indexes):
+        # later indexes' kill-lists filter this index's matches
+        # (searchd.cpp:4185-4196) — they affect total_found too
+        extra = []
+        for _n2, _i2, kill2 in indexes[i + 1 :]:
+            if kill2 is not None:
+                ids = (
+                    list(kill2)
+                    if isinstance(kill2, (list, tuple))
+                    else [
+                        r[0]
+                        for r in kill2.select(kill2.columns[0]).collect()
+                    ]
+                )
+                if ids:
+                    extra.append(~F.col("docid").isin(ids))
+        ranked, meta, attr_types = _ranked_with_attrs(idx, q, extra)
+        per_index.append((name, ranked, attr_types))
+        # per-word stats accumulate across local indexes: QueryEx gets
+        # the shared AggrResult (searchd.cpp:4288) and the index adds
+        # its counts in place (sphinx.cpp:14677 m_iDocs +=)
+        for w, (d, h) in meta["stats"].items():
+            acc = words_acc.setdefault(w, [0, 0])
+            acc[0] += d
+            acc[1] += h
+
+    meta_words = {
+        w: {"docs": d, "hits": h} for w, (d, h) in words_acc.items()
+    }
+
+    if len(per_index) == 1:
+        _name, ranked, attr_types = per_index[0]
+        ranked = ranked.cache()
+        try:
+            if q.groupattr:
+                mva = attr_types.get(q.groupattr.lower()) == "mva"
+                from sphinx_1_spark.plans.attrs import api_group_key
+
+                vals = (
+                    ranked.select(
+                        F.explode(F.col(q.groupattr)).alias("_gval")
+                    )
+                    if mva
+                    else ranked.select(F.col(q.groupattr).alias("_gval"))
+                )
+                n_total = (
+                    vals.select(
+                        api_group_key(F.col("_gval"), q.groupfunc).alias("k")
+                    )
+                    .distinct()
+                    .count()
+                )
+            else:
+                n_total = ranked.count()
+            rows, total, total_found = _collect_sorted(
+                ranked, q, attr_types, n_total
+            )
+        finally:
+            ranked.unpersist()
+        return rows, {
+            "total": total,
+            "total_found": total_found,
+            "words": meta_words,
+        }
+
+    # ---------------- multi-index merge ----------------
+    attr_types = per_index[0][2]
+    common = None
+    for _n, r, _t in per_index:
+        # MinimizeSchema intersects on the full column definition —
+        # name AND type (CSphColumnInfo operator==, sphinx.h:849); a
+        # same-named attr with a different type drops out
+        cols = {(f.name, f.dataType.simpleString()) for f in r.schema.fields}
+        common = cols if common is None else (common & cols)
+    base_cols = [
+        f.name
+        for f in per_index[0][1].schema.fields
+        if (f.name, f.dataType.simpleString()) in common
+    ]
+
+    tagged = None
+    counts = []
+    for tag, (name, r, _t) in enumerate(per_index):
+        cur = r.select(*base_cols).withColumn("_tag", F.lit(tag)).cache()
+        counts.append(cur.count())
+        tagged = cur if tagged is None else tagged.unionByName(cur)
+
+    if q.groupattr:
+        # group sorter handles dupes "automagically" (searchd.cpp:
+        # 3760-3767): per-key merge sums @count/@distinct across
+        # indexes (0.9.9 sums distinct counts, it does not re-unique)
+        mva = attr_types.get(q.groupattr.lower()) == "mva"
+        grouped = api_group_query(
+            tagged,
+            q.groupattr,
+            q.groupfunc,
+            q.groupsort,
+            attr_types,
+            distinct_attr=q.groupdistinct,
+            mva=mva,
+            limit=q.max_matches,
+            max_matches=q.max_matches,
+        )
+        # NOTE: api_group_query over the union already merges groups
+        # exactly; but 0.9.9 SUMS per-index @distinct instead of
+        # uniquing across indexes — recompute @distinct that way
+        if q.groupdistinct:
+            from sphinx_1_spark.plans.attrs import api_group_key
+
+            if mva:
+                keyed_src = tagged.withColumn(
+                    "_gval", F.explode(F.col(q.groupattr))
+                )
+            else:
+                keyed_src = tagged.withColumn(
+                    "_gval", F.col(q.groupattr)
+                )
+            per_tag = (
+                keyed_src.withColumn(
+                    "@groupby",
+                    api_group_key(F.col("_gval"), q.groupfunc),
+                )
+                .groupBy("@groupby", "_tag")
+                .agg(
+                    F.countDistinct(F.col(q.groupdistinct)).alias("_d")
+                )
+                .groupBy("@groupby")
+                .agg(F.sum("_d").cast("long").alias("_dist_sum"))
+            )
+            grouped = (
+                grouped.drop("@distinct")
+                .join(per_tag, "@groupby")
+                .withColumnRenamed("_dist_sum", "@distinct")
+            )
+            keys = parse_sort_clause(
+                q.groupsort, set(attr_types) | set(base_cols)
+            )
+            grouped = grouped.orderBy(
+                *sort_clause_columns(keys, attr_types)
+            )
+        rows = grouped.collect()
+        n_groups = len(rows)
+        rows = rows[q.offset : q.offset + q.limit]
+        return rows, {
+            "total": min(n_groups, q.max_matches),
+            "total_found": n_groups,
+            "words": meta_words,
+        }
+
+    # plain sorter: dedupe by (docid, first tag) or weighted-rank sum
+    from pyspark.sql import Window
+
+    if q.index_weights:
+        wmap = {
+            name: q.index_weights.get(name, 1)
+            for name, _r, _t in per_index
+        }
+        warr = F.array(
+            *[F.lit(wmap[name]) for name, _r, _t in per_index]
+        )
+        weighted = tagged.withColumn(
+            "weight", F.col("weight") * F.element_at(warr, F.col("_tag") + 1)
+        )
+        # weighted-rank sum across dupes (searchd.cpp:3775-3800); the
+        # surviving row (attrs, tag) is the dupes-sweep winner
+        wdoc = Window.partitionBy("docid")
+        merged = (
+            weighted.withColumn(
+                "_sumw", F.sum("weight").over(wdoc).cast("int")
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(wdoc.orderBy(F.col("_tag").desc())),
+            )
+            .where(F.col("_rn") == 1)
+            .withColumn("weight", F.col("_sumw"))
+            .drop("_rn", "_sumw")
+        )
+        n_dupes = sum(counts) - merged.count()
+    else:
+        # dupes sweep comparator (docid asc, tag desc): the LAST
+        # listed index's copy survives (searchd.cpp:2515,3803)
+        w = Window.partitionBy("docid").orderBy(F.col("_tag").desc())
+        merged = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        n_dupes = sum(counts) - merged.count()
+
+    total_found = sum(counts) - n_dupes
+    out = merged.orderBy(*_sort_columns(q, attr_types))
+    if q.offset:
+        out = out.offset(q.offset)
+    rows = out.limit(min(q.limit, q.max_matches)).collect()
+    return rows, {
+        "total": min(total_found, q.max_matches),
+        "total_found": total_found,
+        "words": meta_words,
+    }

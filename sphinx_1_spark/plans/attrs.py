@@ -23,6 +23,8 @@ reference's 4x-buffered approximate k-buffer group sorter
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -118,6 +120,198 @@ def group_query(
     if order_by:
         grouped = grouped.orderBy(*order_by)
     return grouped.limit(limit)
+
+
+# ----------------------------------------------------------------------
+# SphinxAPI sort/group layer: SetSortMode / SetGroupBy semantics
+# ----------------------------------------------------------------------
+
+# sphinxcustomsort.inl: the compiled-in "@custom" ranking formula
+# weight + group_id*0.3 - log ( NOW() - date_added ), descending
+_CUSTOM_SORT_ATTRS = ("group_id", "date_added")
+
+
+class SortClauseError(ValueError):
+    pass
+
+
+def parse_sort_clause(
+    clause: str, attr_names: set[str]
+) -> str | list[tuple[str, bool]]:
+    """sphParseSortClause (src/sphinxsort.cpp:1496-1600).
+
+    Returns 'random' / 'custom' for the two specials, else a list of
+    (key, desc) pairs where key is '@weight', '@id', '@groupby',
+    '@count', '@distinct' or an attribute name.  A single-key clause
+    gets the implicit trailing ('@id', False) — id ASC (:1590).  The
+    mini-tokenizer folds to [0-9a-z_@] (:1505), so punctuation splits
+    tokens and order words are case-insensitive."""
+    toks = re.findall(r"[0-9a-z_@]+", clause.lower())
+    keys: list[tuple[str, bool]] = []
+    expect_field = True
+    for i, tok in enumerate(toks):
+        if i == 0 and tok == "@random":
+            return "random"
+        if i == 0 and tok == "@custom":
+            # order token after @custom is never parsed (:1525-1528)
+            return "custom"
+        if expect_field:
+            if len(keys) == 5:
+                raise SortClauseError(
+                    "too much sort-by fields; maximum count is 5"
+                )
+            if tok in ("@relevance", "@rank", "@weight"):
+                keys.append(("@weight", False))
+            elif tok == "@id":
+                keys.append(("@id", False))
+            else:
+                if tok == "@group":
+                    tok = "@groupby"
+                if tok not in attr_names and tok not in (
+                    "@groupby", "@count", "@distinct",
+                ):
+                    raise SortClauseError(
+                        f"sort-by attribute '{tok}' not found"
+                    )
+                keys.append((tok, False))
+        else:
+            if tok not in ("asc", "desc"):
+                raise SortClauseError(f"invalid sorting order '{tok}'")
+            if tok == "desc":
+                keys[-1] = (keys[-1][0], True)
+        expect_field = not expect_field
+    if not keys:
+        raise SortClauseError("no sort order defined")
+    if len(keys) == 1:
+        keys.append(("@id", False))
+    return keys
+
+
+def sort_clause_columns(
+    keys: list[tuple[str, bool]],
+    attr_types: dict[str, str] | None = None,
+    docid_col: str = "docid",
+    weight_col: str = "weight",
+) -> list[Column]:
+    """Comparator columns for a parsed extended-sort clause
+    (SPH_TEST_KEYPART, src/sphinxsort.cpp:1290-1302): weight and ints
+    compare natively, float attrs as float32."""
+    attr_types = attr_types or {}
+    out = []
+    for key, desc in keys:
+        if key == "@weight":
+            c = F.col(weight_col)
+        elif key == "@id":
+            c = F.col(docid_col)
+        else:
+            c = F.col(key)
+            if attr_types.get(key) == "float":
+                c = c.cast("float")
+        out.append(c.desc() if desc else c.asc())
+    return out
+
+
+def custom_sort_column(now_epoch: int) -> Column:
+    """The "@custom" comparator value (sphinxcustomsort.inl):
+    weight + group_id*0.3 - log(NOW() - date_added), float32 chain,
+    descending, NO docid tiebreak (heap order on exact ties)."""
+    w = F.col("weight").cast("float").cast("double")
+    g = F.col("group_id").cast("float").cast("double")
+    d = F.col("date_added").cast("float").cast("double")
+    val = (
+        (w + (g * F.lit(0.3).cast("float").cast("double")).cast("float"))
+        .cast("float")
+        .cast("double")
+        - F.log(F.lit(float(now_epoch)) - d)
+    )
+    return val.cast("float")
+
+
+def api_group_key(col: Column, func: str = "attr") -> Column:
+    """SetGroupBy key in the reference's INTEGER forms
+    (CSphGrouperDay/Week/Month/Year, src/sphinxsort.cpp:239-267):
+    day=YYYYMMDD, month=YYYYMM, year=YYYY, week=YYYY*1000 + day-of-
+    year of the preceding Sunday (base 1, year-boundary rollback with
+    the leap adjustment).  The reference uses server localtime; the
+    session timezone (pinned UTC) stands in deterministically."""
+    if func == "attr":
+        return col.cast("long")
+    ts = F.to_timestamp(col.cast("long"))
+    year = F.year(ts)
+    if func == "day":
+        return (year * 10000 + F.month(ts) * 100 + F.dayofmonth(ts)).cast("long")
+    if func == "month":
+        return (year * 100 + F.month(ts)).cast("long")
+    if func == "year":
+        return year.cast("long")
+    if func == "week":
+        # prev Sunday day-of-year, base 1; tm_wday: Sunday=0
+        prev_sunday = F.dayofyear(ts) - (F.dayofweek(ts) - 1)
+        prev_year = year - 1
+        leap = (prev_year % 4 == 0) & (
+            (prev_year % 100 != 0) | (prev_year % 400 == 0)
+        )
+        rolled = prev_sunday + F.when(leap, 366).otherwise(365)
+        return (
+            F.when(prev_sunday <= 0, prev_year * 1000 + rolled)
+            .otherwise(year * 1000 + prev_sunday)
+            .cast("long")
+        )
+    raise ValueError(f"unknown group func {func!r}")
+
+
+def api_group_query(
+    matches: DataFrame,
+    group_attr: str,
+    group_func: str = "attr",
+    groupsort: str = "@group desc",
+    attr_types: dict[str, str] | None = None,
+    distinct_attr: str | None = None,
+    mva: bool = False,
+    docid_col: str = "docid",
+    limit: int = 20,
+    max_matches: int = 1000,
+) -> DataFrame:
+    """SetGroupBy over a ranked match relation (CSphKBufferGroupSorter,
+    src/sphinxsort.cpp:717-1086, exact-grouping upgrade): one output
+    row per group — the best match by the inner relevance comparator
+    (weight desc, docid asc) — carrying @groupby (integer key),
+    @count, optionally @distinct (CSphUniqounter COUNT(DISTINCT)),
+    ordered by the groupsort clause.  MVA grouping explodes the value
+    list so a doc lands in every value's group (:1141)."""
+    attr_types = attr_types or {}
+    if mva:
+        keyed = matches.withColumn("_gval", F.explode(F.col(group_attr)))
+        keyed = keyed.withColumn(
+            "@groupby", api_group_key(F.col("_gval"), group_func)
+        ).drop("_gval")
+    else:
+        keyed = matches.withColumn(
+            "@groupby", api_group_key(F.col(group_attr), group_func)
+        )
+    w = Window.partitionBy("@groupby").orderBy(
+        F.col("weight").desc(), F.col(docid_col).asc()
+    )
+    best = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    aggs = [F.count(F.lit(1)).alias("@count")]
+    if distinct_attr:
+        aggs.append(F.countDistinct(F.col(distinct_attr)).alias("@distinct"))
+    counts = keyed.groupBy("@groupby").agg(*aggs)
+    out = best.join(counts, "@groupby")
+    keys = parse_sort_clause(
+        groupsort,
+        set(attr_types) | {c for c in matches.columns},
+    )
+    if isinstance(keys, str):
+        raise SortClauseError(f"groups can not be sorted by @{keys}")
+    out = out.orderBy(
+        *sort_clause_columns(keys, attr_types, docid_col=docid_col)
+    )
+    return out.limit(min(limit, max_matches))
 
 
 def update_attributes(

@@ -58,9 +58,11 @@ def minimize_results(
     their common attribute schema (intersection by column name, in
     the first set's order), tagged with the index ordinal, unioned,
     deduplicated per docid (the reference sorts merged matches by
-    (docid, tag) and keeps only the first copy — searchd.cpp:3755
-    dupes sweep), and re-sorted through a fresh queue (weight desc,
-    docid asc — sphinxsort.cpp:1159 comparator)."""
+    (docid asc, tag DESC) — searchd.cpp:2515 comparator — and keeps
+    the first copy, i.e. the HIGHEST tag / last-listed index wins,
+    which is what makes `main, delta` serve fresh delta rows), and
+    re-sorted through a fresh queue (weight desc, docid asc —
+    sphinxsort.cpp:1159 comparator)."""
     from pyspark.sql import Window
 
     if not results:
@@ -76,9 +78,9 @@ def minimize_results(
     for tag, r in enumerate(results):
         cur = r.select(*common).withColumn("tag", F.lit(tag))
         out = cur if out is None else out.unionByName(cur)
-    # first copy per docid wins (lowest tag); shuffle keyed on docid —
-    # no skew (docids are unique per index), scales as a plain hash agg
-    w = Window.partitionBy(docid_col).orderBy(F.col("tag").asc())
+    # last-listed copy per docid wins (highest tag); shuffle keyed on
+    # docid — no skew (docids unique per index), a plain hash agg
+    w = Window.partitionBy(docid_col).orderBy(F.col("tag").desc())
     out = (
         out.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

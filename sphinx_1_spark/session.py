@@ -41,7 +41,11 @@ def get_spark(
     # in for here.
     if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # runtime-settable confs, applied even when an earlier caller
+    # already created the session
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return spark
 
 
 def apply_engine_conf(builder, shuffle_partitions: int | None = None):
@@ -54,6 +58,11 @@ def apply_engine_conf(builder, shuffle_partitions: int | None = None):
         )
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
+        # C-engine arithmetic semantics: int32/int64 overflow wraps
+        # silently (the reference's expression engine is plain C
+        # arithmetic, sphinxexpr.cpp Expr_Add_c etc.), instead of
+        # Spark 4's ANSI exception
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

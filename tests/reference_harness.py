@@ -47,10 +47,14 @@ class RefQuery:
     groupattr: str | None = None
     groupfunc: str | None = None
     groupsort: str = "@group desc"
+    groupdistinct: str | None = None
     index: str | None = None
     expect_error: bool = False
     cutoff: int | None = None
     id_range: tuple[int, int] | None = None
+    select: str | None = None
+    index_weights: dict[str, int] | None = None
+    roundoff: int = 0
 
 
 @dataclass
@@ -190,23 +194,44 @@ def load_test(
     if qs is not None:
         for q in qs.findall("query"):
             a = q.attrib
+
+            def _php_truthy(key):
+                # ubertest reads attrs with @$qinfo[...] — "0" and ""
+                # are falsy in PHP, so a literal 0 means "not set"
+                v = a.get(key)
+                return v if v and v != "0" else None
+
+            iw = None
+            if a.get("index_weights"):
+                iw = {
+                    m.group(1): int(m.group(2))
+                    for m in re.finditer(
+                        r"(\S+):(\d+)", a["index_weights"]
+                    )
+                }
             queries.append(
                 RefQuery(
                     query=q.text or "",
                     mode=a.get("mode") or "all",
                     ranker=a.get("ranker") or None,
                     filter=a.get("filter") or None,
-                    filter_value=int(a["filter_value"]) if a.get("filter_value") else None,
+                    filter_value=(
+                        int(v) if (v := _php_truthy("filter_value")) else None
+                    ),
                     filter_range=_parse_range(a.get("filter_range")),
                     sortmode=a.get("sortmode") or None,
                     sortby=a.get("sortby") or None,
                     groupattr=a.get("groupattr") or None,
                     groupfunc=a.get("groupfunc") or None,
                     groupsort=a.get("groupsort") or "@group desc",
+                    groupdistinct=a.get("groupdistinct") or None,
                     index=a.get("index") or None,
                     expect_error=bool(a.get("expect_error")),
-                    cutoff=int(a["cutoff"]) if a.get("cutoff") else None,
+                    cutoff=int(v) if (v := _php_truthy("cutoff")) else None,
                     id_range=_parse_range(a.get("id_range")),
+                    select=a.get("select") or None,
+                    index_weights=iw,
+                    roundoff=int(a.get("roundoff") or 0),
                 )
             )
     else:
@@ -290,7 +315,14 @@ def parse_config(text: str) -> list[tuple[str, str, str | None, dict]]:
 # SQL fixture parsing
 # ----------------------------------------------------------------------
 
-def parse_create(sql: str) -> tuple[str, list[str]]:
+@dataclass
+class ColDef:
+    name: str
+    autoinc: bool = False
+    default: object = None
+
+
+def parse_create(sql: str) -> tuple[str, list[ColDef]]:
     m = re.search(r"CREATE\s+TABLE\s+`?(\w+)`?\s*\((.*)\)", sql, re.S | re.I)
     body = m.group(2)
     parts, depth, cur = [], 0, ""
@@ -312,7 +344,19 @@ def parse_create(sql: str) -> tuple[str, list[str]]:
         if not p or re.match(r"(PRIMARY|UNIQUE|KEY|INDEX|CONSTRAINT)\b", p, re.I):
             continue
         mm = re.match(r"`?(\w+)`?", p)
-        cols.append(mm.group(1))
+        default = None
+        md = re.search(r"default\s+(?:'((?:[^'\\]|\\.)*)'|(-?\d+))", p, re.I)
+        if md:
+            default = (
+                md.group(1) if md.group(1) is not None else int(md.group(2))
+            )
+        cols.append(
+            ColDef(
+                mm.group(1),
+                autoinc=bool(re.search(r"auto_increment", p, re.I)),
+                default=default,
+            )
+        )
     return m.group(1), cols
 
 
@@ -415,23 +459,97 @@ def parse_insert_values(sql: str) -> tuple[str, list[str] | None, list[list]]:
     return table, cols, rows
 
 
+def _eval_insert_select(
+    sql: str, out: dict[str, tuple[list[str], list[list]]]
+) -> tuple[str, list[list]] | None:
+    """INSERT INTO t SELECT items FROM src [WHERE..]: evaluate over the
+    CURRENT rows of src (statement-start snapshot, like MySQL)."""
+    m = re.match(
+        r"\s*INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\s+.*\bFROM\b.*)$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        return None
+    table, sel = m.group(1), m.group(2)
+    ms = re.match(
+        r"SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s*;?\s*$", sel, re.I | re.S
+    )
+    src_cols, src_rows = out[ms.group(2)]
+    idx_of = {c: i for i, c in enumerate(src_cols)}
+    fns = []
+    for part in re.split(r",(?![^(]*\))", ms.group(1)):
+        part = part.strip()
+        if re.fullmatch(r"`?\w+`?", part):
+            fns.append((lambda i: lambda r: r[i])(idx_of[part.strip("`")]))
+        elif (m2 := re.fullmatch(r"`?(\w+)`?\s*([*+-])\s*(\d+)", part)):
+            i, op, k = idx_of[m2.group(1)], m2.group(2), int(m2.group(3))
+            fn = {
+                "*": lambda a, b: a * b,
+                "+": lambda a, b: a + b,
+                "-": lambda a, b: a - b,
+            }[op]
+            fns.append((lambda i, k, fn: lambda r: fn(r[i], k))(i, k, fn))
+        else:
+            raise ValueError(f"unsupported INSERT-SELECT item {part!r}")
+    return table, [[fn(r) for fn in fns] for r in list(src_rows)]
+
+
 def fixture_tables(test: RefTest) -> dict[str, tuple[list[str], list[list]]]:
-    """{table: (cols, rows)} with INSERT col lists resolved."""
-    tables: dict[str, list[str]] = {}
+    """{table: (cols, rows)}: INSERT col lists resolved, missing
+    columns filled from auto_increment counters / DEFAULTs, and
+    INSERT..SELECT statements evaluated in order."""
+    tables: dict[str, list[ColDef]] = {}
     for c in test.creates:
         for stmt in re.split(r";\s*(?=CREATE)", c, flags=re.I):
             if re.search(r"CREATE\s+TABLE", stmt, re.I):
                 t, cols = parse_create(stmt)
                 tables[t] = cols
-    out: dict[str, tuple[list[str], list[list]]] = {}
+    out: dict[str, tuple[list[str], list[list]]] = {
+        t: ([c.name for c in cols], []) for t, cols in tables.items()
+    }
+    counters: dict[str, int] = {t: 0 for t in tables}
+
+    def add_rows(t, cols, rows):
+        defs = tables.get(t)
+        full = out.setdefault(t, (cols or [], []))
+        if defs is None or cols is None or cols == full[0]:
+            full[1].extend(rows)
+            return
+        # explicit column subset: fill the rest
+        pos = {c: i for i, c in enumerate(cols)}
+        for r in rows:
+            fr = []
+            for cd in defs:
+                if cd.name in pos:
+                    fr.append(r[pos[cd.name]])
+                elif cd.autoinc:
+                    counters[t] += 1
+                    fr.append(counters[t])
+                else:
+                    fr.append(cd.default)
+            full[1].append(fr)
+
     for ins in test.inserts:
-        t, cols, rows = parse_insert_values(ins)
-        cols = cols or tables[t]
-        if t in out:
-            assert out[t][0] == cols
-            out[t][1].extend(rows)
-        else:
-            out[t] = (cols, list(rows))
+        for stmt in re.split(r";\s*(?=INSERT)", ins, flags=re.I):
+            if not stmt.strip():
+                continue
+            evaluated = _eval_insert_select(stmt, out)
+            if evaluated is not None:
+                t, rows = evaluated
+                add_rows(t, out[t][0][: len(rows[0])] if rows else None, rows)
+                continue
+            t, cols, rows = parse_insert_values(stmt)
+            # track the autoinc counter for full-width inserts too
+            defs = tables.get(t)
+            if defs is not None and (cols is None or cols == out[t][0]):
+                for i, cd in enumerate(defs):
+                    if cd.autoinc and rows:
+                        counters[t] = max(
+                            counters[t],
+                            max(int(r[i]) for r in rows if r[i] is not None),
+                        )
+            add_rows(t, cols, rows)
     return out
 
 
@@ -443,6 +561,116 @@ ATTR_KEYS = (
     "sql_attr_uint", "sql_attr_bigint", "sql_attr_float",
     "sql_attr_timestamp", "sql_attr_bool", "sql_attr_str2ordinal",
 )
+
+
+def _parse_ts(v):
+    """MySQL UNIX_TIMESTAMP('YYYY-MM-DD[ hh:mm:ss]') pinned to UTC."""
+    import calendar
+    import time as _t
+
+    if isinstance(v, int):
+        return v
+    s = str(v)
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+    return calendar.timegm(_t.strptime(s, fmt))
+
+
+def fixture_select(
+    test: RefTest, sql_query: str
+) -> tuple[list[str], list[list]]:
+    """Evaluate one source sql_query against the fixture tables.
+
+    Covers the suite's shapes: SELECT list items `col`, `*`,
+    `col*N AS alias`, `UNIX_TIMESTAMP(col) AS alias`, and WHERE
+    clauses `col IN (nums)` / `col = num` / `col = 'str'`."""
+    tabs = fixture_tables(test)
+    m = re.match(
+        r"SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+        sql_query.strip(),
+        re.I | re.S,
+    )
+    if not m:
+        t = next(iter(tabs))
+        return tabs[t]
+    sel, table, where = m.group(1).strip(), m.group(2), m.group(3)
+    cols, rows = tabs[table]
+    idx_of = {c: i for i, c in enumerate(cols)}
+
+    # --- WHERE -------------------------------------------------------
+    def row_pred(row):
+        if not where:
+            return True
+        w = where.strip()
+        mm = re.match(r"`?(\w+)`?\s+in\s*\(([^)]*)\)\s*$", w, re.I)
+        if mm:
+            vals = {int(x) for x in mm.group(2).split(",")}
+            return row[idx_of[mm.group(1)]] in vals
+        mm = re.match(r"`?(\w+)`?\s*=\s*(-?\d+)\s*$", w)
+        if mm:
+            return row[idx_of[mm.group(1)]] == int(mm.group(2))
+        mm = re.match(r"`?(\w+)`?\s*=\s*'((?:[^'\\]|\\.)*)'\s*$", w)
+        if mm:
+            return str(row[idx_of[mm.group(1)]]) == mm.group(2)
+        raise ValueError(f"unsupported WHERE clause: {where!r}")
+
+    # --- SELECT list -------------------------------------------------
+    items: list[tuple[str, object]] = []  # (name, fn(row))
+    for part in re.split(r",(?![^(]*\))", sel):
+        part = part.strip()
+        if part == "*":
+            for c in cols:
+                items.append((c, (lambda i: lambda r: r[i])(idx_of[c])))
+            continue
+        mm = re.match(
+            r"(.+?)\s+(?:AS\s+)?`?(\w+)`?\s*$", part, re.I
+        ) if re.search(r"\s+AS\s+|\(", part, re.I) or " " in part else None
+        expr, name = (mm.group(1), mm.group(2)) if mm else (part, part)
+        expr = expr.strip()
+        if (m2 := re.fullmatch(r"'((?:[^'\\]|\\.)*)'", expr)):
+            # string literal: MySQL names the column after the literal
+            lit = m2.group(1)
+            items.append((lit if name == expr else name,
+                          (lambda v: lambda r: v)(lit)))
+        elif re.fullmatch(r"`?\w+`?", expr):
+            c = expr.strip("`")
+            items.append((name, (lambda i: lambda r: r[i])(idx_of[c])))
+        elif (m2 := re.fullmatch(r"`?(\w+)`?\s*([*+-])\s*(\d+)", expr)):
+            i, op, k = idx_of[m2.group(1)], m2.group(2), int(m2.group(3))
+            fn = {
+                "*": lambda a, b: a * b,
+                "+": lambda a, b: a + b,
+                "-": lambda a, b: a - b,
+            }[op]
+            items.append(
+                (name, (lambda i, k, fn: lambda r: fn(r[i], k))(i, k, fn))
+            )
+        elif (m2 := re.fullmatch(
+            r"UNIX_TIMESTAMP\(\s*`?(\w+)`?\s*\)", expr, re.I
+        )):
+            i = idx_of[m2.group(1)]
+            items.append((name, (lambda i: lambda r: _parse_ts(r[i]))(i)))
+        else:
+            raise ValueError(f"unsupported select item: {part!r}")
+    out_cols = [n for n, _ in items]
+    out_rows = [
+        [fn(r) for _, fn in items] for r in rows if row_pred(r)
+    ]
+    return out_cols, out_rows
+
+
+def parse_mva_specs(src: dict) -> list[tuple[str, str, str]]:
+    """sql_attr_multi entries -> [(name, 'field'|'query', query_sql)]
+    (CSphSourceParams_SQL m_dAttrMulti; src/sphinx.cpp:18650-18700)."""
+    out = []
+    for v in src.get("sql_attr_multi", []):
+        m = re.match(
+            r"\s*uint\s+(\w+)\s+from\s+(field|query)\s*;?\s*(.*)$",
+            v,
+            re.I | re.S,
+        )
+        if m:
+            out.append((m.group(1), m.group(2).lower(), m.group(3).strip()))
+    return out
 
 
 def _read_aux_file(test: RefTest, name: str) -> str | None:
@@ -471,23 +699,20 @@ def make_index_settings(test: RefTest, index_name: str | None = None):
 
     # --- columns ----------------------------------------------------
     sql_query = (src.get("sql_query", [""])[0]) or "SELECT *"
-    tabs = fixture_tables(test)
-    mm = re.match(r"SELECT\s+(.*?)\s+FROM\s+(\w+)", sql_query, re.I | re.S)
-    table = mm.group(2) if mm else next(iter(tabs))
-    sel = mm.group(1).strip() if mm else "*"
-    all_cols = tabs[table][0]
-    if sel == "*":
-        cols = list(all_cols)
-    else:
-        cols = [re.sub(r".*\s+AS\s+`?(\w+)`?$", r"\1", c.strip(), flags=re.I)
-                for c in sel.split(",")]
-        cols = [re.sub(r"`", "", c).strip() for c in cols]
+    cols, _rows = fixture_select(test, sql_query)
     attrs = []
     for ak in ATTR_KEYS:
         for v in src.get(ak, []):
-            attrs.append(v.strip())
+            # bitfield spec 'name:bits' (sql_attr_uint = tag2:8,
+            # src/sphinx.cpp:18600) — storage detail, name only
+            attrs.append(v.strip().split(":")[0].strip())
+    mva_specs = parse_mva_specs(src)
+    for name, kind, _q in mva_specs:
+        attrs.append(name)
     docid = cols[0]
     fields = tuple(c for c in cols[1:] if c not in attrs)
+    # from-query MVAs are attr-only columns added at build time
+    table = None
 
     # --- tokenizer --------------------------------------------------
     tk: dict = {}
@@ -560,6 +785,105 @@ def make_index_settings(test: RefTest, index_name: str | None = None):
     return settings, table, name
 
 
+def index_rows(test: RefTest, src: dict) -> tuple[list[str], list[list]]:
+    """(cols, rows) for one source section: sql_query + MVA attrs
+    resolved (from-field strings split to int lists, from-query
+    side-tables grouped per docid), bitfield attrs masked to their
+    declared width (sql_attr_uint = name:bits keeps the low bits,
+    src/sphinx.cpp docinfo bit packing)."""
+    sql_query = (src.get("sql_query", [""])[0]) or "SELECT *"
+    cols, rows = fixture_select(test, sql_query)
+    # indexer-side docid handling: DOCID_MAX (UINT64_MAX) is the
+    # reserved sentinel and its rows never make the index
+    # (src/sphinx.cpp DOCINFO_IDSIZE sentinels); duplicate docids keep
+    # the first copy (docinfo sort dupe sweep).  Docids beyond 2^63-1
+    # exceed Spark LongType — documented deviation (test_47 boundary
+    # rows only).
+    seen: set[int] = set()
+    kept = []
+    for r in rows:
+        did = int(r[0])
+        if did >= 2**63 or did in seen:
+            continue
+        seen.add(did)
+        kept.append(r)
+    rows = kept
+    for v in src.get("sql_attr_uint", []):
+        m = re.match(r"\s*(\w+)\s*:\s*(\d+)", v)
+        if m and m.group(1) in cols:
+            i, mask = cols.index(m.group(1)), (1 << int(m.group(2))) - 1
+            for r in rows:
+                r[i] = int(r[i]) & mask
+    for name, kind, qsql in parse_mva_specs(src):
+        if kind == "field":
+            i = cols.index(name)
+            for r in rows:
+                r[i] = [
+                    int(x) for x in re.split(r"[,\s]+", str(r[i])) if x
+                ]
+        else:
+            qcols, qrows = fixture_select(test, qsql)
+            by_doc: dict[int, list[int]] = {}
+            for qr in qrows:
+                by_doc.setdefault(int(qr[0]), []).append(int(qr[1]))
+            cols = cols + [name]
+            for r in rows:
+                r.append(by_doc.get(int(r[0]), []))
+    return cols, rows
+
+
+def parse_killlist(test: RefTest, src: dict) -> list[int]:
+    """sql_query_killlist -> docid list (literal SELECT n UNION ...
+    or a fixture-table select)."""
+    q = src.get("sql_query_killlist", [None])[0]
+    if not q:
+        return []
+    if re.search(r"\bFROM\b", q, re.I):
+        _c, rows = fixture_select(test, q)
+        return [int(r[0]) for r in rows]
+    return [
+        int(m.group(1))
+        for m in re.finditer(r"SELECT\s+(-?\d+)", q, re.I)
+    ]
+
+
+def build_indexes(spark, test: RefTest):
+    """[(name, SphinxIndex, killlist_ids)] for every non-distributed
+    index section, in config order (searchd's local index iteration
+    order)."""
+    from sphinx_1_spark.plans.engine import SphinxIndex
+
+    src_secs = {n: v for k, n, _, v in test.sections if k == "source"}
+    out = []
+    for kind, name, _parent, icfg in test.sections:
+        if kind != "index" or icfg.get("type", [""])[0] == "distributed":
+            continue
+        settings, _table, _name = make_index_settings(test, name)
+        src = src_secs.get(icfg.get("source", [""])[0], {})
+        cols, rows = index_rows(test, src)
+        if rows:
+            df = spark.createDataFrame(
+                [tuple(r) for r in rows], schema=cols
+            )
+        else:
+            # WHERE matched nothing: infer the schema from the
+            # unfiltered select, then truncate
+            src2 = dict(src)
+            src2["sql_query"] = [
+                re.sub(
+                    r"\s+WHERE\s.*$", "", src.get("sql_query", [""])[0],
+                    flags=re.I | re.S,
+                )
+            ]
+            cols, rows = index_rows(test, src2)
+            df = spark.createDataFrame(
+                [tuple(r) for r in rows], schema=cols
+            ).limit(0)
+        idx = SphinxIndex.build(df, settings, persist=True)
+        out.append((name, idx, parse_killlist(test, src)))
+    return out
+
+
 # ----------------------------------------------------------------------
 # runner + compare
 # ----------------------------------------------------------------------
@@ -570,18 +894,46 @@ MODE_MAP = {
 }
 
 
-def build_index(spark, test: RefTest, index_name: str | None = None):
-    from sphinx_1_spark.plans.engine import SphinxIndex
-
-    settings, table, _ = make_index_settings(test, index_name)
-    cols, rows = fixture_tables(test)[table]
-    df = spark.createDataFrame([tuple(r) for r in rows], schema=cols)
-    return SphinxIndex.build(df, settings, persist=True)
+# model.bin timestamps depend on the generation-time NOW(); a fixed
+# plausible epoch keeps @custom / NOW() deterministic for replay
+NOW_EPOCH = 1_300_000_000
 
 
-def run_query(idx, q: RefQuery):
-    """-> result dict shaped like a model.bin entry (or {'error': ...})."""
+def _parse_select(select: str | None) -> list[tuple[str, str]]:
+    """SetSelect subset: 'expr AS alias, *' -> [(alias, expr)]."""
+    out = []
+    for part in re.split(r",(?![^(]*\))", select or ""):
+        part = part.strip()
+        if not part or part == "*":
+            continue
+        m = re.match(r"(.+?)\s+AS\s+`?(\w+)`?\s*$", part, re.I)
+        if m:
+            out.append((m.group(2), m.group(1).strip()))
+        else:
+            out.append((part, part))
+    return out
+
+
+def run_query(indexes, q: RefQuery):
+    """-> result dict shaped like a model.bin entry (or {'error':...}).
+
+    indexes: [(name, SphinxIndex, killlist_ids)] in config order;
+    q.index picks a subset ('*' / absent = all, matching ubertest's
+    RunQuery('*') default)."""
     from pyspark.sql import functions as F
+
+    from sphinx_1_spark.plans.api import ApiQuery, api_query
+
+    by_name = {n: (n, idx, kill) for n, idx, kill in indexes}
+    if q.index:
+        try:
+            chosen = [
+                by_name[n] for n in re.split(r"[\s,]+", q.index.strip())
+            ]
+        except KeyError as e:
+            return {"error": f"unknown local index '{e.args[0]}'"}
+    else:
+        chosen = list(indexes)
 
     mode = MODE_MAP[q.mode]
     filters = []
@@ -589,31 +941,58 @@ def run_query(idx, q: RefQuery):
         filters.append(F.col(q.filter) == q.filter_value)
     if q.filter and q.filter_range:
         filters.append(F.col(q.filter).between(*q.filter_range))
-    if q.id_range:
-        filters.append(F.col("docid").between(*q.id_range))
+    # model.bin goldens were scored with upstream-0.9.9's LINEAR
+    # proximity_bm25 (see make_lcs_rank docstring)
+    ranker = q.ranker
+    if ranker is None and mode == "extended2":
+        ranker = "proximity_bm25_linear"
+    aq = ApiQuery(
+        query=q.query,
+        mode=mode,
+        ranker=ranker,
+        sortmode={"extended": "extended", "expr": "expr"}.get(
+            q.sortmode or "", "relevance"
+        ),
+        sortby=q.sortby or "",
+        groupattr=q.groupattr,
+        # SPH_GROUPBY_DAY is enum 0 = the PHP-falsy default
+        # (ubertest helpers.inc:450-466)
+        groupfunc=q.groupfunc or "day",
+        groupsort=q.groupsort,
+        groupdistinct=q.groupdistinct,
+        filters=filters or None,
+        # uint64 range bounds clamp to LongType (documented deviation)
+        id_range=(
+            tuple(min(v, 2**63 - 1) for v in q.id_range)
+            if q.id_range
+            else None
+        ),
+        cutoff=q.cutoff or 0,
+        limit=20,
+        # the PHP client never raises its default max_matches=1000
+        # (sphinxapi.php SetLimits only honours $max>0); the config's
+        # 100000 is just the server-side cap
+        max_matches=1000,
+        index_weights=q.index_weights,
+        select=_parse_select(q.select),
+        now_epoch=NOW_EPOCH,
+        score_mode="exact32",
+    )
     try:
-        # model.bin goldens were scored with upstream-0.9.9's LINEAR
-        # proximity_bm25 (see make_lcs_rank docstring)
-        ranker = q.ranker
-        if ranker is None and mode == "extended2":
-            ranker = "proximity_bm25_linear"
-        rows, meta = idx.search_with_meta(
-            q.query,
-            mode=mode,
-            ranker=ranker,
-            limit=20,
-            # ubertest.php runs searchd with max_matches=100000
-            max_matches=100000,
-            score_mode="exact32",
-            filters=filters or None,
-            with_attrs=bool(idx.settings.attrs),
+        rows, meta = api_query(
+            [(n, idx, kill or None) for n, idx, kill in chosen], aq
         )
     except Exception as e:  # parse errors etc.
         return {"error": str(e) or e.__class__.__name__}
     matches = []
     for r in rows:
-        attrs = {a: r[a] for a in idx.settings.attrs}
-        matches.append((int(r["docid"]), int(r["weight"]), attrs))
+        d = r.asDict()
+        attrs = {
+            k: v
+            for k, v in d.items()
+            if k not in ("docid", "weight", "_tag")
+        }
+        matches.append((int(d["docid"]), int(d["weight"]), attrs))
     return {
         "error": "",
         "matches": matches,
@@ -621,6 +1000,24 @@ def run_query(idx, q: RefQuery):
         "total_found": meta["total_found"],
         "words": meta["words"],
     }
+
+
+def _attr_eq(got, want) -> bool:
+    """Model attr values arrive as PHP strings/floats; float32 round
+    trips and ubertest roundoff make exact string compare too strict."""
+    if isinstance(want, (list, tuple)) or isinstance(got, (list, tuple)):
+        gl = list(got) if isinstance(got, (list, tuple)) else [got]
+        wl = list(want) if isinstance(want, (list, tuple)) else [want]
+        return len(gl) == len(wl) and all(
+            _attr_eq(g, w) for g, w in zip(gl, wl)
+        )
+    try:
+        fg, fw = float(got), float(want)
+    except (TypeError, ValueError):
+        return str(got) == str(want)
+    if fg == fw:
+        return True
+    return abs(fg - fw) <= max(1e-6, 2e-6 * abs(fw))
 
 
 def compare_result(got: dict, want: dict, check_attrs: bool = True) -> list[str]:
@@ -635,8 +1032,22 @@ def compare_result(got: dict, want: dict, check_attrs: bool = True) -> list[str]
         errs.append(f"unexpected error: {got['error']!r}")
         return errs
     wm = want.get("matches") or {}
-    want_matches = [(int(did), int(info["weight"]), info.get("attrs", {}))
-                    for did, info in wm.items()]
+    if isinstance(wm, dict) and wm and all(
+        isinstance(v, dict) and "id" in v for v in wm.values()
+    ):
+        # resarray=1 serialized as an int-keyed PHP list
+        wm = list(wm.values())
+    if isinstance(wm, list):
+        # SetArrayResult(true): [{'id':..,'weight':..,'attrs':..}]
+        want_matches = [
+            (int(m["id"]), int(m["weight"]), m.get("attrs", {}))
+            for m in wm
+        ]
+    else:
+        want_matches = [
+            (int(did), int(info["weight"]), info.get("attrs", {}))
+            for did, info in wm.items()
+        ]
     got_matches = got["matches"]
     if [(d, w) for d, w, _ in got_matches] != [(d, w) for d, w, _ in want_matches]:
         errs.append(
@@ -648,7 +1059,7 @@ def compare_result(got: dict, want: dict, check_attrs: bool = True) -> list[str]
             for k, v in (wa or {}).items():
                 if k not in ga:
                     errs.append(f"doc {gd}: missing attr {k}")
-                elif str(ga[k]) != str(v):
+                elif not _attr_eq(ga[k], v):
                     errs.append(f"doc {gd} attr {k}: got {ga[k]!r} want {v!r}")
     if int(want["total"]) != got["total"]:
         errs.append(f"total: got {got['total']} want {want['total']}")
@@ -678,7 +1089,7 @@ def replay(spark, test_id: str, subtest: int = 0,
     # indexing, src/sphinx.cpp:19163-19164)
     golden_failed = model_results in ("failed", ["failed"])
     try:
-        idx = build_index(spark, test)
+        indexes = build_indexes(spark, test)
     except Exception as e:
         if golden_failed:
             return []
@@ -692,7 +1103,7 @@ def replay(spark, test_id: str, subtest: int = 0,
     for qi, q in enumerate(test.queries):
         if queries is not None and qi not in queries:
             continue
-        got = run_query(idx, q)
+        got = run_query(indexes, q)
         for e in compare_result(got, model_results[qi]):
             errs.append(f"[{test_id} st{subtest} q{qi} {q.query!r}] {e}")
     return errs
