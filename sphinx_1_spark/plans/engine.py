@@ -171,9 +171,25 @@ class SphinxIndex:
                 settings.tokenizer,
                 wordparts=wordparts,
             )
+        # MVA values are stored sorted ascending per doc in unsigned-
+        # DWORD order (BuildMVA's (docid, attr, value) external sort,
+        # MvaEntry_t::operator< src/sphinx.cpp:8119-8124) — filters
+        # binary-search the sorted list and results echo that order
+        dtypes = dict(df.dtypes)
+        def _attr_col(a: str):
+            c = F.col(a)
+            if dtypes.get(a, "").startswith("array"):
+                u = lambda x: x.cast("long").bitwiseAND(0xFFFFFFFF)
+                c = F.array_sort(
+                    c,
+                    lambda x, y: F.when(u(x) < u(y), -1)
+                    .when(u(x) > u(y), 1)
+                    .otherwise(0),
+                )
+            return c.alias(a)
         docinfo = df.select(
             F.col(settings.docid_col).cast("long").alias("docid"),
-            *[F.col(a) for a in settings.attrs],
+            *[_attr_col(a) for a in settings.attrs],
         )
         return cls.from_hits(hits, docinfo, settings, persist=persist)
 

@@ -100,6 +100,35 @@ def _star_core_stream(tokenizer: Tokenizer, core: str, n_stars: int):
     return var._full_stream(core)
 
 
+def _query_stream(tokenizer: Tokenizer, chunk: str):
+    """Token stream for a plain (unstarred) query word chunk.  The
+    reference lexes the WHOLE query through one tokenizer buffer, so a
+    word dropped as overshort becomes a pending null emitted as an
+    AddKeyword(NULL) placeholder before the next token — it still
+    occupies an atom position (m_iPendingNulls,
+    src/sphinxquery.cpp:392-393,455-460), which is what keeps
+    '"hello me world"' on a min_word_len=3 index matching hello@p,
+    world@p+2.  Emulated by folding through a min_word_len=1 variant
+    and nulling out tokens shorter than the real min_word_len (query-
+    side nulls always step 1; overshort_step is index-only)."""
+    s = tokenizer.settings
+    if s.min_word_len <= 1 or tokenizer._mmseg is not None:
+        # MMSEG dictionary words bypass min_word_len inside GetToken —
+        # a length test here would wrongly null them
+        return tokenizer._full_stream(chunk)
+    var = getattr(tokenizer, "_star_variant", None)
+    if var is None:
+        import dataclasses
+
+        var = tokenizer._star_variant = Tokenizer(
+            dataclasses.replace(s, min_word_len=1)
+        )
+    return [
+        (raw, None if len(raw) < s.min_word_len else norm, pos)
+        for raw, norm, pos in var._full_stream(chunk)
+    ]
+
+
 class _Lexer:
     def __init__(
         self,
@@ -200,7 +229,7 @@ class _Lexer:
                 # semantics); stopword keywords carry None but still
                 # occupy their atom position, so phrases keep gaps
                 # (XQParser m_iAtomPos, src/sphinxquery.cpp:393,434-443)
-                entries = tokenizer._full_stream(m.group("word"))
+                entries = _query_stream(tokenizer, m.group("word"))
                 for raw, norm, apos in entries:
                     self.toks.append(
                         ("WORD", (

@@ -67,6 +67,7 @@ class RefTest:
     model: list  # model.bin: [subtest][query] -> result dict
     dirpath: str
     sections: list = field(default_factory=list)
+    indexer_runs: list = field(default_factory=list)
 
 
 def _parse_range(s: str | None) -> tuple[int, int] | None:
@@ -258,6 +259,11 @@ def load_test(
         dirpath=d,
     )
     test.sections = parse_config(cfg)
+    ixr = _ci_first(r, "indexer")
+    if ixr is not None:
+        test.indexer_runs = [
+            "".join(n.itertext()) for n in _ci_children(ixr, "run")
+        ]
     return test
 
 
@@ -378,7 +384,24 @@ def parse_insert_values(sql: str) -> tuple[str, list[str] | None, list[list]]:
                 continue
             body = re.sub(r"^SELECT\s+", "", sel, flags=re.I)
             row = []
-            for item in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", body):
+            # split on commas outside quotes AND parens (REPEAT('x', n))
+            items, depth, inq, cur = [], 0, False, ""
+            for ch in body:
+                if ch == "'" :
+                    inq = not inq
+                if not inq:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        items.append(cur)
+                        cur = ""
+                        continue
+                cur += ch
+            if cur.strip():
+                items.append(cur)
+            for item in items:
                 item = item.strip()
                 rep = re.match(r"REPEAT\('((?:[^'\\]|\\.)*)'\s*,\s*(\d+)\)", item, re.I)
                 if rep:
@@ -532,8 +555,8 @@ def fixture_tables(test: RefTest) -> dict[str, tuple[list[str], list[list]]]:
 
     for ins in test.inserts:
         for stmt in re.split(r";\s*(?=INSERT)", ins, flags=re.I):
-            if not stmt.strip():
-                continue
+            if not re.match(r"\s*INSERT\b", stmt, re.I):
+                continue  # set/select no-ops in db_insert
             evaluated = _eval_insert_select(stmt, out)
             if evaluated is not None:
                 t, rows = evaluated
@@ -584,6 +607,40 @@ def fixture_select(
     `col*N AS alias`, `UNIX_TIMESTAMP(col) AS alias`, and WHERE
     clauses `col IN (nums)` / `col = num` / `col = 'str'`."""
     tabs = fixture_tables(test)
+
+    def _literal_row(sel_items: str) -> tuple[list[str], list]:
+        names, vals = [], []
+        for it in re.split(r",(?![^(]*\))", sel_items):
+            it = it.strip()
+            if (mm := re.fullmatch(r"'((?:[^'\\]|\\.)*)'", it)):
+                names.append(mm.group(1))
+                vals.append(mm.group(1))
+            elif re.fullmatch(r"-?\d+", it):
+                names.append(it)
+                vals.append(int(it))
+            else:
+                raise ValueError(f"unsupported literal item {it!r}")
+        return names, vals
+
+    sq = sql_query.strip().rstrip(";").strip()
+    # `SELECT * FROM (SELECT literals) t [WHERE 0]` — inline derived
+    # table (the suite's empty-index trick, test_64)
+    m = re.match(
+        r"SELECT\s+\*\s+FROM\s+\(\s*(SELECT\s+[^)]*)\)\s*\w*"
+        r"(?:\s+WHERE\s+(\S.*))?$",
+        sq,
+        re.I | re.S,
+    )
+    if m:
+        names, vals = _literal_row(
+            re.sub(r"^SELECT\s+", "", m.group(1), flags=re.I)
+        )
+        keep = not (m.group(2) and m.group(2).strip() == "0")
+        return names, ([vals] if keep else [])
+    # FROM-less literal select (one synthetic row)
+    if not re.search(r"\bFROM\b", sq, re.I):
+        names, vals = _literal_row(re.sub(r"^SELECT\s+", "", sq, flags=re.I))
+        return names, [vals]
     m = re.match(
         r"SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
         sql_query.strip(),
@@ -861,6 +918,12 @@ def build_indexes(spark, test: RefTest):
         settings, _table, _name = make_index_settings(test, name)
         src = src_secs.get(icfg.get("source", [""])[0], {})
         cols, rows = index_rows(test, src)
+        # SQL NULLs land as 0 / '' in the index (CSphSource_SQL
+        # IterateHitsNext reads missing attrs as 0)
+        for r in rows:
+            for i, c in enumerate(cols):
+                if r[i] is None:
+                    r[i] = "" if c in settings.fields else 0
         if rows:
             df = spark.createDataFrame(
                 [tuple(r) for r in rows], schema=cols
@@ -880,8 +943,64 @@ def build_indexes(spark, test: RefTest):
                 [tuple(r) for r in rows], schema=cols
             ).limit(0)
         idx = SphinxIndex.build(df, settings, persist=True)
-        out.append((name, idx, parse_killlist(test, src)))
+        out.append(
+            {
+                "name": name,
+                "idx": idx,
+                "kill": parse_killlist(test, src),
+                "df": df,
+                "settings": settings,
+            }
+        )
     return out
+
+
+def apply_indexer_runs(spark, test: RefTest, built: list) -> list:
+    """Replay <indexer><run> directives (ubertest RunIndexer):
+    `--merge DST SRC [--merge-dst-range attr lo hi]` folds SRC into
+    DST (CSphIndex_VLN::Merge, src/sphinx.cpp:9976): DST rows pass
+    the dst-range filter and SRC's kill-list, SRC rows always carry
+    over (same-docid DST copies superseded); global stats re-derive
+    from the merged row set."""
+    from sphinx_1_spark.plans.engine import SphinxIndex
+    from pyspark.sql import functions as F
+
+    by_name = {b["name"]: b for b in built}
+    for run in getattr(test, "indexer_runs", []):
+        m = re.match(
+            r"\s*--merge\s+(\S+)\s+(\S+)"
+            r"(?:\s+--merge-dst-range\s+(\S+)\s+(-?\d+)\s+(-?\d+))?",
+            run,
+        )
+        if not m:
+            raise ValueError(f"unsupported indexer run {run!r}")
+        dst, src = by_name[m.group(1)], by_name[m.group(2)]
+        dst_df = dst["df"]
+        if m.group(3):
+            dst_df = dst_df.where(
+                F.col(m.group(3)).between(int(m.group(4)), int(m.group(5)))
+            )
+        if src["kill"]:
+            dst_df = dst_df.where(
+                ~F.col(dst["settings"].docid_col).isin(src["kill"])
+            )
+        src_ids = [
+            r[0]
+            for r in src["df"].select(src["settings"].docid_col).collect()
+        ]
+        if src_ids:
+            dst_df = dst_df.where(
+                ~F.col(dst["settings"].docid_col).isin(src_ids)
+            )
+        # CSphIndex_VLN::Merge is positional on the attr/field layout —
+        # SQL-derived column names can differ between the two sources
+        # (test_64 derives docids from literal selects named '0'/'1')
+        merged = dst_df.unionByName(src["df"].toDF(*dst_df.columns))
+        dst["df"] = merged
+        dst["idx"] = SphinxIndex.build(
+            merged, dst["settings"], persist=True
+        )
+    return built
 
 
 # ----------------------------------------------------------------------
@@ -1005,6 +1124,12 @@ def run_query(indexes, q: RefQuery):
 def _attr_eq(got, want) -> bool:
     """Model attr values arrive as PHP strings/floats; float32 round
     trips and ubertest roundoff make exact string compare too strict."""
+    if isinstance(want, dict) and not want:
+        # empty PHP array unserializes as {} — an empty MVA
+        want = []
+    if isinstance(want, dict):
+        # non-empty int-keyed PHP array (MVA via resarray)
+        want = list(want.values())
     if isinstance(want, (list, tuple)) or isinstance(got, (list, tuple)):
         gl = list(got) if isinstance(got, (list, tuple)) else [got]
         wl = list(want) if isinstance(want, (list, tuple)) else [want]
@@ -1089,7 +1214,10 @@ def replay(spark, test_id: str, subtest: int = 0,
     # indexing, src/sphinx.cpp:19163-19164)
     golden_failed = model_results in ("failed", ["failed"])
     try:
-        indexes = build_indexes(spark, test)
+        built = apply_indexer_runs(
+            spark, test, build_indexes(spark, test)
+        )
+        indexes = [(b["name"], b["idx"], b["kill"]) for b in built]
     except Exception as e:
         if golden_failed:
             return []

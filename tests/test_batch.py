@@ -44,12 +44,15 @@ def test_minimize_results(spark, docs_index):
     rows = merged.collect()
     keys = [(-r["weight"], r["docid"]) for r in rows]
     assert keys == sorted(keys)
-    # dupes sweep (searchd.cpp:3755): one copy per docid, lowest tag
+    # dupes sweep: one copy per docid; the (docid asc, tag desc) sort
+    # (searchd.cpp:2515) keeps the HIGHEST tag — last-listed index
+    # wins, proven by reference test_49 goldens (q 'a a2' serving a2's
+    # attrs)
     docids = [r["docid"] for r in rows]
     assert len(docids) == len(set(docids))
-    r1_ids = {r["docid"] for r in r1.collect()}
+    r2_ids = {r["docid"] for r in r2.collect()}
     for r in rows:
-        assert r["tag"] == (0 if r["docid"] in r1_ids else 1)
+        assert r["tag"] == (1 if r["docid"] in r2_ids else 0)
 
 
 def test_update_attributes(spark):
