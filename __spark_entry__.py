@@ -1540,29 +1540,38 @@ SELECT doc_id, 1 AS weight FROM (
   AND doc_id NOT IN (SELECT doc_id FROM hits WHERE word = 'scan'))
 ORDER BY doc_id LIMIT 1000"""
 
+    # positional terms keep the RAW term BM25 (ExtTermPos copies the
+    # unfiltered ExtDoc, CopyExtDoc src/sphinx.cpp:12238): the anchor
+    # only gates WHICH docs qualify, tf counts every occurrence
     anchor_start = t + _idf_cte(["the"]) + """
 , matched AS (
-  SELECT h.doc_id, tf0/(tf0+1.2) * (SELECT idf FROM idf WHERE word='the') AS tfidf
-  FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf0
-        FROM hits WHERE word='the' AND pos = 1 GROUP BY doc_id) h
+  SELECT t0.doc_id, t0.tf/(t0.tf+1.2) * (SELECT idf FROM idf WHERE word='the') AS tfidf
+  FROM tf t0
+  WHERE t0.word='the'
+    AND t0.doc_id IN (SELECT doc_id FROM hits WHERE word='the' AND pos = 1)
 )"""
     out["q_anchor_start"] = _topk_sql(anchor_start)
 
     anchor_end = t + _idf_cte(["value"]) + """
 , lastpos AS (SELECT doc_id, max(pos) AS mp FROM hits GROUP BY doc_id)
 , matched AS (
-  SELECT h.doc_id, tf0/(tf0+1.2) * (SELECT idf FROM idf WHERE word='value') AS tfidf
-  FROM (SELECT h.doc_id, CAST(count(*) AS DOUBLE) AS tf0
-        FROM hits h JOIN lastpos lp ON lp.doc_id = h.doc_id AND h.pos = lp.mp
-        WHERE h.word='value' GROUP BY h.doc_id) h
+  SELECT t0.doc_id, t0.tf/(t0.tf+1.2) * (SELECT idf FROM idf WHERE word='value') AS tfidf
+  FROM tf t0
+  WHERE t0.word='value'
+    AND t0.doc_id IN (
+      SELECT h.doc_id FROM hits h
+      JOIN lastpos lp ON lp.doc_id = h.doc_id AND h.pos = lp.mp
+      WHERE h.word='value')
 )"""
     out["q_anchor_end"] = _topk_sql(anchor_end)
 
+    # BEFORE emits a copy of CHILD 0's ExtDoc (CopyExtDoc of
+    # *m_pDocs[0], src/sphinx.cpp:13826): tfidf is 'table' alone
     before = t + _idf_cte(["table", "scan"]) + """
 , ta AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='table'), 0) AS tfidf FROM tf WHERE word='table')
-, tb AS (SELECT doc_id, tf/(tf+1.2) * coalesce((SELECT idf FROM idf WHERE word='scan'), 0) AS tfidf FROM tf WHERE word='scan')
+, tb AS (SELECT doc_id FROM tf WHERE word='scan')
 , matched AS (
-  SELECT ta.doc_id, ta.tfidf + tb.tfidf AS tfidf
+  SELECT ta.doc_id, ta.tfidf AS tfidf
   FROM ta JOIN tb ON ta.doc_id = tb.doc_id
   WHERE (SELECT min(pos) FROM hits h WHERE h.doc_id = ta.doc_id AND h.word='table')
       < (SELECT max(pos) FROM hits h WHERE h.doc_id = ta.doc_id AND h.word='scan')
@@ -1905,8 +1914,11 @@ def _two_field_oracles() -> dict[str, str]:
 ), idf AS (
   SELECT ln((n.n - df + 1)/df) / (2*1*ln(1+n.n)) AS idf FROM stats, ndocs n
 ), matched AS (
+  -- doc qualifies via a fld-0 hit, but BM25 tf is the RAW term's
+  -- m_uMatchHits over ALL fields (ExtTerm_c src/sphinx.cpp:11867)
   SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf0
-  FROM hits2 WHERE word = 'src3' AND fld = 0 GROUP BY doc_id
+  FROM hits2 WHERE word = 'src3' GROUP BY doc_id
+  HAVING count(*) FILTER (WHERE fld = 0) > 0
 )
 SELECT doc_id,
   CAST(floor((tf0/(tf0+1.2) * (SELECT idf FROM idf) + 0.5) * 1000) AS INT)
@@ -1950,9 +1962,11 @@ FROM matched ORDER BY weight DESC, doc_id ASC LIMIT 10"""
 ), idf AS (
   SELECT ln((n.n - df + 1)/df) / (2*1*ln(1+n.n)) AS idf FROM stats, ndocs n
 ), matched AS (
+  -- qualification needs a fld-1 hit at pos<=5; tf stays the raw
+  -- all-fields count (ExtTermPos copies the unfiltered ExtDoc)
   SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf1
-  FROM hits2 WHERE word = 'window' AND fld = 1 AND pos <= 5
-  GROUP BY doc_id
+  FROM hits2 WHERE word = 'window' GROUP BY doc_id
+  HAVING count(*) FILTER (WHERE fld = 1 AND pos <= 5) > 0
 )
 SELECT doc_id,
   CAST(floor((tf1/(tf1+1.2) * (SELECT idf FROM idf) + 0.5) * 1000) AS INT)

@@ -113,6 +113,18 @@ class Tokenizer:
 
     def __init__(self, settings: TokenizerSettings | None = None):
         self.settings = settings or TokenizerSettings()
+        if self.settings.index_exact_words and not any(
+            m and m != "none" for m in self.settings.morphology
+        ):
+            # indexer resets exact words when there is no morphology
+            # ("no morphology, index_exact_words=1 has no effect,
+            # ignoring", src/indexer.cpp:960-964) — plain and exact
+            # forms would be identical entries
+            import dataclasses as _dc
+
+            self.settings = _dc.replace(
+                self.settings, index_exact_words=False
+            )
         self.fold = build_fold_table(self.settings.charset_table)
         self._wordforms = dict(self.settings.wordforms)
         self._morph: list = []

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import ArrayType, BooleanType, LongType
 
 from sphinx_1_spark.functions.bits import field_bit_of_pos
 from sphinx_1_spark.functions.tokenizer import HIT_FIELD_END, POS_MASK
@@ -102,17 +102,18 @@ def _compile_term(node: XQNode, ctx: CompileContext) -> DataFrame:
             F.col("positions"), lambda p: _and_all(pred(p) for pred in preds)
         )
         df = df.withColumn("_qual", qual).where(F.size("_qual") > 0)
-        tf = F.size("_qual")
-        fieldmask = F.aggregate(
-            F.col("_qual"),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc.bitwiseOR(field_bit_of_pos(p)),
-        ).cast("int")
         pos_src = F.col("_qual")
     else:
-        tf = F.col("tf")
-        fieldmask = F.col("fieldmask")
         pos_src = F.col("positions") if "positions" in df.columns else None
+    # the emitted ExtDoc always carries the RAW term's stats: tfidf is
+    # m_uMatchHits — ALL doc hits, not the position-qualified subset
+    # (ExtTerm_c::GetDocsChunk src/sphinx.cpp:11867; ExtTermPos copies
+    # the raw doc wholesale, CopyExtDoc src/sphinx.cpp:12238) — and
+    # fieldmask is qword fields masked by the query field spec only
+    tf = F.col("tf")
+    fieldmask = F.col("fieldmask")
+    if node.fields_mask != ALL_FIELDS:
+        fieldmask = fieldmask.bitwiseAND(F.lit(node.fields_mask)).cast("int")
 
     idf = float(ctx.idf.get(w.word, 0.0))
     # ExtTerm_c: tfidf = tf/(tf+k1) * idf (src/sphinx.cpp:11867)
@@ -435,47 +436,108 @@ def _compile_proximity(node: XQNode, ctx: CompileContext) -> DataFrame:
 
 
 def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
-    """a << b: occurrences in query order by ascending stream position
-    (ExtOrder_c :13745). Greedy ascending selection per doc."""
+    """a << b: an ordered, non-overlapping occurrence of the children
+    WITHIN ONE FIELD (ExtOrder_c::GetMatchingHits, src/sphinx.cpp:
+    13650-13745: the trackers reset whenever HIT2FIELD changes, and a
+    child extends the subsequence only at iHitPos >= prev pos +
+    spanlen).  lcspos keeps the field in its high byte, so grouping by
+    lcspos>>24 reproduces the per-field reset; greedy earliest-first
+    per child is equivalent to the longest/recent dual tracker because
+    every hit of a child carries the same spanlen."""
     children = [compile_node(c, _with_hits(ctx)) for c in node.children]
     n = len(children)
+    # pack each hit into one int64 the UDF can unpack cheaply:
+    # lcspos(32b) << 30 | querypos(12b) << 18 | spanlen(9b) << 9 | weight(9b)
     j = _join_all(
-        [c.withColumn("lcs", F.transform("hits", lambda h: h["lcspos"])) for c in children],
+        [
+            c.withColumn(
+                "lcs",
+                F.transform(
+                    "hits",
+                    lambda h: h["lcspos"] * F.lit(1 << 30)
+                    + h["querypos"].cast("bigint") * F.lit(1 << 18)
+                    + h["spanlen"].cast("bigint") * F.lit(1 << 9)
+                    + h["weight"].cast("bigint"),
+                ),
+            )
+            for c in children
+        ],
         "inner",
     )
 
-    @F.pandas_udf(BooleanType())
-    def before_match(arrs: pd.Series) -> pd.Series:
+    @F.pandas_udf(ArrayType(LongType()))
+    def before_hits(arrs: pd.Series) -> pd.Series:
         out = []
         for lists in arrs:
-            prev = -1
-            ok = True
-            for lst in lists:
-                nxt = None
-                for p in sorted(int(x) for x in lst):
-                    if p > prev:
-                        nxt = p
-                        break
-                if nxt is None:
-                    ok = False
-                    break
-                prev = nxt
-            out.append(ok)
+            merged: list[tuple[int, int, int]] = []  # (lcspos, child, packed)
+            for ci, lst in enumerate(lists):
+                for v in lst:
+                    v = int(v)
+                    merged.append((v >> 30, ci, v))
+            merged.sort(key=lambda t: (t[0], t[1]))
+            # longest/recent dual tracker (GetMatchingHits,
+            # src/sphinx.cpp:13650-13745): only fully matched
+            # subsequences are flushed, and the tracker resets whenever
+            # the hit field (lcspos high byte) changes
+            acc_l: list[int] = []
+            acc_r: list[int] = []
+            pos_l = pos_r = 0
+            field = -1
+            flushed: list[int] = []
+            for full, ci, packed in merged:
+                fld, p = full >> 24, full & 0x7FFFFF
+                span = (packed >> 9) & 0x1FF
+                if fld != field:
+                    acc_l = []
+                    acc_r = []
+                    if ci == 0:
+                        acc_l = [packed]
+                        pos_l = p + span
+                        field = fld
+                elif ci == len(acc_l) and p >= pos_l:
+                    acc_l.append(packed)
+                    pos_l = p + span
+                    if len(acc_l) == len(lists):
+                        flushed.extend(acc_l)
+                        acc_l = []
+                        acc_r = []
+                        pos_r = pos_l
+                elif ci == 0:
+                    acc_r = [packed]
+                    pos_r = p + span
+                elif ci == len(acc_r) and p >= pos_r:
+                    acc_r.append(packed)
+                    pos_r = p + span
+                    if len(acc_r) == len(acc_l):
+                        acc_l, acc_r = acc_r, []
+                        pos_l = pos_r
+            out.append(flushed if flushed else None)
         return pd.Series(out)
 
     allpos = F.array(*[F.col(f"lcs_{i}") for i in range(n)])
-    j = j.withColumn("_m", before_match(allpos)).where(F.col("_m"))
+    j = j.withColumn("_mh", before_hits(allpos)).where(F.col("_mh").isNotNull())
+    matched = F.transform(
+        F.col("_mh"),
+        lambda x: F.struct(
+            F.shiftright(x, 30).cast("bigint").alias("lcspos"),
+            F.shiftright(x, 18).bitwiseAND(F.lit((1 << 12) - 1))
+            .cast("int").alias("querypos"),
+            F.shiftright(x, 9).bitwiseAND(F.lit((1 << 9) - 1))
+            .cast("int").alias("spanlen"),
+            x.bitwiseAND(F.lit((1 << 9) - 1)).cast("int").alias("weight"),
+        ),
+    )
     cols = [
         F.col("_docid").alias("docid"),
-        _sum_cols([F.col(f"tfidf_{i}") for i in range(n)]).alias("tfidf"),
-        _or_cols([F.col(f"fieldmask_{i}") for i in range(n)])
-        .cast("int")
-        .alias("fieldmask"),
-        F.concat(*[F.col(f"tfs_{i}") for i in range(n)]).alias("tfs"),
+        # the matched doc is a copy of CHILD 0's ExtDoc (CopyExtDoc of
+        # *m_pDocs[0], src/sphinx.cpp:13826) — tfidf/fieldmask are the
+        # first child's alone, not an aggregate
+        F.col("tfidf_0").alias("tfidf"),
+        F.col("fieldmask_0").cast("int").alias("fieldmask"),
+        F.col("tfs_0").alias("tfs"),
     ]
     if ctx.need_hits:
-        parts = [F.col(f"hits_{i}") for i in range(n)]
-        cols.append(F.array_sort(F.concat(*parts)).alias("hits"))
+        cols.append(F.array_sort(matched).alias("hits"))
     return j.select(*cols)
 
 

@@ -133,6 +133,19 @@ class SphinxIndex:
         narrow fixed-width hits rows cache ~6x faster than the
         array-typed postings rows."""
         spark = df.sparkSession
+        tk0 = settings.tokenizer
+        if (
+            (tk0.min_prefix_len > 0 or tk0.min_infix_len > 0)
+            and not settings.enable_star
+            and any(m and m != "none" for m in tk0.morphology)
+        ):
+            # "ERROR: index '%s': infixes and morphology are enabled,
+            # enable_star=0" (src/indexer.cpp:727-736): without star
+            # syntax, morphed full words and raw substrings share one
+            # namespace and queries can't tell them apart
+            raise ValueError(
+                "infixes and morphology are enabled, enable_star=0"
+            )
         # Tokenize parallelism must not be bound by the source file
         # layout: a small parquet (or one huge row-group) arrives as a
         # handful of partitions and would serialize the whole

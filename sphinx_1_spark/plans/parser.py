@@ -389,6 +389,12 @@ class QueryParser:
             right = self._orlistf()
             if left is None or right is None:
                 left = left or right
+            elif left.op == "before":
+                # chains flatten into ONE multi-child order node
+                # (AddOp: pLeft->m_eOp==eOp appends pRight,
+                # src/sphinxquery.cpp:533-537) — ExtOrder_c tracks the
+                # whole chain in a single longest/recent pass
+                left.children.append(right)
             else:
                 left = XQNode("before", children=[left, right])
         return left
@@ -459,7 +465,12 @@ class QueryParser:
         field_start = False
         if kind == "=":
             self._lex.next()
-            exact = True
+            # '=' is only a live marker when the index was built with
+            # index_exact_words: SetupExactDict folds '=' into the
+            # charset iff the setting is on (src/sphinx.cpp:16056-16062)
+            # — otherwise it's a plain separator and '=work' degrades
+            # to the (morphology-processed) bare keyword
+            exact = bool(self.tokenizer.settings.index_exact_words)
             kind, val = self._lex.peek()
         if kind == "^":
             self._lex.next()
@@ -489,6 +500,13 @@ class QueryParser:
             return None  # stopword keyword -> null node (SweepNulls)
         else:
             word = norm
+            if self.tokenizer.settings.index_exact_words:
+                # with CSphDictExact installed, GetWordID stems its own
+                # COPY of the word (src/sphinx.cpp:10797-10798), so
+                # m_sDictWord — the word-stats key — stays the raw
+                # pre-morphology form (test_41 st3: 'worked', not
+                # 'work', even under stem_en)
+                display = raw
         w = QWord(
             word, pos, field_start=field_start, exact=exact,
             display=display or word,
@@ -512,6 +530,10 @@ class QueryParser:
                 self._lex.next()
                 norm, _raw, pos, display = val
                 if norm is not None:
+                    if self.tokenizer.settings.index_exact_words:
+                        # CSphDictExact stems a copy; stats key stays
+                        # the raw form (see _keyword)
+                        display = _raw
                     words.append(QWord(norm, pos, display=display or norm))
             elif kind == "NUM":
                 self._lex.next()

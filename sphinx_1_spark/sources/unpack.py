@@ -22,6 +22,10 @@ def _inflate(raw: bytes | None, mysql_header: bool) -> bytes | None:
     if raw is None:
         return None
     data = bytes(raw)
+    if not data:
+        # NULL/empty columns pass through untouched
+        # (SqlUnpackColumn: pData==NULL || pData[0]==0 -> return pData)
+        return data
     if mysql_header:
         if len(data) <= 4:
             # MySQL COMPRESS() of the empty string is '' (no header)

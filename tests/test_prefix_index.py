@@ -70,12 +70,26 @@ def test_tokenizer_short_word_not_expanded():
 
 def test_exact_form_not_expanded():
     tok = Tokenizer(
-        TokenizerSettings(min_prefix_len=3, index_exact_words=True)
+        TokenizerSettings(
+            min_prefix_len=3,
+            index_exact_words=True,
+            morphology=("stem_en",),
+        )
     )
     words = [w for w, _ in tok.hits_for_doc(["cats"])]
     # =cats indexed once with the raw form, never expanded
     assert words.count("=cats") == 1
     assert [w for w in words if w.startswith("=")] == ["=cats"]
+
+
+def test_exact_words_ignored_without_morphology():
+    # "no morphology, index_exact_words=1 has no effect, ignoring"
+    # (src/indexer.cpp:960-964)
+    tok = Tokenizer(
+        TokenizerSettings(min_prefix_len=3, index_exact_words=True)
+    )
+    words = [w for w, _ in tok.hits_for_doc(["cats"])]
+    assert [w for w in words if w.startswith("=")] == []
 
 
 def test_prefix_search_single_lookup(prefix_idx):
