@@ -1483,8 +1483,12 @@ def _base_oracle_sql() -> dict[str, str]:
   SELECT ta.doc_id, ta.tfidf + tb.tfidf AS tfidf
   FROM ta JOIN tb ON ta.doc_id = tb.doc_id
   WHERE EXISTS (
+    -- STRICT window: eviction at pos <= cur - qspan - maxdist keeps
+    -- only spreads < qspan + maxdist (ExtProximity_c,
+    -- src/sphinx.cpp:13254): "~3" over a 2-word phrase allows
+    -- |p2-p1| <= 3, not 4
     SELECT 1 FROM hits h1 JOIN hits h2
-      ON h1.doc_id = h2.doc_id AND abs(h2.pos - h1.pos) <= 4
+      ON h1.doc_id = h2.doc_id AND abs(h2.pos - h1.pos) <= 3
     WHERE h1.doc_id = ta.doc_id AND h1.word = 'table' AND h2.word = 'scan')
 )"""
 

@@ -24,8 +24,8 @@ from tests.reference_harness import (  # noqa: E402
 # searchd-only / out-of-scope machinery per SURVEY §2.1; a test whose
 # config or queries require these is reported SKIP with the reason.
 UNSUPPORTED_CFG = (
-    ("type = distributed", "distributed agents"),
-    ("agent =", "distributed agents"),
+    (r"type\s*=\s*distributed", "distributed agents"),
+    (r"\bagent\s*=", "distributed agents"),
     ("xmlpipe", "xmlpipe source via indexer exec"),
     ("sql_query_pre", "SQL-side session state"),
     ("sql_joined_field", "sql_joined_field"),
@@ -36,9 +36,11 @@ UNSUPPORTED_CFG = (
 
 
 def classify_skip(test) -> str | None:
+    import re as _re
+
     cfg = test.config_text
     for needle, why in UNSUPPORTED_CFG:
-        if needle in cfg:
+        if _re.search(needle, cfg):
             return why
     if not test.queries:
         return "no queries section (custom php test)"

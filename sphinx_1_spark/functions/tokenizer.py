@@ -135,8 +135,12 @@ class Tokenizer:
             self._morph = resolve_chain(self.settings.morphology)
         self._ngram_mask = None
         if self.settings.ngram_chars:
+            # ngram_chars carries its own remaps (SetNgramChars feeds
+            # AddRemaps into the shared lowercaser, src/sphinx.cpp:
+            # 4927-4939) — e.g. test_14 folds U+410..U+42F->U+430..
             ng = build_fold_table(self.settings.ngram_chars)
             self._ngram_mask = ng != 0
+            self._ngram_fold = ng
         self._mmseg = None
         if self.settings.mmseg_dict_path:
             from sphinx_1_spark.functions.mmseg import ChineseTokenizer, MMSegDict
@@ -373,7 +377,8 @@ class Tokenizer:
         if self._ngram_mask is not None and cps.size:
             cjk = self._ngram_mask[cps]
             cls[cjk] = 2
-            folded = np.where(cjk, cps, folded)  # CJK chars keep their codepoint
+            # CJK chars fold through the ngram table's own remaps
+            folded = np.where(cjk, self._ngram_fold[cps], folded)
         # runs of equal nonzero class
         pieces: list[tuple[int, np.ndarray]] = []  # (cls, folded_run)
         i = 0
@@ -441,7 +446,7 @@ class Tokenizer:
         if self._ngram_mask is not None:
             cjk = self._ngram_mask[cps]
             if cjk.any():
-                folded = np.where(cjk, cps, folded)
+                folded = np.where(cjk, self._ngram_fold[cps], folded)
                 # space before every CJK char and after each CJK run
                 prev_cjk = np.concatenate(([False], cjk[:-1]))
                 idx = np.flatnonzero(cjk | prev_cjk)

@@ -90,10 +90,19 @@ def _attr_types(idx) -> dict[str, str]:
     return out
 
 
+def _docid_ord() -> Column:
+    """Order key reproducing UNSIGNED 64-bit docid comparisons:
+    uint64 docids above 2^63-1 arrive wrapped into negative longs
+    (SphDocID_t is a DWORD64, --enable-id64); xor with the sign bit is
+    the monotone unsigned->signed bijection, so '.asc()' over this key
+    is docid-asc in the reference's unsigned order (test_47)."""
+    return F.col("docid").bitwiseXOR(F.lit(-(1 << 63)))
+
+
 def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
     """Final ordering per sortmode (sphCreateQueue dispatch)."""
     if q.sortmode == "relevance":
-        return [F.col("weight").desc(), F.col("docid").asc()]
+        return [F.col("weight").desc(), _docid_ord().asc()]
     if q.sortmode == "extended":
         keys = parse_sort_clause(q.sortby, set(attr_types))
         if keys == "random":
@@ -102,21 +111,21 @@ def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
         if keys == "custom":
             return [
                 custom_sort_column(q.now_epoch).desc(),
-                F.col("docid").asc(),
+                _docid_ord().asc(),
             ]
         return sort_clause_columns(keys, attr_types)
     if q.sortmode == "expr":
-        return [F.col("@expr").desc(), F.col("docid").asc()]
+        return [F.col("@expr").desc(), _docid_ord().asc()]
     if q.sortmode == "attr_asc":
-        return [F.col(q.sortby).asc(), F.col("docid").asc()]
+        return [F.col(q.sortby).asc(), _docid_ord().asc()]
     if q.sortmode == "attr_desc":
-        return [F.col(q.sortby).desc(), F.col("docid").asc()]
+        return [F.col(q.sortby).desc(), _docid_ord().asc()]
     if q.sortmode == "time_segments":
         return [
             F.col("@timeseg").asc(),
             F.col("weight").desc(),
             F.col(q.sortby).desc(),
-            F.col("docid").asc(),
+            _docid_ord().asc(),
         ]
     raise ApiQueryError(f"unknown sorting mode {q.sortmode!r}")
 
@@ -125,8 +134,13 @@ def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
     """Ranked match relation joined with docinfo + virtual attrs."""
     filters = list(q.filters or [])
     if q.id_range:
-        lo, hi = q.id_range
-        filters.append(F.col("docid").between(F.lit(lo), F.lit(hi)))
+        # unsigned range compare via the same sign-bit bijection
+        lo, hi = ((v - (1 << 64)) if v >= (1 << 63) else v for v in q.id_range)
+        filters.append(
+            F.col("docid").bitwiseXOR(F.lit(-(1 << 63))).between(
+                F.lit(lo ^ -(1 << 63)), F.lit(hi ^ -(1 << 63))
+            )
+        )
     for flt in extra_filters or []:
         filters.append(flt)
     if not q.query.strip():
@@ -168,7 +182,7 @@ def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
         # SetLimits cutoff: the match loop stops after N accepted
         # matches; single-index processing order is docid asc
         ranked = (
-            ranked.orderBy(F.col("docid").asc()).limit(q.cutoff)
+            ranked.orderBy(_docid_ord().asc()).limit(q.cutoff)
         )
     return ranked, meta, attr_types
 

@@ -115,7 +115,9 @@ def _compile_term(node: XQNode, ctx: CompileContext) -> DataFrame:
     if node.fields_mask != ALL_FIELDS:
         fieldmask = fieldmask.bitwiseAND(F.lit(node.fields_mask)).cast("int")
 
-    idf = float(ctx.idf.get(w.word, 0.0))
+    # duplicate query words keep m_fIDF = 0 (GetQwords hash-exists
+    # early-out, src/sphinx.cpp:11977-11981)
+    idf = 0.0 if w.dup else float(ctx.idf.get(w.word, 0.0))
     # ExtTerm_c: tfidf = tf/(tf+k1) * idf (src/sphinx.cpp:11867)
     tfidf = (tf.cast("double") / (tf.cast("double") + F.lit(SPH_BM25_K1))) * F.lit(idf)
     out = [
@@ -380,58 +382,103 @@ def _compile_quorum(node: XQNode, ctx: CompileContext) -> DataFrame:
 
 
 def _compile_proximity(node: XQNode, ctx: CompileContext) -> DataFrame:
-    """All words within a window: exists one position per word with
-    max-min <= (maxqpos-minqpos) + N, single field (ExtProximity_c
-    :13178: expiry at hitpos - span - maxdist over HIT2LCS values)."""
+    """Verbatim port of the ExtProximity_c window loop
+    (src/sphinx.cpp:13222-13341): per incoming hit, the per-queryword
+    position table dProx evicts entries at pos <= cur - qspan -
+    maxdist (STRICT window — a word exactly maxdist+qspan back does
+    not qualify), and each time all words are present one node hit is
+    emitted at the window minimum with spanlen = max-min+1 and weight
+    = the trailing equal-delta run of the sorted (pos - entry) deltas;
+    the min entry is then evicted so overlapping windows emit again."""
     frames = _word_term_frames(node, ctx)
     n = len(frames)
     j = _join_all(frames, "inner")
-    qspan = node.words[-1].querypos - node.words[0].querypos
-    limit = qspan + node.max_distance
+    minqpos = node.words[0].querypos
+    qspan = node.words[-1].querypos - minqpos
+    maxdist = node.max_distance
+    UINT_MAX = 1 << 62
 
-    @F.pandas_udf(BooleanType())
-    def prox_match(arrs: pd.Series) -> pd.Series:
+    @F.pandas_udf(f"{_HIT_STRUCT}")
+    def prox_hits(arrs: pd.Series) -> pd.Series:
         out = []
         for lists in arrs:
-            # minimal-window over merged (pos, word) stream
             merged = sorted(
                 (int(p), i) for i, lst in enumerate(lists) for p in lst
             )
-            cnt = [0] * n
-            have = 0
-            lo = 0
-            ok = False
-            for hi in range(len(merged)):
-                w = merged[hi][1]
-                cnt[w] += 1
-                if cnt[w] == 1:
-                    have += 1
-                while have == n:
-                    if merged[hi][0] - merged[lo][0] <= limit:
-                        ok = True
-                        break
-                    cnt[merged[lo][1]] -= 1
-                    if cnt[merged[lo][1]] == 0:
-                        have -= 1
-                    lo += 1
-                if ok:
-                    break
-            out.append(ok)
+            dprox = [UINT_MAX] * n
+            minentry = -1
+            words = 0
+            exp_pos = None  # None = new document (m_uExpID mismatch)
+            hits = []
+            for pos, entry in merged:
+                if not (exp_pos is not None and pos < exp_pos) or (
+                    entry == minentry
+                ):
+                    if exp_pos is None:
+                        dprox = [UINT_MAX] * n
+                        dprox[entry] = pos
+                        minentry = entry
+                        words = 1
+                    else:
+                        if dprox[entry] == UINT_MAX:
+                            words += 1
+                        dprox[entry] = pos
+                        minentry = entry
+                        min_pos = pos - qspan - maxdist
+                        umin = pos
+                        for i, v in enumerate(dprox):
+                            if v == UINT_MAX:
+                                continue
+                            if v <= min_pos:
+                                dprox[i] = UINT_MAX
+                                words -= 1
+                                continue
+                            if v < umin:
+                                minentry = i
+                                umin = v
+                    exp_pos = dprox[minentry] + qspan + maxdist
+                else:
+                    if dprox[entry] == UINT_MAX:
+                        words += 1
+                    dprox[entry] = pos
+                if words == n:
+                    deltas = sorted(dprox[i] - i for i in range(n))
+                    umax = max(dprox)
+                    weight = 0
+                    last = None
+                    for d in deltas:
+                        weight = weight + 1 if d == last else 1
+                        last = d
+                    hits.append(
+                        {
+                            "lcspos": dprox[minentry],
+                            "querypos": minqpos,
+                            "spanlen": umax - dprox[minentry] + 1,
+                            "weight": weight,
+                        }
+                    )
+                    dprox[minentry] = UINT_MAX
+                    minentry = -1
+                    words -= 1
+                    exp_pos = 0
+            out.append(hits if hits else None)
         return pd.Series(out)
 
     allpos = F.array(*[F.col(f"lcs_{i}") for i in range(n)])
-    j = j.withColumn("_m", prox_match(allpos)).where(F.col("_m"))
+    j = j.withColumn("_mh", prox_hits(allpos)).where(F.col("_mh").isNotNull())
     cols = [
         F.col("_docid").alias("docid"),
         _sum_cols([F.col(f"tfidf_{i}") for i in range(n)]).alias("tfidf"),
-        _or_cols([F.col(f"fieldmask_{i}") for i in range(n)])
-        .cast("int")
-        .alias("fieldmask"),
+        # the emitted doc's field mask is the COMPLETING hit's field
+        # alone (m_uFields = 1<<HIT2FIELD, src/sphinx.cpp:13297)
+        F.expr(
+            "CAST(shiftleft(1, CAST(shiftright(element_at(_mh, 1).lcspos,"
+            " 24) AS INT)) AS INT)"
+        ).alias("fieldmask"),
         _concat_tfs(n).alias("tfs"),
     ]
     if ctx.need_hits:
-        parts = [F.col(f"hits_{i}") for i in range(n)]
-        cols.append(F.array_sort(F.concat(*parts)).alias("hits"))
+        cols.append(F.col("_mh").alias("hits"))
     return j.select(*cols)
 
 

@@ -22,9 +22,10 @@ from dataclasses import dataclass, field as dc_field
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sphinx_1_spark.functions.tokenizer import Tokenizer, TokenizerSettings
-from sphinx_1_spark.functions.wordid import word_id
+from sphinx_1_spark.functions.wordid import crc32_col, fnv64_col, word_id
 from sphinx_1_spark.operators.hits import build_hits_arrow, build_hits_native
 from sphinx_1_spark.operators.postings import (
     build_dictionary,
@@ -228,6 +229,73 @@ class SphinxIndex:
         n_docs = docinfo.count()
         return cls(spark, settings, postings, dictionary, docinfo, n_docs)
 
+    @classmethod
+    def merge(
+        cls,
+        dst: "SphinxIndex",
+        src: "SphinxIndex",
+        dst_filter=None,
+        src_kill: list[int] | None = None,
+    ) -> "SphinxIndex":
+        """indexer --merge DST SRC (CSphIndex_VLN::Merge,
+        src/sphinx.cpp:9976): DST rows pass the optional
+        --merge-dst-range filter and SRC's kill-list; SRC rows always
+        carry over.  A docid present in BOTH doclists keeps BOTH hit
+        streams, merge-sorted per word — the reference's doclist merge
+        concatenates same-docid entries so their positions interleave
+        ('merge vs hit mixing', test/test_78: 'aaa' ends with docs=1
+        hits=3 after merging two one-doc indexes sharing the docid).
+        Header totals sum the surviving row counts (both same-docid
+        rows are written by the spa merge loop), while the dictionary
+        re-derives docs/hits from the merged postings."""
+        dst_info = dst.docinfo
+        if dst_filter is not None:
+            dst_info = dst_info.where(dst_filter)
+        if src_kill:
+            dst_info = dst_info.where(~F.col("docid").isin(src_kill))
+        keep = dst_info.select("docid").distinct()
+        dst_post = dst.postings.join(F.broadcast(keep), "docid", "left_semi")
+        merged = dst_post.unionByName(src.postings)
+        aggs = [
+            F.sum("tf").cast("int").alias("tf"),
+            F.bit_or("fieldmask").cast("int").alias("fieldmask"),
+        ]
+        if "positions" in merged.columns:
+            aggs.append(
+                F.sort_array(
+                    F.flatten(F.collect_list("positions"))
+                ).alias("positions")
+            )
+        postings = (
+            merged.groupBy("word", "docid")
+            .agg(*aggs)
+            .withColumn(
+                "wordid",
+                (fnv64_col if dst.settings.wordid == "fnv64" else crc32_col)(
+                    F.col("word")
+                ),
+            )
+        )
+        dictionary = build_dictionary(postings)
+        # src attrs win for duplicated docids (delta supersedes), but
+        # the document total counts both surviving rows
+        n_docs = dst_info.count() + src.docinfo.count()
+        docinfo = (
+            src.docinfo.withColumn("_prio", F.lit(0))
+            .unionByName(dst_info.withColumn("_prio", F.lit(1)))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("docid").orderBy("_prio")
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+        )
+        return cls(
+            dst.spark, dst.settings, postings, dictionary, docinfo, n_docs
+        )
+
     def persist(self) -> "SphinxIndex":
         """Cache index tables for repeated serving (Sphinx preread,
         src/sphinx.cpp:15534 — here just Spark storage-level caching)."""
@@ -354,6 +422,10 @@ class SphinxIndex:
         DataFrame (docid, tfidf, fieldmask, tfs[, hits]) + query meta."""
         tree = self.parse(match, mode)
         words = collect_words(tree)
+        seen_words: set[str] = set()
+        for w in words:
+            w.dup = w.word in seen_words
+            seen_words.add(w.word)
         idf, raw_stats = self._compute_idf(
             [w.word for w in words], float32=(score_mode == "exact32")
         )
@@ -383,7 +455,10 @@ class SphinxIndex:
             wordid_impl=self.settings.wordid,
         )
         plan = compile_node(tree, ctx)
-        idf_by_qpos = {w.querypos: idf.get(w.word, 0.0) for w in words}
+        idf_by_qpos = {
+            w.querypos: (0.0 if w.dup else idf.get(w.word, 0.0))
+            for w in words
+        }
         meta = {"idf": idf, "stats": stats, "idf_by_qpos": idf_by_qpos}
         return plan, meta
 
@@ -416,7 +491,8 @@ class SphinxIndex:
         )
         if not sorted_output:
             return out
-        out = out.orderBy(F.col("weight").desc(), F.col("docid").asc())
+        out = out.orderBy(F.col("weight").desc(),
+                F.col("docid").bitwiseXOR(F.lit(-(1 << 63))).asc())
         k = min(limit, max_matches)
         if offset:
             out = out.offset(offset)
@@ -482,7 +558,8 @@ class SphinxIndex:
         try:
             total_found = ranked.count()
             out = ranked.orderBy(
-                F.col("weight").desc(), F.col("docid").asc()
+                F.col("weight").desc(),
+                F.col("docid").bitwiseXOR(F.lit(-(1 << 63))).asc()
             )
             if offset:
                 out = out.offset(offset)

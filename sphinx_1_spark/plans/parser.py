@@ -36,6 +36,11 @@ class QWord:
     # kept, magic markers absent) — m_sDictWord semantics,
     # src/sphinx.cpp:11628-11631
     display: str = ""
+    # repeated query word: only the FIRST term of a word carries IDF;
+    # later ExtTerms of the same word keep m_fIDF = 0 (GetQwords
+    # hash-exists early-out, src/sphinx.cpp:11977-11981), so '"zee
+    # lord of zee rings"' scores zee once in BM25
+    dup: bool = False
 
 
 @dataclass
@@ -123,8 +128,19 @@ def _query_stream(tokenizer: Tokenizer, chunk: str):
         var = tokenizer._star_variant = Tokenizer(
             dataclasses.replace(s, min_word_len=1)
         )
+    ngram = getattr(tokenizer, "_ngram_mask", None)
+
+    def _short(raw: str) -> bool:
+        if len(raw) >= s.min_word_len:
+            return False
+        # ngram chars are specials returned BEFORE the overshort test
+        # (GetToken special handling, src/sphinx.cpp:4327-4360)
+        if ngram is not None and raw and ngram[ord(raw[0])]:
+            return False
+        return True
+
     return [
-        (raw, None if len(raw) < s.min_word_len else norm, pos)
+        (raw, None if _short(raw) else norm, pos)
         for raw, norm, pos in var._full_stream(chunk)
     ]
 

