@@ -100,10 +100,13 @@ def make_lcs_rank(field_weights: list[int], squared: bool = True):
             for h in lst:  # already sorted by (lcspos, querypos)
                 lcspos = int(h["lcspos"])
                 delta = lcspos - int(h["querypos"])
+                # BYTE uCurLCS / BYTE uLCS[] (src/sphinx.cpp:14002-14006)
+                # wrap mod 256 — a long chain's stored maximum is the
+                # largest wrapped value seen (test_94 pins 255)
                 if delta == expdelta:
-                    curlcs += int(h["weight"])
+                    curlcs = (curlcs + int(h["weight"])) & 0xFF
                 else:
-                    curlcs = int(h["weight"])
+                    curlcs = int(h["weight"]) & 0xFF
                 fld = lcspos >> 24
                 if fld < len(lcs) and curlcs > lcs[fld]:
                     lcs[fld] = curlcs
