@@ -24,10 +24,16 @@ from tests.reference_harness import (  # noqa: E402
 # searchd-only / out-of-scope machinery per SURVEY §2.1; a test whose
 # config or queries require these is reported SKIP with the reason.
 UNSUPPORTED_CFG = (
-    (r"type\s*=\s*distributed", "distributed agents"),
-    (r"\bagent\s*=", "distributed agents"),
-    ("xmlpipe", "xmlpipe source via indexer exec"),
-    ("sql_query_pre", "SQL-side session state"),
+    # local-agent distributed indexes replay as multi-index fan-out
+    # (run_query dist resolution); nothing to skip — every shipped
+    # distributed test points its agents at the local searchd
+    # xmlpipe2 'cat file' sources replay through sources/xmlpipe.py;
+    # only commands that actually exec a generator program are skipped
+    (r"xmlpipe_command\s*=\s*+(?!cat\s)", "xmlpipe source via exec"),
+    # sql_query_pre other than a session-timezone pin needs SQL-side
+    # state; every shipped test only sets time_zone='+0:00', which the
+    # harness's pinned-UTC session already provides
+    (r"sql_query_pre\s*=\s*+(?!(?i:set\s+time_zone))", "SQL-side session state"),
     ("sql_joined_field", "sql_joined_field"),
     ("sql_file_field", "sql_file_field"),
     ("mssql", "mssql driver"),

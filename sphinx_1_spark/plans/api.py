@@ -67,6 +67,13 @@ class ApiQuery:
     # extra virtual attrs: [(alias, expression)] (SetSelect subset)
     now_epoch: int = 0
     score_mode: str = "exact32"
+    # SetGeoAnchor(attrlat, attrlong, lat, long): adds the '@geodist'
+    # virtual attr = haversine distance from the anchor point
+    # (SetGeoAnchor -> CalcGeodist, src/sphinx.cpp:14931-14950)
+    geoanchor: tuple[str, str, float, float] | None = None
+    # filters over virtual attrs (@geodist/@expr) evaluated AFTER the
+    # virtual columns exist — the reference's late filter list
+    late_filters: list[Column] = dc_field(default_factory=list)
 
 
 class ApiQueryError(ValueError):
@@ -160,6 +167,27 @@ def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
             with_attrs=True,
         )
     attr_types = _attr_types(idx)
+    if q.geoanchor:
+        from sphinx_1_spark.functions.exprs import geodist
+
+        import numpy as _np
+
+        alat, alng, lat, lng = q.geoanchor
+        # anchor coords and attr values are float32 (m_fGeoAnchorLat /
+        # GetAttrFloat), widened to double inside the haversine
+        # (ExprGeodist_t::Eval, src/sphinxsort.cpp:1745-1762)
+        ranked = ranked.withColumn(
+            "@geodist",
+            geodist(
+                F.col(alat).cast("float").cast("double"),
+                F.col(alng).cast("float").cast("double"),
+                F.lit(float(_np.float32(lat))),
+                F.lit(float(_np.float32(lng))),
+            ).cast("float"),
+        )
+        attr_types["@geodist"] = "float"
+    for flt in q.late_filters:
+        ranked = ranked.where(flt)
     for alias, expr in q.select:
         col, t = parse_expression(
             expr, attr_types, now_epoch=q.now_epoch,

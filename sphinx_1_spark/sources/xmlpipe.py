@@ -90,6 +90,7 @@ def parse_docset(xml_text: str) -> dict:
 
     fields: list[str] = []
     attrs: list[tuple[str, str]] = []
+    defaults: dict[str, object] = {}
     docs: list[dict] = []
     kill: list[int] = []
 
@@ -103,6 +104,12 @@ def parse_docset(xml_text: str) -> dict:
                 if typ not in _ATTR_TYPES:
                     raise XmlPipeError(f"unknown attr type {typ!r}")
                 attrs.append((el.attrib["name"], typ))
+                if "default" in el.attrib:
+                    # schema-declared default for absent attr elements
+                    # (ConfigureAttrs default parse, src/sphinx.cpp)
+                    defaults[el.attrib["name"]] = _ATTR_TYPES[typ][0](
+                        el.attrib["default"]
+                    )
 
     for el in root:
         if el.tag == f"{_SPH}document":
@@ -126,7 +133,11 @@ def parse_docset(xml_text: str) -> dict:
             for name, typ in attrs:
                 raw = by_name.get(name)
                 caster = _ATTR_TYPES[typ][0]
-                doc[name] = caster(raw) if raw not in (None, "") else None
+                doc[name] = (
+                    caster(raw)
+                    if raw not in (None, "")
+                    else defaults.get(name)
+                )
             docs.append(doc)
         elif el.tag == f"{_SPH}killlist":
             for idel in el:

@@ -55,6 +55,9 @@ class RefQuery:
     select: str | None = None
     index_weights: dict[str, int] | None = None
     roundoff: int = 0
+    # legacy <Query_Settings> PHP block (tests 07/08/09)
+    geoanchor: tuple[str, str, float, float] | None = None
+    float_range: tuple[str, float, float] | None = None
 
 
 @dataclass
@@ -241,9 +244,45 @@ def load_test(
         # every query runs in default mode = SPH_MATCH_ALL with the
         # default ranker (helpers.inc:495-500)
         legacy = _ci_first(r, "query")
+        # <Query_Settings>: raw SphinxClient PHP calls (RunQuery eval,
+        # helpers.inc) — the suite only uses SetGeoAnchor,
+        # SetSortMode(SPH_SORT_EXTENDED, ...), SetFilterFloatRange and
+        # a literal Query(.., 'index')
+        qset = _ci_first(r, "query_settings")
+        geo = ffr = qindex = None
+        sortmode = sortby = None
+        if qset is not None:
+            txt = "".join(qset.itertext())
+            if (m := re.search(
+                r"SetGeoAnchor\s*\(\s*'(\w+)'\s*,\s*'(\w+)'\s*,"
+                r"\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)", txt,
+            )):
+                geo = (m.group(1), m.group(2),
+                       float(m.group(3)), float(m.group(4)))
+            if (m := re.search(
+                r"SetSortMode\s*\(\s*SPH_SORT_EXTENDED\s*,\s*'([^']+)'",
+                txt,
+            )):
+                sortmode, sortby = "extended", m.group(1)
+            if (m := re.search(
+                r"SetFilterFloatRange\s*\(\s*'([^']+)'\s*,"
+                r"\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)", txt,
+            )):
+                ffr = (m.group(1), float(m.group(2)), float(m.group(3)))
+            if (m := re.search(r"Query\s*\(\s*\$query\s*,\s*'(\w+)'", txt)):
+                qindex = m.group(1)
         if legacy is not None:
             for q in _ci_children(legacy):
-                queries.append(RefQuery(query="".join(q.itertext())))
+                queries.append(
+                    RefQuery(
+                        query="".join(q.itertext()),
+                        geoanchor=geo,
+                        float_range=ffr,
+                        sortmode=sortmode,
+                        sortby=sortby,
+                        index=qindex,
+                    )
+                )
     with open(os.path.join(d, "model.bin"), "rb") as f:
         model = php_loads(f.read())
     test = RefTest(
@@ -822,19 +861,25 @@ def make_index_settings(test: RefTest, index_name: str | None = None):
     one = lambda key, default=None: icfg.get(key, [default])[0]
 
     # --- columns ----------------------------------------------------
-    sql_query = (src.get("sql_query", [""])[0]) or "SELECT *"
-    cols, _rows = fixture_select(test, sql_query)
-    attrs = []
-    for ak in ATTR_KEYS:
-        for v in src.get(ak, []):
-            # bitfield spec 'name:bits' (sql_attr_uint = tag2:8,
-            # src/sphinx.cpp:18600) — storage detail, name only
-            attrs.append(v.strip().split(":")[0].strip())
-    mva_specs = parse_mva_specs(src)
-    for name, kind, _q in mva_specs:
-        attrs.append(name)
-    docid = cols[0]
-    fields = tuple(c for c in cols[1:] if c not in attrs)
+    if (src.get("type", [""])[0] or "").strip() == "xmlpipe2":
+        ds = xmlpipe_docset(src)
+        docid = "id"
+        fields = tuple(ds["fields"])
+        attrs = [n for n, _t in ds["attrs"]]
+    else:
+        sql_query = (src.get("sql_query", [""])[0]) or "SELECT *"
+        cols, _rows = fixture_select(test, sql_query)
+        attrs = []
+        for ak in ATTR_KEYS:
+            for v in src.get(ak, []):
+                # bitfield spec 'name:bits' (sql_attr_uint = tag2:8,
+                # src/sphinx.cpp:18600) — storage detail, name only
+                attrs.append(v.strip().split(":")[0].strip())
+        mva_specs = parse_mva_specs(src)
+        for name, kind, _q in mva_specs:
+            attrs.append(name)
+        docid = cols[0]
+        fields = tuple(c for c in cols[1:] if c not in attrs)
     # from-query MVAs are attr-only columns added at build time
     table = None
 
@@ -912,14 +957,34 @@ def make_index_settings(test: RefTest, index_name: str | None = None):
     return settings, table, name
 
 
+def xmlpipe_docset(src: dict) -> dict:
+    """Run an xmlpipe2 source's command and parse the docset through
+    the engine's xmlpipe module (sources/xmlpipe.py).  Only the
+    `cat <path>` form the suite uses is supported (test_68's
+    xmlpipe_command = cat .../dataN.xml)."""
+    from sphinx_1_spark.sources.xmlpipe import parse_docset
+
+    cmd = (src.get("xmlpipe_command", [""])[0] or "").strip()
+    m = re.fullmatch(r"cat\s+(\S+)", cmd)
+    if not m:
+        raise ValueError(f"unsupported xmlpipe_command {cmd!r}")
+    with open(m.group(1)) as f:
+        return parse_docset(f.read())
+
+
 def index_rows(test: RefTest, src: dict) -> tuple[list[str], list[list]]:
     """(cols, rows) for one source section: sql_query + MVA attrs
     resolved (from-field strings split to int lists, from-query
     side-tables grouped per docid), bitfield attrs masked to their
     declared width (sql_attr_uint = name:bits keeps the low bits,
     src/sphinx.cpp docinfo bit packing)."""
-    sql_query = (src.get("sql_query", [""])[0]) or "SELECT *"
-    cols, rows = fixture_select(test, sql_query)
+    if (src.get("type", [""])[0] or "").strip() == "xmlpipe2":
+        ds = xmlpipe_docset(src)
+        cols = ["id"] + list(ds["fields"]) + [n for n, _t in ds["attrs"]]
+        rows = [[d.get(c) for c in cols] for d in ds["documents"]]
+    else:
+        sql_query = (src.get("sql_query", [""])[0]) or "SELECT *"
+        cols, rows = fixture_select(test, sql_query)
     # indexer-side docid handling: 0 and DOCID_MAX (UINT64_MAX) are
     # reserved sentinels and their rows never make the index
     # (src/sphinx.cpp DOCINFO_IDSIZE sentinels); duplicate docids keep
@@ -962,6 +1027,8 @@ def index_rows(test: RefTest, src: dict) -> tuple[list[str], list[list]]:
 def parse_killlist(test: RefTest, src: dict) -> list[int]:
     """sql_query_killlist -> docid list (literal SELECT n UNION ...
     or a fixture-table select)."""
+    if (src.get("type", [""])[0] or "").strip() == "xmlpipe2":
+        return list(xmlpipe_docset(src)["killlist"])
     q = src.get("sql_query_killlist", [None])[0]
     if not q:
         return []
@@ -978,6 +1045,8 @@ def build_indexes(spark, test: RefTest):
     """[(name, SphinxIndex, killlist_ids)] for every non-distributed
     index section, in config order (searchd's local index iteration
     order)."""
+    from pyspark.sql import functions as F
+
     from sphinx_1_spark.plans.engine import SphinxIndex
 
     src_secs = {n: v for k, n, _, v in test.sections if k == "source"}
@@ -1037,9 +1106,13 @@ def build_indexes(spark, test: RefTest):
             df = spark.createDataFrame(
                 [tuple(r) for r in rows], schema=cols
             ).limit(0)
+        # sql_attr_float stores FLOAT32 (docinfo rowitem) — golden
+        # @geodist values reflect the narrowed inputs
+        for v in src.get("sql_attr_float", []):
+            cname = v.strip()
+            if cname in df.columns:
+                df = df.withColumn(cname, F.col(cname).cast("float"))
         if unpack:
-            from pyspark.sql import functions as F
-
             from sphinx_1_spark.sources.unpack import unpack_zlib_text
 
             for cname, mysql in unpack.items():
@@ -1154,7 +1227,7 @@ def _parse_select(select: str | None) -> list[tuple[str, str]]:
     return out
 
 
-def run_query(indexes, q: RefQuery):
+def run_query(indexes, q: RefQuery, dist: dict | None = None):
     """-> result dict shaped like a model.bin entry (or {'error':...}).
 
     indexes: [(name, SphinxIndex, killlist_ids)] in config order;
@@ -1166,10 +1239,17 @@ def run_query(indexes, q: RefQuery):
 
     by_name = {n: (n, idx, kill) for n, idx, kill in indexes}
     if q.index:
+        # a distributed index fans out to its agents' local indexes
+        # (searchd.cpp distributed dispatch); agents serving the same
+        # local index dedupe like any multi-index docid sweep, so the
+        # name list resolves once per distinct local index
+        names: list[str] = []
+        for tok in re.split(r"[\s,]+", q.index.strip()):
+            for n in (dist or {}).get(tok, [tok]):
+                if n not in names:
+                    names.append(n)
         try:
-            chosen = [
-                by_name[n] for n in re.split(r"[\s,]+", q.index.strip())
-            ]
+            chosen = [by_name[n] for n in names]
         except KeyError as e:
             return {"error": f"unknown local index '{e.args[0]}'"}
     else:
@@ -1231,6 +1311,16 @@ def run_query(indexes, q: RefQuery):
         select=_parse_select(q.select),
         now_epoch=NOW_EPOCH,
         score_mode="exact32",
+        geoanchor=q.geoanchor,
+        late_filters=(
+            [
+                F.col(q.float_range[0]).between(
+                    q.float_range[1], q.float_range[2]
+                )
+            ]
+            if q.float_range
+            else []
+        ),
     )
     try:
         rows, meta = api_query(
@@ -1362,6 +1452,14 @@ def replay(spark, test_id: str, subtest: int = 0,
         if golden_failed:
             return []
         return [f"[{test_id} st{subtest}] build failed: {e}"]
+    dist_map: dict[str, list[str]] = {}
+    for k, n, _h, v in test.sections:
+        if k == "index" and (v.get("type", [""])[0] or "").strip() == "distributed":
+            names: list[str] = []
+            for a in v.get("agent", []):
+                tail = a.strip().split(":")[-1]
+                names.extend(s.strip() for s in tail.split(",") if s.strip())
+            dist_map[n] = names
     if golden_failed:
         return [
             f"[{test_id} st{subtest}] golden expects indexer failure,"
@@ -1371,7 +1469,7 @@ def replay(spark, test_id: str, subtest: int = 0,
     for qi, q in enumerate(test.queries):
         if queries is not None and qi not in queries:
             continue
-        got = run_query(indexes, q)
+        got = run_query(indexes, q, dist=dist_map)
         for e in compare_result(got, model_results[qi]):
             errs.append(f"[{test_id} st{subtest} q{qi} {q.query!r}] {e}")
     return errs
