@@ -146,17 +146,22 @@ def main() -> None:
         extra.setdefault("rows", {})[name] = n  # type: ignore[union-attr]
 
     total = round(sum(v for v in timings.values()), 4)
+    # the throughput/row diagnostics go on their own line — the
+    # driver's stdout tail window is 2000 chars, so the contract line
+    # below must stay short enough to survive it intact
+    print("# extra: " + json.dumps(extra))
     print(
         json.dumps(
             {
                 "metric": "index_build_plus_query_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf_dir,
                 "cpus": int(cpus),
-                "extra": extra,
-            }
+                "docs_per_sec": extra.get("segment_docs_per_sec"),
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
