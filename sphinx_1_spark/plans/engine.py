@@ -261,9 +261,16 @@ class SphinxIndex:
             F.bit_or("fieldmask").cast("int").alias("fieldmask"),
         ]
         if "positions" in merged.columns:
+            # identical hit entries from both sides collapse — the
+            # merged doclist never double-decodes one (word, docid,
+            # pos) ('no double-delta decoding', test/test_61: the
+            # shared doc keeps weight 1, while distinct positions
+            # interleave, test/test_78)
             aggs.append(
-                F.sort_array(
-                    F.flatten(F.collect_list("positions"))
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(F.collect_list("positions"))
+                    )
                 ).alias("positions")
             )
         postings = (
@@ -276,6 +283,8 @@ class SphinxIndex:
                 ),
             )
         )
+        if "positions" in merged.columns:
+            postings = postings.withColumn("tf", F.size("positions"))
         dictionary = build_dictionary(postings)
         # src attrs win for duplicated docids (delta supersedes), but
         # the document total counts both surviving rows

@@ -1103,6 +1103,12 @@ def build_indexes(spark, test: RefTest):
                 )
             ]
             cols, rows = index_rows(test, src2)
+            if not rows:
+                # even the unfiltered rows were sentinel-filtered
+                # (docid 0 literals, test_64) — schema inference only
+                cols, rows = fixture_select(
+                    test, src2["sql_query"][0] or "SELECT *"
+                )
             df = spark.createDataFrame(
                 [tuple(r) for r in rows], schema=cols
             ).limit(0)
