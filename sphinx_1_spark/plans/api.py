@@ -186,8 +186,6 @@ def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
             ).cast("float"),
         )
         attr_types["@geodist"] = "float"
-    for flt in q.late_filters:
-        ranked = ranked.where(flt)
     for alias, expr in q.select:
         col, t = parse_expression(
             expr, attr_types, now_epoch=q.now_epoch,
@@ -195,6 +193,10 @@ def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
         )
         ranked = ranked.withColumn(alias, col)
         attr_types[alias.lower()] = t
+    # late filters run once every virtual attr (geodist + SetSelect
+    # aliases) exists — the reference's post-calc filter list
+    for flt in q.late_filters:
+        ranked = ranked.where(flt)
     if q.sortmode == "expr":
         col, _t = parse_expression(
             q.sortby, attr_types, now_epoch=q.now_epoch,

@@ -1,0 +1,99 @@
+"""Hand-ported replays of the reference's custom-PHP e2e tests that
+the generic harness skips (no <queries> section).
+
+test_46 'mva filtering' is self-checking PHP: each SetFilter /
+SetFilterRange over the MVA attr asserts an expected match count (and
+that a single match is doc 4).  test_60 'select expressions' pins a
+10,002-argument IN(@id, ...) SetSelect expression filtered on its own
+alias against its model.bin result.  Both run through the same
+SphinxAPI layer the generic harness uses.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.reference_harness import (
+    build_indexes,
+    load_test,
+    run_query,
+    RefQuery,
+)
+from sphinx_1_spark.plans.api import ApiQuery, api_query
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sphinx_1_spark.session import get_spark
+
+    s = get_spark(cores=8)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _indexes(spark, test_id):
+    built = build_indexes(spark, load_test(test_id))
+    return [(b["name"], b["idx"], b["kill"]) for b in built]
+
+
+def test_46_mva_value_filters(spark):
+    indexes = _indexes(spark, "test_46")
+    # (values..., expected_count) — a single match must be doc 4
+    # (test/test_46/test.xml custom_test VALUES block)
+    cases = [
+        ((0,), 0), ((7,), 0), ((15,), 0), ((21,), 0),
+        ((3, 8, 16), 0), ((7, 18, 21), 0),
+        ((6,), 1), ((12,), 1), ((20,), 1),
+        ((5, 12), 1), ((7, 17), 1), ((15, 20), 1),
+    ]
+    for values, expect in cases:
+        # multi-value MVA filter: any stored value in the set
+        flt = F.arrays_overlap(
+            F.col("mva"), F.array(*[F.lit(v) for v in values])
+        )
+        rows, _meta = api_query(
+            [(n, idx, kill or None) for n, idx, kill in indexes],
+            ApiQuery(query="", filters=[flt]),
+        )
+        assert len(rows) == expect, (values, expect, rows)
+        if expect == 1:
+            assert rows[0]["docid"] == 4
+
+
+def test_46_mva_range_filters(spark):
+    indexes = _indexes(spark, "test_46")
+    cases = [
+        ((1, 4), 0), ((1, 5), 0), ((1, 6), 1), ((1, 7), 1),
+        ((1, 12), 1), ((1, 15), 1),
+        ((6, 9), 1), ((7, 9), 0), ((8, 10), 0), ((9, 12), 1),
+        ((9, 15), 1), ((9, 21), 1), ((16, 21), 1), ((17, 21), 1),
+        ((18, 19), 0), ((18, 25), 1), ((19, 25), 1), ((20, 25), 1),
+        ((21, 25), 0),
+    ]
+    for (lo, hi), expect in cases:
+        got = run_query(
+            indexes,
+            RefQuery(
+                query="", filter="mva", filter_range=(lo, hi)
+            ),
+        )
+        assert got["total_found"] == expect, ((lo, hi), expect, got)
+        if expect == 1:
+            assert got["matches"][0][0] == 4
+
+
+def test_60_wide_in_select(spark):
+    indexes = _indexes(spark, "test_60")
+    idlist = ",".join(str(i) for i in range(10000, 20000))
+    aq = ApiQuery(
+        query="",
+        select=[("q", f"IN(@id,1,{idlist},3)")],
+        late_filters=[F.col("q") == 1],
+    )
+    rows, meta = api_query(
+        [(n, idx, kill or None) for n, idx, kill in indexes], aq
+    )
+    got = sorted((r["docid"], r["tag"], r["q"]) for r in rows)
+    # model.bin: docs 1 and 3 match, q=1, tag mirrors the id
+    assert got == [(1, 1, 1), (3, 3, 1)]
