@@ -652,8 +652,45 @@ def fixture_tables(test: RefTest) -> dict[str, tuple[list[str], list[list]]]:
                     fr.append(cd.default)
             full[1].append(fr)
 
+    def _where_fn(cols, clause):
+        import operator as _op
+
+        mw = re.fullmatch(
+            r"`?(\w+)`?\s*(>=|<=|<>|!=|=|<|>)\s*(-?\d+)", clause.strip()
+        )
+        if not mw:
+            raise ValueError(f"unsupported WHERE {clause!r}")
+        ci, k = cols.index(mw.group(1)), int(mw.group(3))
+        fn = {
+            ">=": _op.ge, "<=": _op.le, "<>": _op.ne, "!=": _op.ne,
+            "=": _op.eq, "<": _op.lt, ">": _op.gt,
+        }[mw.group(2)]
+        return lambda r: fn(int(r[ci]), k)
+
     for ins in test.inserts:
         for stmt in re.split(r";\s*(?=INSERT)", ins, flags=re.I):
+            # DELETE FROM t WHERE ... / UPDATE t SET c=v WHERE ...
+            # (test_32 trims and mutates its fixture between inserts)
+            if (md := re.match(
+                r"\s*DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.+?)\s*;?\s*$",
+                stmt, re.I | re.S,
+            )):
+                cols0, rows0 = out[md.group(1)]
+                keep = _where_fn(cols0, md.group(2))
+                rows0[:] = [r for r in rows0 if not keep(r)]
+                continue
+            if (mu := re.match(
+                r"\s*UPDATE\s+`?(\w+)`?\s+SET\s+`?(\w+)`?\s*=\s*(-?\d+)"
+                r"\s+WHERE\s+(.+?)\s*;?\s*$",
+                stmt, re.I | re.S,
+            )):
+                cols0, rows0 = out[mu.group(1)]
+                hit = _where_fn(cols0, mu.group(4))
+                si, sv = cols0.index(mu.group(2)), int(mu.group(3))
+                for r in rows0:
+                    if hit(r):
+                        r[si] = sv
+                continue
             if not re.match(r"\s*INSERT\b", stmt, re.I):
                 continue  # set/select no-ops in db_insert
             evaluated = _eval_insert_select(stmt, out)

@@ -83,6 +83,76 @@ def test_46_mva_range_filters(spark):
             assert got["matches"][0][0] == 4
 
 
+def test_45_killlist_chain_with_id_filters(spark):
+    """test_45 'killlist, part 2/2': main(1-5) + three one-doc deltas
+    (6,7,8) whose kill-lists kill 1,2,3; three batched queries over
+    the four-index chain with @id filters (model.bin: {4}, {5,6,7,8},
+    then all five sorted @id DESC)."""
+    indexes = _indexes(spark, "test_45")
+    chain = [(n, idx, kill or None) for n, idx, kill in indexes]
+
+    rows, meta = api_query(
+        chain, ApiQuery(query="test", filters=[F.col("docid").isin([1, 2, 3, 4])])
+    )
+    assert sorted(r["docid"] for r in rows) == [4]
+    assert meta["total_found"] == 1
+
+    rows, meta = api_query(
+        chain, ApiQuery(query="test", filters=[F.col("docid").isin([5, 6, 7, 8])])
+    )
+    assert sorted(r["docid"] for r in rows) == [5, 6, 7, 8]
+
+    rows, meta = api_query(
+        chain,
+        ApiQuery(
+            query="test",
+            filters=[F.col("docid").isin(list(range(1, 9)))],
+            sortmode="extended",
+            sortby="@id DESC",
+        ),
+    )
+    assert [r["docid"] for r in rows] == [8, 7, 6, 5, 4]
+    assert meta["total_found"] == 5
+
+
+def test_32_fullscan_reject_update_ranges(spark):
+    """test_32 'fullscan early-reject blocks vs cutoff/updates/
+    ranges': 200-doc fixture (post fixture DELETE/UPDATE), then the
+    custom flow — tag=150 fullscan, UpdateAttributes(137 -> 1137),
+    re-find by the new value, and two range scans (model.bin: doc 150;
+    1 row updated; doc 137; docs 1,198,199,200; docs 127,128)."""
+    from sphinx_1_spark.plans.attrs import update_attributes
+
+    name, idx, kill = _indexes(spark, "test_32")[0]
+    chain = [(name, idx, kill or None)]
+
+    rows, meta = api_query(
+        chain, ApiQuery(query="", filters=[F.col("tag") == 150])
+    )
+    assert [(r["docid"], r["tag"]) for r in rows] == [(150, 150)]
+
+    # UpdateAttributes: doc 137 tag -> 1137 (copy-on-write docinfo)
+    upd = spark.createDataFrame([(137, 1137)], "docid long, tag int")
+    idx.docinfo = update_attributes(idx.docinfo, upd, ["tag"])
+
+    rows, _ = api_query(
+        chain, ApiQuery(query="", filters=[F.col("tag") == 1137])
+    )
+    assert [(r["docid"], r["tag"]) for r in rows] == [(137, 1137)]
+
+    rows, _ = api_query(
+        chain, ApiQuery(query="", filters=[F.col("tag").between(198, 1100)])
+    )
+    assert sorted((r["docid"], r["tag"]) for r in rows) == [
+        (1, 200), (198, 198), (199, 199), (200, 200)
+    ]
+
+    rows, _ = api_query(
+        chain, ApiQuery(query="", filters=[F.col("tag").between(127, 128)])
+    )
+    assert sorted(r["docid"] for r in rows) == [127, 128]
+
+
 def test_60_wide_in_select(spark):
     indexes = _indexes(spark, "test_60")
     idlist = ",".join(str(i) for i in range(10000, 20000))
