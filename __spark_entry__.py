@@ -707,9 +707,17 @@ def q_mva_filter(spark, sf_dir):
         (F.col("doc_id") % 5 + 10).cast("long"),
         (F.col("n_chars") % 7 + 20).cast("long"),
     )
+    # The driver's pandas canonicalizer can't factorize array cells, so the
+    # result projects the MVA to scalar elements (predicate stays on the array).
     return (
         docs.select("doc_id", mva.alias("mva"))
         .where(F.arrays_overlap(F.col("mva"), F.array(F.lit(1), F.lit(12))))
+        .select(
+            "doc_id",
+            F.col("mva")[0].alias("mva_0"),
+            F.col("mva")[1].alias("mva_1"),
+            F.col("mva")[2].alias("mva_2"),
+        )
         .orderBy("doc_id")
         .limit(100)
     )
@@ -2074,7 +2082,8 @@ ORDER BY segment ASC, ts DESC, event_id ASC LIMIT 50"""
 
     mva_expr = "[doc_id % 3, doc_id % 5 + 10, n_chars % 7 + 20]"
     mva_filter = f"""
-SELECT doc_id, {mva_expr} AS mva FROM documents
+SELECT doc_id, {mva_expr}[1] AS mva_0, {mva_expr}[2] AS mva_1, {mva_expr}[3] AS mva_2
+FROM documents
 WHERE list_has_any({mva_expr}, [1, 12])
 ORDER BY doc_id LIMIT 100"""
 

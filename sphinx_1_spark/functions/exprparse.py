@@ -135,6 +135,14 @@ class _P:
     @staticmethod
     def _cast(node, t):
         col, nt = node
+        # MVA attrs are legal ONLY as IN()'s first argument (which
+        # never routes through _cast) — everywhere else the reference
+        # rejects them at parse time (sphinxexpr.y attr rule), so fail
+        # with the parser's message instead of a KeyError/cast error
+        if nt == "mva" or t == "mva":
+            raise ExprParseError(
+                "MVA attribute is only legal as the first IN() argument"
+            )
         if nt == t:
             return col
         return col.cast(_SPARK_T[t])
@@ -255,6 +263,10 @@ class _P:
     def expr_unary(self):
         if self.accept_op("-"):
             col, t = self.expr_unary()
+            if t == "mva":
+                raise ExprParseError(
+                    "MVA attribute is only legal as the first IN() argument"
+                )
             return ((-col).cast(_SPARK_T[t]), t)
         return self.primary()
 

@@ -366,8 +366,22 @@ def embedding_neardup_pairs(
         # ~4 expected splits per doubling beyond the bound; buckets
         # are uneven so overshoot by 2 bits
         import math
+        import warnings
 
         nbits = max(4, math.ceil(math.log2(n_rows / max_broadcast_rows)) + 2)
+        # make the exactness downgrade visible: cross-bucket pairs are
+        # missed, so callers relying on the exact all-pairs contract
+        # must either raise max_broadcast_rows or accept LSH recall
+        warnings.warn(
+            f"embedding_neardup_pairs: {n_rows} rows exceed "
+            f"max_broadcast_rows={max_broadcast_rows}; switching to the "
+            f"APPROXIMATE sign-LSH bucketed path (nbits={nbits}) — "
+            "cross-bucket near-dup pairs will be missed. Call "
+            "embedding_neardup_bucketed directly to tune recall, or "
+            "raise max_broadcast_rows for exact results.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return embedding_neardup_bucketed(
             emb, tau=tau, nbits=nbits, id_col=id_col, vec_col=vec_col
         )

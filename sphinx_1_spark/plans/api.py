@@ -14,9 +14,10 @@ Implements the client-visible semantics of HandleCommandSearch
 * multi-index unions: later indexes' kill-lists become exclusion
   filters on earlier indexes (searchd.cpp:4185-4196), per-index
   total_found sums then dupes subtract (:3818), dupes resolve to the
-  lowest index tag (:3803-3810) or to weighted-rank sums under
-  SetIndexWeights (:3775-3800); per the 0.9.9 assignment quirk the
-  reported word stats are the LAST local index's (:4221);
+  HIGHEST tag — last-listed index wins (the dupes sweep sorts docid
+  asc, tag desc: searchd.cpp:2515,3803) — or to weighted-rank sums
+  under SetIndexWeights (:3775-3800); per the 0.9.9 assignment quirk
+  the reported word stats are the LAST local index's (:4221);
 * SetLimits cutoff: matching stops after N matches in processing
   (docid) order;
 * SetIDRange, offset/limit paging, max_matches bounding.
@@ -137,8 +138,14 @@ def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
     raise ApiQueryError(f"unknown sorting mode {q.sortmode!r}")
 
 
-def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
-    """Ranked match relation joined with docinfo + virtual attrs."""
+def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None, kill_df=None):
+    """Ranked match relation joined with docinfo + virtual attrs.
+
+    kill_df: optional single-column DataFrame of docids to exclude
+    (later indexes' kill-lists, searchd.cpp:4185-4196).  Applied as a
+    broadcast left_anti join — never collected to the driver, so a
+    100M-entry delta kill-list stays distributed (plan shape shared
+    with plans/multi.py apply_killlists)."""
     filters = list(q.filters or [])
     if q.id_range:
         # unsigned range compare via the same sign-bit bijection
@@ -166,6 +173,8 @@ def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None):
             score_mode=q.score_mode,
             with_attrs=True,
         )
+    if kill_df is not None:
+        ranked = ranked.join(F.broadcast(kill_df), "docid", "left_anti")
     attr_types = _attr_types(idx)
     if q.geoanchor:
         from sphinx_1_spark.functions.exprs import geodist
@@ -236,10 +245,13 @@ def _collect_sorted(
             limit=q.max_matches,
             max_matches=q.max_matches,
         )
-        rows = grouped.collect()
+        # page via limit(offset+limit) — never collect the whole group
+        # set (group cardinality is unbounded at scale; the reference
+        # bounds its k-buffer at 4*max_matches, src/sphinxsort.cpp:745)
+        page = min(q.offset + q.limit, q.max_matches)
+        rows = grouped.limit(page).collect()[q.offset :]
         total_found = n_total  # caller passes the group count
-        out = rows[q.offset : q.offset + q.limit]
-        return out, min(total_found, q.max_matches), total_found
+        return rows, min(total_found, q.max_matches), total_found
     out = matches.orderBy(*_sort_columns(q, attr_types))
     if q.offset:
         out = out.offset(q.offset)
@@ -258,25 +270,47 @@ def api_query(
     if not indexes:
         raise ApiQueryError("no indexes")
 
+    # Normalize each kill-list ONCE (the harness passes literal Python
+    # lists; the engine passes DataFrames).  Literal lists stay isin()
+    # filters; DataFrame kill-lists stay DISTRIBUTED and apply as a
+    # broadcast left_anti join — never .collect()ed, so a large delta
+    # kill-list neither lands on the driver nor inflates the plan.
+    kill_lits: list[list | None] = []
+    kill_dfs: list[DataFrame | None] = []
+    for _n, _i, kill in indexes:
+        if kill is None:
+            kill_lits.append(None)
+            kill_dfs.append(None)
+        elif isinstance(kill, (list, tuple)):
+            kill_lits.append(list(kill))
+            kill_dfs.append(None)
+        else:
+            kill_lits.append(None)
+            kill_dfs.append(
+                kill.select(
+                    F.col(kill.columns[0]).alias("docid")
+                ).distinct()
+            )
+
     per_index = []
     words_acc: dict[str, list[int]] = {}
     for i, (name, idx, _kill) in enumerate(indexes):
         # later indexes' kill-lists filter this index's matches
         # (searchd.cpp:4185-4196) — they affect total_found too
         extra = []
-        for _n2, _i2, kill2 in indexes[i + 1 :]:
-            if kill2 is not None:
-                ids = (
-                    list(kill2)
-                    if isinstance(kill2, (list, tuple))
-                    else [
-                        r[0]
-                        for r in kill2.select(kill2.columns[0]).collect()
-                    ]
+        kill_df = None
+        for j in range(i + 1, len(indexes)):
+            if kill_lits[j]:
+                extra.append(~F.col("docid").isin(kill_lits[j]))
+            if kill_dfs[j] is not None:
+                kill_df = (
+                    kill_dfs[j]
+                    if kill_df is None
+                    else kill_df.unionByName(kill_dfs[j]).distinct()
                 )
-                if ids:
-                    extra.append(~F.col("docid").isin(ids))
-        ranked, meta, attr_types = _ranked_with_attrs(idx, q, extra)
+        ranked, meta, attr_types = _ranked_with_attrs(
+            idx, q, extra, kill_df=kill_df
+        )
         per_index.append((name, ranked, attr_types))
         # per-word stats accumulate across local indexes: QueryEx gets
         # the shared AggrResult (searchd.cpp:4288) and the index adds
@@ -400,9 +434,16 @@ def api_query(
             grouped = grouped.orderBy(
                 *sort_clause_columns(keys, attr_types)
             )
-        rows = grouped.collect()
-        n_groups = len(rows)
-        rows = rows[q.offset : q.offset + q.limit]
+        # count groups distributedly (grouped is already bounded at
+        # max_matches by api_group_query), then page via limit — no
+        # whole-result-set collect on the driver
+        grouped = grouped.cache()
+        try:
+            n_groups = grouped.count()
+            page = min(q.offset + q.limit, q.max_matches)
+            rows = grouped.limit(page).collect()[q.offset :]
+        finally:
+            grouped.unpersist()
         return rows, {
             "total": min(n_groups, q.max_matches),
             "total_found": n_groups,

@@ -493,20 +493,40 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
     every hit of a child carries the same spanlen."""
     children = [compile_node(c, _with_hits(ctx)) for c in node.children]
     n = len(children)
+
     # pack each hit into one int64 the UDF can unpack cheaply:
-    # lcspos(32b) << 30 | querypos(12b) << 18 | spanlen(9b) << 9 | weight(9b)
+    # lcspos(29b) << 34 | querypos(12b) << 22 | spanlen(14b) << 8 | weight(8b).
+    # lcspos = field<<24 | pos24 and the reference caps fields at 32
+    # (fieldmask is a DWORD, src/sphinx.h CSphMatch::m_uFields), so 29
+    # bits hold it; 14-bit spanlen covers a proximity child's window
+    # (qspan+maxdist, e.g. '"a b"~600 << c' → spanlen up to ~602, which
+    # the old 9-bit field silently overflowed into querypos).  Any value
+    # out of range raises instead of corrupting the packed hit.
+    def _pack(h):
+        ok = F.assert_true(
+            (h["lcspos"] >= 0)
+            & (h["lcspos"] < F.lit(1 << 29))
+            & (h["querypos"].cast("bigint").between(0, (1 << 12) - 1))
+            & (h["spanlen"].cast("bigint").between(0, (1 << 14) - 1))
+            & (h["weight"].cast("bigint").between(0, (1 << 8) - 1)),
+            F.lit(
+                "BEFORE hit packing overflow: need lcspos<2^29, "
+                "querypos<4096, spanlen<16384, weight<256"
+            ),
+        )
+        packed = (
+            h["lcspos"] * F.lit(1 << 34)
+            + h["querypos"].cast("bigint") * F.lit(1 << 22)
+            + h["spanlen"].cast("bigint") * F.lit(1 << 8)
+            + h["weight"].cast("bigint")
+        )
+        # assert_true yields NULL on success — route through it so the
+        # guard can't be optimized away
+        return F.when(ok.isNull(), packed).otherwise(packed)
+
     j = _join_all(
         [
-            c.withColumn(
-                "lcs",
-                F.transform(
-                    "hits",
-                    lambda h: h["lcspos"] * F.lit(1 << 30)
-                    + h["querypos"].cast("bigint") * F.lit(1 << 18)
-                    + h["spanlen"].cast("bigint") * F.lit(1 << 9)
-                    + h["weight"].cast("bigint"),
-                ),
-            )
+            c.withColumn("lcs", F.transform("hits", _pack))
             for c in children
         ],
         "inner",
@@ -520,7 +540,7 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
             for ci, lst in enumerate(lists):
                 for v in lst:
                     v = int(v)
-                    merged.append((v >> 30, ci, v))
+                    merged.append((v >> 34, ci, v))
             merged.sort(key=lambda t: (t[0], t[1]))
             # longest/recent dual tracker (GetMatchingHits,
             # src/sphinx.cpp:13650-13745): only fully matched
@@ -533,7 +553,7 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
             flushed: list[int] = []
             for full, ci, packed in merged:
                 fld, p = full >> 24, full & 0x7FFFFF
-                span = (packed >> 9) & 0x1FF
+                span = (packed >> 8) & 0x3FFF
                 if fld != field:
                     acc_l = []
                     acc_r = []
@@ -566,12 +586,12 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
     matched = F.transform(
         F.col("_mh"),
         lambda x: F.struct(
-            F.shiftright(x, 30).cast("bigint").alias("lcspos"),
-            F.shiftright(x, 18).bitwiseAND(F.lit((1 << 12) - 1))
+            F.shiftright(x, 34).cast("bigint").alias("lcspos"),
+            F.shiftright(x, 22).bitwiseAND(F.lit((1 << 12) - 1))
             .cast("int").alias("querypos"),
-            F.shiftright(x, 9).bitwiseAND(F.lit((1 << 9) - 1))
+            F.shiftright(x, 8).bitwiseAND(F.lit((1 << 14) - 1))
             .cast("int").alias("spanlen"),
-            x.bitwiseAND(F.lit((1 << 9) - 1)).cast("int").alias("weight"),
+            x.bitwiseAND(F.lit((1 << 8) - 1)).cast("int").alias("weight"),
         ),
     )
     cols = [
