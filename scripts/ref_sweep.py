@@ -41,9 +41,22 @@ UNSUPPORTED_CFG = (
 )
 
 
-def classify_skip(test) -> str | None:
+# custom-PHP tests replayed as dedicated pytest hand-ports instead of
+# the generic XML replay (model.bin values asserted there)
+HAND_PORTED = {
+    "test_31": "tests/test_multiquery.py (geodist/expr multiquery)",
+    "test_32": "tests/test_custom_php_goldens.py (fullscan/cutoff/update)",
+    "test_45": "tests/test_custom_php_goldens.py (killlist part 2/2)",
+    "test_46": "tests/test_custom_php_goldens.py (mva filtering)",
+    "test_60": "tests/test_custom_php_goldens.py (select expressions)",
+}
+
+
+def classify_skip(test, test_id: str | None = None) -> str | None:
     import re as _re
 
+    if test_id in HAND_PORTED:
+        return f"hand-ported: {HAND_PORTED[test_id]}"
     cfg = test.config_text
     for needle, why in UNSUPPORTED_CFG:
         if _re.search(needle, cfg):
@@ -67,7 +80,7 @@ def main() -> None:
         t0 = time.time()
         try:
             test = load_test(tid)
-            why = classify_skip(test)
+            why = classify_skip(test, tid)
             if why:
                 print(f"{tid} SKIP {why}", flush=True)
                 continue

@@ -279,6 +279,22 @@ def resolve_chain(names) -> list:
             out.append(_PROCESSORS["stem_en"])
             out.append(_PROCESSORS["stem_ru"])
             continue
+        if nm.startswith("libstemmer_"):
+            # Permanent N/A, matching the reference's SHIPPED build:
+            # libstemmer is behind USE_LIBSTEMMER which defaults to 0
+            # (src/sphinx.h:26), the bundled libstemmer_c/ tree ships
+            # no sources, and no reference e2e test uses a
+            # libstemmer_* keyword — so the compiled reference rejects
+            # these exactly like we do (ParseMorphology falls through
+            # to 'unknown stemmer', src/sphinx.cpp:16978).  The built-in
+            # en/ru/cz/soundex/metaphone chains are golden-pinned.
+            raise ValueError(
+                f"morphology {nm!r}: libstemmer is not compiled into the "
+                "reference's shipped build (USE_LIBSTEMMER=0, "
+                "src/sphinx.h:26) and is a documented permanent N/A "
+                "here; use stem_en/stem_ru/stem_cz/stem_enru/soundex/"
+                "metaphone"
+            )
         try:
             out.append(_PROCESSORS[nm])
         except KeyError:

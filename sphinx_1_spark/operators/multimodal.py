@@ -1,15 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 
-Image/audio/video payloads are `binary` columns; real decoders
-(PIL/ffmpeg/torchaudio) are NOT available in this environment, so the
-decode step is a clearly-marked stub behind `decoder=`:
-  * "fake"  — deterministic pseudo-decoder (metadata and features are
+Image/audio/video payloads are `binary` columns.  The decode step is
+pluggable behind `decoder=`:
+  * "fake" — deterministic pseudo-decoder (metadata and features are
     pure functions of the bytes via md5) so the Spark-side plumbing
     (schemas, batching, partitioning, UDF signatures) is fully
-    testable;
-  * "pil" / any real decoder — raises NotImplementedError with the
-    integration point documented.
+    testable without codec libraries;
+  * "png"  — a REAL codec with zero dependencies beyond the stdlib:
+    IHDR header parse for metadata, zlib-inflate + scanline unfilter
+    (numpy) for pixel features.  Proves the mapInPandas seam with
+    actual image bytes in this container;
+  * "pil"  — Pillow-backed decode for every format PIL reads; optional
+    import, raises NotImplementedError when Pillow is absent;
+  * video frame extraction ("ffmpeg") remains an explicit
+    NotImplementedError hook.
 
 At scale: payload columns should live in their own parquet files
 (Iceberg column projection keeps metadata-only queries from touching
@@ -77,6 +82,189 @@ def _fake_features(payload: bytes) -> list[float]:
     ]
 
 
+# ------------------------------------------------------------------ png
+# Minimal PNG codec (stdlib zlib + numpy): 8-bit depth, color types
+# 0/2/4/6, no interlace — the common case for web thumbnails.  This is
+# the "real decoder" seam exercised in-container; PIL plugs into the
+# same registry for full format coverage.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_ihdr(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bitdepth, colortype, interlace) from IHDR."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    # first chunk must be IHDR: len(4) type(4) data(13)
+    if payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG (missing IHDR)")
+    w, h = struct.unpack(">II", payload[16:24])
+    depth, ctype, _comp, _filt, interlace = struct.unpack(
+        "BBBBB", payload[24:29]
+    )
+    return w, h, depth, ctype, interlace
+
+
+def _png_pixels(payload: bytes):
+    """Decode to an (H, W, C) uint8 array.  Supports bit depth 8,
+    color types 0/2/4/6, interlace 0 (PNG spec §4.5-4.6; filters
+    None/Sub/Up/Average/Paeth per §6)."""
+    import zlib
+
+    import numpy as np
+
+    w, h, depth, ctype, interlace = _png_ihdr(payload)
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype}, "
+            f"interlace={interlace}) — use decoder='pil'"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    # walk chunks, concatenate IDAT
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += payload[i + 8 : i + 8 + ln]
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # len + type + data + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG (bad decompressed length)")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    data = arr[:, 1:].astype(np.int32)
+    out = np.zeros_like(data)
+    for y in range(h):
+        f = filters[y]
+        line = data[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = cur
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def _png_decode_meta(payload: bytes) -> tuple[int, int, str]:
+    w, h, _d, _c, _i = _png_ihdr(payload)
+    return w, h, "png"
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM image stats in [0,1]: per-channel means and stds
+    (gray broadcast to 3), aspect ratio w/(w+h), mean luma."""
+    import numpy as np
+
+    px = _png_pixels(payload).astype(np.float64) / 255.0
+    h, w, ch = px.shape
+    rgb = px[:, :, :3] if ch >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    means = rgb.mean(axis=(0, 1))
+    stds = rgb.std(axis=(0, 1))
+    luma = float(
+        (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+        .mean()
+    )
+    feats = [*means.tolist(), *stds.tolist(), w / (w + h), luma]
+    return [round(float(v), 9) for v in feats]
+
+
+# ------------------------------------------------------------------ pil
+
+
+def _pil_image(payload: bytes):
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "decoder 'pil' needs Pillow on the executors "
+            "(pip install pillow); the stdlib 'png' decoder covers "
+            "8-bit non-interlaced PNG without it"
+        ) from e
+    import io
+
+    return Image.open(io.BytesIO(payload))
+
+
+def _pil_decode_meta(payload: bytes) -> tuple[int, int, str]:
+    img = _pil_image(payload)
+    return img.width, img.height, (img.format or "unknown").lower()
+
+
+def _pil_features(payload: bytes) -> list[float]:
+    import numpy as np
+
+    img = _pil_image(payload).convert("RGB")
+    rgb = np.asarray(img, dtype=np.float64) / 255.0
+    h, w = rgb.shape[:2]
+    means = rgb.mean(axis=(0, 1))
+    stds = rgb.std(axis=(0, 1))
+    luma = float(
+        (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+        .mean()
+    )
+    feats = [*means.tolist(), *stds.tolist(), w / (w + h), luma]
+    return [round(float(v), 9) for v in feats]
+
+
+# decoder registry: name -> (meta_fn, feature_fn); both take bytes
+_DECODERS = {
+    "fake": (_fake_decode, _fake_features),
+    "png": (_png_decode_meta, _png_features),
+    "pil": (_pil_decode_meta, _pil_features),
+}
+
+
+def _decoder(decoder: str):
+    if decoder not in _DECODERS:
+        raise NotImplementedError(
+            f"decoder {decoder!r}: known decoders are {sorted(_DECODERS)}; "
+            "plug new codecs into _DECODERS (bytes -> meta/features)"
+        )
+    if decoder == "pil":
+        # probe on the DRIVER so a missing Pillow fails fast with the
+        # integration message instead of surfacing as a wrapped
+        # executor PythonException mid-job
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder 'pil' needs Pillow on driver and executors "
+                "(pip install pillow); the stdlib 'png' decoder covers "
+                "8-bit non-interlaced PNG without it"
+            ) from e
+    return _DECODERS[decoder]
+
+
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Test-fixture helper: synthesize a binary payload column from
     text (stands in for a real image-bytes column)."""
@@ -87,11 +275,7 @@ def decode_image_metadata(
     df: DataFrame, payload_col: str = "payload", decoder: str = "fake"
 ) -> DataFrame:
     """binary payload -> (doc_id, width, height, format, n_bytes)."""
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder {decoder!r}: real image decoding needs PIL/libvips on "
-            "executors; plug it into _fake_decode's slot (same signature)"
-        )
+    meta_fn, _feat_fn = _decoder(decoder)
 
     proj = df.select("doc_id", payload_col)
 
@@ -100,7 +284,7 @@ def decode_image_metadata(
             rows = {k: [] for k in ("doc_id", "width", "height", "format", "n_bytes")}
             for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                w, h, fmt = _fake_decode(b)
+                w, h, fmt = meta_fn(b)
                 rows["doc_id"].append(int(did))
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -115,11 +299,7 @@ def extract_features(
     df: DataFrame, payload_col: str = "payload", decoder: str = "fake"
 ) -> DataFrame:
     """binary payload -> (doc_id, features: array<double>[8])."""
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder {decoder!r}: plug a real embedding model into "
-            "_fake_features (Arrow batch in, list[float] out)"
-        )
+    _meta_fn, feat_fn = _decoder(decoder)
 
     proj = df.select("doc_id", payload_col)
 
@@ -129,7 +309,7 @@ def extract_features(
             for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
                 dids.append(int(did))
-                feats.append(_fake_features(b))
+                feats.append(feat_fn(b))
             yield pd.DataFrame({"doc_id": dids, "features": feats})
 
     return proj.mapInPandas(gen, FEATURE_SCHEMA)

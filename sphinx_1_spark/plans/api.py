@@ -138,8 +138,13 @@ def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
     raise ApiQueryError(f"unknown sorting mode {q.sortmode!r}")
 
 
-def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None, kill_df=None):
-    """Ranked match relation joined with docinfo + virtual attrs.
+def _base_ranked(idx, q: ApiQuery, extra_filters=None, kill_df=None):
+    """The SHAREABLE part of query evaluation: filters -> match tree ->
+    ranked relation -> kill-list exclusion.  Everything up to (but not
+    including) per-query virtual attrs, late filters, and cutoff —
+    i.e. exactly what the reference's multi-queue path computes once
+    and feeds to every batched query's sorter (MultiQuery with N
+    sorters, src/searchd.cpp:4150-4199).
 
     kill_df: optional single-column DataFrame of docids to exclude
     (later indexes' kill-lists, searchd.cpp:4185-4196).  Applied as a
@@ -175,6 +180,21 @@ def _ranked_with_attrs(idx, q: ApiQuery, extra_filters=None, kill_df=None):
         )
     if kill_df is not None:
         ranked = ranked.join(F.broadcast(kill_df), "docid", "left_anti")
+    return ranked, meta
+
+
+def _ranked_with_attrs(
+    idx, q: ApiQuery, extra_filters=None, kill_df=None, base=None
+):
+    """Ranked match relation joined with docinfo + virtual attrs.
+
+    base: optional precomputed (ranked, meta) from _base_ranked —
+    the multi-queue path passes the SAME cached base to every batched
+    query so the scan/rank work happens once."""
+    if base is None:
+        ranked, meta = _base_ranked(idx, q, extra_filters, kill_df)
+    else:
+        ranked, meta = base
     attr_types = _attr_types(idx)
     if q.geoanchor:
         from sphinx_1_spark.functions.exprs import geodist
@@ -259,22 +279,12 @@ def _collect_sorted(
     return rows, min(n_total, q.max_matches), n_total
 
 
-def api_query(
-    indexes: list[tuple[str, object, DataFrame | None]],
-    q: ApiQuery,
-) -> tuple[list, dict]:
-    """Run one API query over [(name, index, killlist_or_None)] in
-    config order.  Returns (rows, meta): meta has total, total_found,
-    words (the last index's stats — 0.9.9 searchd.cpp:4221 assigns,
-    not merges)."""
-    if not indexes:
-        raise ApiQueryError("no indexes")
-
-    # Normalize each kill-list ONCE (the harness passes literal Python
-    # lists; the engine passes DataFrames).  Literal lists stay isin()
-    # filters; DataFrame kill-lists stay DISTRIBUTED and apply as a
-    # broadcast left_anti join — never .collect()ed, so a large delta
-    # kill-list neither lands on the driver nor inflates the plan.
+def _normalize_kills(indexes):
+    """Normalize each kill-list ONCE (the harness passes literal Python
+    lists; the engine passes DataFrames).  Literal lists stay isin()
+    filters; DataFrame kill-lists stay DISTRIBUTED and apply as a
+    broadcast left_anti join — never .collect()ed, so a large delta
+    kill-list neither lands on the driver nor inflates the plan."""
     kill_lits: list[list | None] = []
     kill_dfs: list[DataFrame | None] = []
     for _n, _i, kill in indexes:
@@ -291,25 +301,52 @@ def api_query(
                     F.col(kill.columns[0]).alias("docid")
                 ).distinct()
             )
+    return kill_lits, kill_dfs
+
+
+def _kill_for(i, indexes, kill_lits, kill_dfs):
+    """Exclusion filters + kill DataFrame for index i: later indexes'
+    kill-lists filter this index's matches (searchd.cpp:4185-4196) —
+    they affect total_found too."""
+    extra = []
+    kill_df = None
+    for j in range(i + 1, len(indexes)):
+        if kill_lits[j]:
+            extra.append(~F.col("docid").isin(kill_lits[j]))
+        if kill_dfs[j] is not None:
+            kill_df = (
+                kill_dfs[j]
+                if kill_df is None
+                else kill_df.unionByName(kill_dfs[j]).distinct()
+            )
+    return extra, kill_df
+
+
+def api_query(
+    indexes: list[tuple[str, object, DataFrame | None]],
+    q: ApiQuery,
+    shared_bases: list | None = None,
+) -> tuple[list, dict]:
+    """Run one API query over [(name, index, killlist_or_None)] in
+    config order.  Returns (rows, meta): meta has total, total_found,
+    words (the last index's stats — 0.9.9 searchd.cpp:4221 assigns,
+    not merges).
+
+    shared_bases: per-index (ranked, meta) pairs precomputed by
+    run_queries' multi-queue path — the batch's one shared match
+    relation per index."""
+    if not indexes:
+        raise ApiQueryError("no indexes")
+
+    kill_lits, kill_dfs = _normalize_kills(indexes)
 
     per_index = []
     words_acc: dict[str, list[int]] = {}
     for i, (name, idx, _kill) in enumerate(indexes):
-        # later indexes' kill-lists filter this index's matches
-        # (searchd.cpp:4185-4196) — they affect total_found too
-        extra = []
-        kill_df = None
-        for j in range(i + 1, len(indexes)):
-            if kill_lits[j]:
-                extra.append(~F.col("docid").isin(kill_lits[j]))
-            if kill_dfs[j] is not None:
-                kill_df = (
-                    kill_dfs[j]
-                    if kill_df is None
-                    else kill_df.unionByName(kill_dfs[j]).distinct()
-                )
+        extra, kill_df = _kill_for(i, indexes, kill_lits, kill_dfs)
         ranked, meta, attr_types = _ranked_with_attrs(
-            idx, q, extra, kill_df=kill_df
+            idx, q, extra, kill_df=kill_df,
+            base=shared_bases[i] if shared_bases else None,
         )
         per_index.append((name, ranked, attr_types))
         # per-word stats accumulate across local indexes: QueryEx gets
@@ -501,3 +538,86 @@ def api_query(
         "total_found": total_found,
         "words": meta_words,
     }
+
+
+def _multiqueue_eligible(queries: list[ApiQuery]) -> bool:
+    """The reference's single-query multi-queue check (RunSubset,
+    src/searchd.cpp:3972-4019): batched queries share one match loop
+    iff everything that AFFECTS MATCHING is identical — query string,
+    mode/ranker, id range, filters, select items, cutoff, geo anchor
+    (and expr-sort strings when both queries sort by expr).  Sort and
+    group settings may differ freely: each query keeps its own sorter.
+    """
+    if len(queries) < 2:
+        return False
+    q0 = queries[0]
+
+    def _key(q: ApiQuery):
+        return (
+            q.query,
+            q.mode,
+            q.ranker,
+            q.id_range,
+            [str(c) for c in (q.filters or [])],
+            [str(c) for c in q.late_filters],
+            list(q.select),
+            q.cutoff,
+            q.geoanchor,
+            q.index_weights,
+            q.score_mode,
+        )
+
+    k0 = _key(q0)
+    for q in queries[1:]:
+        if _key(q) != k0:
+            return False
+        # sort expressions must match only when BOTH are expr-sorted
+        # (searchd.cpp:3990)
+        if (
+            q.sortmode == "expr"
+            and q0.sortmode == "expr"
+            and q.sortby != q0.sortby
+        ):
+            return False
+    return True
+
+
+def run_queries(
+    indexes: list[tuple[str, object, DataFrame | None]],
+    queries: list[ApiQuery],
+) -> list[tuple[list, dict]]:
+    """AddQuery/RunQueries batch (SearchHandler_c::RunQueries +
+    RunSubset, src/searchd.cpp:3869-3918, 3960-4199): run several API
+    queries against the same index chain.
+
+    When the multi-queue check passes (identical matching parameters,
+    searchd.cpp:3972-4019) the match relation is computed ONCE per
+    index, cached, and every query's own sort/group plan runs over the
+    shared relation — the reference feeds one MultiQuery match loop
+    into N per-query sorters; the Spark analog is one cached ranked
+    DataFrame and N cheap sort/limit jobs on top.  At scale this is
+    the difference between Q full index scans and one.
+
+    Unlike the reference's multi-queue (whose shared loop computes
+    virtual attrs from SORTER 0's schema only, sphinx.cpp:16287
+    SetupCalc — the source of historical cross-query ordering
+    artifacts), each query here applies its own virtual attrs on top
+    of the shared base, so batched results are always value-identical
+    to one-by-one execution.
+
+    Returns [(rows, meta)] in query order.
+    """
+    if not _multiqueue_eligible(queries):
+        return [api_query(indexes, q) for q in queries]
+
+    kill_lits, kill_dfs = _normalize_kills(indexes)
+    bases = []
+    for i, (_name, idx, _kill) in enumerate(indexes):
+        extra, kill_df = _kill_for(i, indexes, kill_lits, kill_dfs)
+        ranked, meta = _base_ranked(idx, queries[0], extra, kill_df)
+        bases.append((ranked.cache(), meta))
+    try:
+        return [api_query(indexes, q, shared_bases=bases) for q in queries]
+    finally:
+        for ranked, _meta in bases:
+            ranked.unpersist()

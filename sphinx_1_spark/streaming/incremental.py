@@ -218,3 +218,100 @@ class IncrementalView:
         return merged.orderBy(
             F.col("weight").desc(), F.col("docid").asc()
         ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Index rotation: atomic generation swap (the batch analog of searchd's
+# SIGHUP rotation, src/searchd.cpp:924 CheckRotate / RotateIndexGreedy —
+# .new.sp* files rename into place so a reader sees the OLD index or the
+# NEW index, never a mix).  Here a generation is an immutable directory
+# of delta segments; `CURRENT` is a one-line JSON pointer file swapped
+# with os.replace (atomic on POSIX), so a crash mid-promote leaves the
+# old pointer intact and a reader that already resolved the pointer
+# keeps serving the old (still-on-disk) generation.
+# ---------------------------------------------------------------------------
+
+CURRENT_POINTER = "CURRENT"
+
+
+def read_current(root: str) -> dict | None:
+    """The active generation pointer, or None before first promote."""
+    p = os.path.join(root, CURRENT_POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def promote(root: str, generation: str, meta: dict | None = None) -> dict:
+    """Atomically point `root` at `generation` (a directory under root
+    holding complete delta segments).  Write-temp-then-rename: readers
+    resolve either the old pointer or the new one — a kill between the
+    temp write and the rename leaves the old generation live.
+
+    The superseded generation's files are NOT touched (a reader may
+    still be serving them); reclaim with vacuum()."""
+    gen_dir = os.path.join(root, generation)
+    segs = [
+        os.path.join(gen_dir, d)
+        for d in sorted(os.listdir(gen_dir))
+        if d.startswith("delta=")
+    ]
+    if not segs or not all(segment_complete(s) for s in segs):
+        raise ValueError(
+            f"refusing to promote {generation!r}: incomplete segment set"
+        )
+    prev = read_current(root)
+    ptr = {
+        "generation": generation,
+        "epoch": (prev["epoch"] + 1) if prev else 0,
+        "segments": [os.path.basename(s) for s in segs],
+        "promoted_at": time.time(),
+        **(meta or {}),
+    }
+    tmp = os.path.join(root, CURRENT_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(ptr, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, CURRENT_POINTER))  # the atomic swap
+    return ptr
+
+
+def open_current_view(spark: SparkSession, root: str) -> "IncrementalView":
+    """Open the ACTIVE generation.  Resolves the pointer once; the
+    returned view keeps serving that generation's immutable segments
+    even if a promote lands afterwards (exactly the reference's
+    serve-old-while-rotating semantics)."""
+    ptr = read_current(root)
+    if ptr is None:
+        raise ValueError(f"no {CURRENT_POINTER} pointer in {root}")
+    gen_dir = os.path.join(root, ptr["generation"])
+    return IncrementalView(
+        spark,
+        [os.path.join(gen_dir, s) for s in ptr["segments"]],
+    )
+
+
+def vacuum(root: str) -> list[str]:
+    """Remove generations other than the one CURRENT points at.
+    Returns the removed generation names.  Call only when no reader
+    can still hold a pre-promote pointer (the reference's analog is
+    unlinking the .old.sp* files after rotation completes)."""
+    import shutil
+
+    ptr = read_current(root)
+    if ptr is None:
+        return []
+    removed = []
+    for d in sorted(os.listdir(root)):
+        full = os.path.join(root, d)
+        if (
+            os.path.isdir(full)
+            and d != ptr["generation"]
+            and d != "_checkpoint"
+            and not d.startswith(".")
+        ):
+            shutil.rmtree(full)
+            removed.append(d)
+    return removed

@@ -1,0 +1,153 @@
+"""Real-decoder seam for the multimodal operators (VERDICT r2 item 7):
+the same mapInPandas plumbing the fake decoder exercises, driven by an
+ACTUAL image codec — the stdlib PNG decoder that ships in-container,
+plus the optional Pillow hook (NotImplementedError when absent)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sphinx_1_spark.operators import multimodal as mm
+
+
+def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer for test fixtures: 8-bit gray/RGB/RGBA, no
+    interlace; `filters` picks the per-scanline filter type (default
+    all 0 = None) with the forward filter applied per spec §6."""
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([f]) + line.astype(np.uint8).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gradient(h, w, ch=3, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+# ----------------------------------------------------------- pure codec
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_channel_counts(ch):
+    px = _gradient(5, 4, ch)
+    assert np.array_equal(mm._png_pixels(encode_png(px)), px)
+
+
+def test_png_roundtrip_every_filter_type():
+    # one scanline per filter type 0..4 — exercises each unfilter path
+    px = _gradient(5, 6, 3, seed=11)
+    data = encode_png(px, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(mm._png_pixels(data), px)
+
+
+def test_png_meta_and_bad_signature():
+    w, h, fmt = mm._png_decode_meta(encode_png(_gradient(3, 9)))
+    assert (w, h, fmt) == (9, 3, "png")
+    with pytest.raises(ValueError, match="signature"):
+        mm._png_decode_meta(b"JFIF not a png")
+
+
+# -------------------------------------------------------- spark operators
+
+
+def test_decode_image_metadata_png(spark):
+    imgs = [
+        (1, encode_png(_gradient(3, 9))),
+        (2, encode_png(_gradient(16, 2, 4))),
+    ]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["format"], r["n_bytes"])
+        for r in mm.decode_image_metadata(df, decoder="png").collect()
+    }
+    assert got[1] == (9, 3, "png", len(imgs[0][1]))
+    assert got[2] == (2, 16, "png", len(imgs[1][1]))
+
+
+def test_extract_features_png_solid_color(spark):
+    # solid red 8x4: exact means/stds/luma, aspect = w/(w+h)
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 255
+    df = spark.createDataFrame(
+        [(7, encode_png(px))], "doc_id long, payload binary"
+    )
+    (row,) = mm.extract_features(df, decoder="png").collect()
+    f = row["features"]
+    assert f[0] == 1.0 and f[1] == 0.0 and f[2] == 0.0  # means
+    assert f[3] == 0.0 and f[4] == 0.0 and f[5] == 0.0  # stds
+    assert f[6] == pytest.approx(8 / 12)  # aspect
+    assert f[7] == pytest.approx(0.299)  # luma of pure red
+
+
+# ------------------------------------------------------------- pil seam
+
+
+def test_pil_decoder_seam():
+    """With Pillow installed the 'pil' decoder must agree with the
+    stdlib PNG decoder; without it, the hook raises a clear
+    NotImplementedError (never an ImportError leak)."""
+    payload = encode_png(_gradient(6, 5))
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert mm._pil_decode_meta(payload) == (5, 6, "png")
+        assert mm._pil_features(payload) == mm._png_features(payload)
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm._pil_decode_meta(payload)
+
+
+def test_unknown_decoder_rejected(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="known decoders"):
+        mm.decode_image_metadata(df, decoder="libvips")

@@ -1,0 +1,159 @@
+"""test_31 hand-port (geodist/expressions vs multiquery) + the
+RunQueries multi-queue batch semantics.
+
+test_31 is a custom-PHP test (AddQuery x3 -> RunQueries) the generic
+harness skips: q0 'one' relevance-sorted, q1 adds SetGeoAnchor +
+extended sort '@geodist ASC', q2 keeps the anchor and sorts
+SPH_SORT_EXPR '@id'.  Its model.bin pins all three result sets —
+matches, weights, float32 lat/long/@geodist/@expr attrs, totals and
+word stats — which this port asserts verbatim.
+
+KNOWN GOLDEN ARTIFACT (documented deviation): the golden's q1 match
+order is (1,4,2,3,5), which contradicts the golden's OWN @geodist
+values sorted ascending (doc5 = 112049.203125 < doc3 = 127679.875, so
+value order is 1,4,2,5,3).  No code path in the shipped fork can
+produce the golden order: sphParseSortClause binds '@geodist asc, @id
+asc' (src/sphinxsort.cpp:1399-1502), the SPH_VATTR_FLOAT comparator
+compares true floats (:1294), EarlyCalc computes @geodist before every
+sorter push (src/sphinx.cpp:10881), and the CSphMatchQueue binary heap
+(:105-205) is exact for distinct keys — simulating push order 1..5
+through that code yields 1,4,2,5,3.  The multi-queue batching path
+cannot apply either: its eligibility check rejects the batch because
+q0 carries no geo anchor (searchd.cpp:3991).  The golden therefore
+encodes an ordering quirk of the historical binary that generated it
+(same category as test_94's upstream proximity artifact).  This port
+pins the VALUE-CORRECT order for q1 and the golden's order everywhere
+the fork's own code reproduces it (q0, q2, and q1's first three).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.reference_harness import build_indexes, load_test
+from sphinx_1_spark.plans.api import (
+    ApiQuery,
+    _multiqueue_eligible,
+    api_query,
+    run_queries,
+)
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    built = build_indexes(spark, load_test("test_31"))
+    return [(b["name"], b["idx"], b["kill"] or None) for b in built]
+
+
+def _queries():
+    anchor = ("lat", "long", 0.5, 0.5)
+    return [
+        ApiQuery(query="one", mode="all"),
+        ApiQuery(
+            query="one", mode="all", geoanchor=anchor,
+            sortmode="extended", sortby="@geodist ASC",
+        ),
+        ApiQuery(
+            query="one", mode="all", geoanchor=anchor,
+            sortmode="expr", sortby="@id",
+        ),
+    ]
+
+
+# model.bin values (test/test_31/model.bin): float32 lat/long per doc
+# and the exact @geodist each query result carries
+LATLONG = {
+    1: (0.5, 0.5),
+    2: (0.5099999904632568, 0.5),
+    3: (0.5199999809265137, 0.5),
+    4: (0.5, 0.5099999904632568),
+    5: (0.5, 0.5199999809265137),
+}
+GEODIST = {
+    1: 0.0,
+    2: 63839.9375,
+    3: 127679.875,
+    4: 56024.76171875,
+    5: 112049.203125,
+}
+
+
+def test_31_multiquery_golden(chain):
+    results = run_queries(chain, _queries())
+    assert len(results) == 3
+
+    for rows, meta in results:
+        # totals + word stats identical across all three (model.bin)
+        assert meta["total"] == 5 and meta["total_found"] == 5
+        assert meta["words"] == {"one": {"docs": 5, "hits": 5}}
+        for r in rows:
+            assert r["weight"] == 1
+            assert (r["lat"], r["long"]) == LATLONG[r["docid"]]
+
+    r0, r1, r2 = (rows for rows, _m in results)
+
+    # q0: relevance sort, all weights 1 -> docid asc (golden 1,2,3,4,5)
+    assert [r["docid"] for r in r0] == [1, 2, 3, 4, 5]
+    assert "@geodist" not in r0[0].asDict()  # no anchor on q0
+
+    # q1: '@geodist ASC' — exact float32 geodist values per the golden;
+    # order is the VALUE order (golden's 3/5 tail swap is the
+    # documented generating-binary artifact, see module docstring)
+    for r in r1:
+        assert r["@geodist"] == GEODIST[r["docid"]]
+    assert [r["docid"] for r in r1] == [1, 4, 2, 5, 3]
+    assert [r["docid"] for r in r1][:3] == [1, 4, 2]  # golden prefix
+
+    # q2: SPH_SORT_EXPR '@id' -> @expr desc, id asc (golden 5,4,3,2,1);
+    # carries BOTH @geodist (anchor persisted) and @expr = float(docid)
+    assert [r["docid"] for r in r2] == [5, 4, 3, 2, 1]
+    for r in r2:
+        assert r["@expr"] == float(r["docid"])
+        assert r["@geodist"] == GEODIST[r["docid"]]
+
+
+def test_31_batch_not_multiqueue_eligible(chain):
+    # q0 has no geo anchor while q1/q2 do -> the reference's
+    # multi-queue check rejects the batch (searchd.cpp:3991) and the
+    # queries run one by one
+    assert not _multiqueue_eligible(_queries())
+
+
+def test_multiqueue_shares_one_match_relation(chain, monkeypatch):
+    """When matching params ARE identical (searchd.cpp:3972-4019),
+    run_queries computes the ranked relation once per index and each
+    query's sorter runs over the shared cached base — results must be
+    value-identical to one-by-one execution."""
+    anchor = ("lat", "long", 0.5, 0.5)
+    batch = [
+        ApiQuery(query="one", mode="all", geoanchor=anchor),
+        ApiQuery(
+            query="one", mode="all", geoanchor=anchor,
+            sortmode="extended", sortby="@geodist ASC",
+        ),
+        ApiQuery(
+            query="one", mode="all", geoanchor=anchor,
+            sortmode="expr", sortby="@id",
+        ),
+    ]
+    assert _multiqueue_eligible(batch)
+
+    # count match-tree evaluations: the shared path ranks once
+    idx = chain[0][1]
+    orig = type(idx)._ranked
+    calls = []
+
+    def spy(self, *a, **kw):
+        calls.append(a[0] if a else kw.get("query"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(idx), "_ranked", spy)
+    batched = run_queries(chain, batch)
+    assert len(calls) == 1, "multi-queue batch must rank exactly once"
+
+    monkeypatch.setattr(type(idx), "_ranked", orig)
+    solo = [api_query(chain, q) for q in batch]
+
+    for (brows, bmeta), (srows, smeta) in zip(batched, solo):
+        assert [tuple(r) for r in brows] == [tuple(r) for r in srows]
+        assert bmeta == smeta

@@ -200,3 +200,102 @@ def test_kill_mid_batch_resume(spark, two_batches, tmp_path, monkeypatch):
         for r in view.search_topk(["the"], k=20, mode="or").collect()
     ]
     assert got_top == want_top
+
+
+def test_rotation_atomic_promote(spark, two_batches, tmp_path):
+    """Index rotation as an atomic generation swap (the batch analog of
+    searchd's SIGHUP rotation, src/searchd.cpp:924): a reader resolves
+    the CURRENT pointer to OLD or NEW, never a mix; a kill between the
+    pointer's temp write and the rename leaves the old generation
+    live; vacuum reclaims only superseded generations."""
+    import json
+    import os
+
+    from sphinx_1_spark.streaming.incremental import (
+        CURRENT_POINTER,
+        IncrementalIndexer,
+        open_current_view,
+        promote,
+        read_current,
+        vacuum,
+    )
+
+    b0, b1 = two_batches
+    root = str(tmp_path / "rot")
+    os.makedirs(root)
+
+    # generation 0: batch 0 only
+    g0 = os.path.join(root, "gen=0000")
+    IncrementalIndexer(g0).process_batch(b0, 0)
+    ptr0 = promote(root, "gen=0000")
+    assert ptr0["epoch"] == 0
+
+    v_old = open_current_view(spark, root)
+    docs_old = {r["docid"] for r in v_old.docinfo().select("docid").collect()}
+    assert len(docs_old) == 200
+
+    # generation 1: both batches (desired post-rotate state)
+    g1 = os.path.join(root, "gen=0001")
+    ix1 = IncrementalIndexer(g1)
+    ix1.process_batch(b0, 0)
+    ix1.process_batch(b1, 1)
+
+    # simulate a crash MID-promote: the temp pointer exists but the
+    # rename never happened -> readers still resolve gen=0000
+    with open(os.path.join(root, CURRENT_POINTER + ".tmp"), "w") as f:
+        json.dump({"generation": "gen=0001", "torn": True}, f)
+    assert read_current(root)["generation"] == "gen=0000"
+    mid = open_current_view(spark, root)
+    assert {
+        r["docid"] for r in mid.docinfo().select("docid").collect()
+    } == docs_old
+
+    # complete the promote: atomic rename lands the new pointer
+    ptr1 = promote(root, "gen=0001")
+    assert ptr1["epoch"] == 1
+    v_new = open_current_view(spark, root)
+    docs_new = {r["docid"] for r in v_new.docinfo().select("docid").collect()}
+    assert len(docs_new) == 300  # 0..99 live from b0 + 100..299 from b1
+
+    # a reader that resolved the pointer BEFORE the swap keeps serving
+    # the old immutable generation (serve-old-while-rotating)
+    assert {
+        r["docid"] for r in v_old.docinfo().select("docid").collect()
+    } == docs_old
+
+    # vacuum removes only the superseded generation
+    removed = vacuum(root)
+    assert removed == ["gen=0000"]
+    assert not os.path.exists(g0)
+    assert {
+        r["docid"] for r in open_current_view(spark, root).docinfo()
+        .select("docid").collect()
+    } == docs_new
+
+
+def test_rotation_refuses_incomplete_generation(spark, two_batches, tmp_path):
+    """promote() must reject a generation whose segment set has no
+    completion marker — the half-written .new.sp* case searchd's
+    rotation check rejects."""
+    import os
+
+    import pytest as _pytest
+
+    from sphinx_1_spark.streaming.incremental import (
+        IncrementalIndexer,
+        promote,
+    )
+    from sphinx_1_spark.plans.segment_index import MANIFEST
+
+    b0, _b1 = two_batches
+    root = str(tmp_path / "rot2")
+    g0 = os.path.join(root, "gen=0000")
+    IncrementalIndexer(g0).process_batch(b0, 0)
+    seg = next(
+        os.path.join(g0, d) for d in os.listdir(g0) if d.startswith("delta=")
+    )
+    os.rename(
+        os.path.join(seg, MANIFEST), os.path.join(seg, MANIFEST + ".hidden")
+    )
+    with _pytest.raises(ValueError, match="incomplete"):
+        promote(root, "gen=0000")
