@@ -2241,8 +2241,16 @@ ORDER BY a, b"""
   SELECT doc_id,
     {minhash_cols}
   FROM hsrc GROUP BY doc_id
-), buckets AS (
+), buckets_all AS (
 {bands_sql}
+), buckets AS (
+  -- hot-bucket cap in lockstep with minhash_lsh_pairs
+  -- (max_bucket_size=1000): degenerate buckets are dropped
+  SELECT band, bucket, doc_id FROM (
+    SELECT band, bucket, doc_id,
+           count(*) OVER (PARTITION BY band, bucket) AS _n
+    FROM buckets_all)
+  WHERE _n <= 1000
 ), cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM buckets x JOIN buckets y

@@ -184,11 +184,20 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     tau: float = 0.5,
     text_col: str = "text",
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard.
 
     Two docs collide if any band's rows_per_band minhashes all match;
-    P(collide) = 1-(1-j^r)^b — the classic S-curve around tau."""
+    P(collide) = 1-(1-j^r)^b — the classic S-curve around tau.
+
+    max_bucket_size caps the banding self-join's hot buckets: a bucket
+    holding B docs yields B^2/2 candidate pairs, and web-scale corpora
+    have degenerate clusters (boilerplate, empty pages) whose buckets
+    grow linearly with the corpus — the same quadratic cliff the
+    shingle path caps with max_shingle_df.  Buckets above the cap are
+    dropped (their members still pair through their OTHER bands, the
+    standard LSH hot-bucket mitigation); 0 disables."""
     num_hashes = bands * rows_per_band
     # one persisted shingle relation feeds both the signature build
     # and the verify joins; persist sig too (self-joined for banding)
@@ -213,6 +222,16 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "bucket")
     )
+    if max_bucket_size:
+        # shuffle-partitioned on the same (band, bucket) key as the
+        # self-join below — the count join reuses that partitioning
+        bc = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        buckets = buckets.join(bc, ["band", "bucket"])
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])

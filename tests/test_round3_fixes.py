@@ -153,3 +153,23 @@ def test_killlist_never_collected(spark, two_indexes, monkeypatch):
         ApiQuery(query="common", limit=10),
     )
     assert not collected_kill
+
+
+# ------------------------------------------------------ minhash hot cap
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A degenerate cluster (identical docs) fills every band's bucket;
+    with the cap those buckets drop (no quadratic pair blowup), without
+    it the full B^2/2 pair set verifies at jaccard 1.0."""
+    from sphinx_1_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page body repeated verbatim")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_pairs(docs, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs(docs, max_bucket_size=0)
+    assert uncapped.count() == 40 * 39 // 2
