@@ -60,7 +60,10 @@ def main() -> None:
         pages = generate_pages(spark, args.synthetic, seed=42)
     elif args.input:
         pages = (
-            spark.read.format("iceberg").load(args.input)
+            # iceberg:<catalog.db.table or path> — strip the scheme
+            # before load(); needs the iceberg-spark-runtime jar on the
+            # cluster (not shipped in this sandbox)
+            spark.read.format("iceberg").load(args.input[len("iceberg:"):])
             if args.input.startswith("iceberg:")
             else spark.read.parquet(args.input)
         )

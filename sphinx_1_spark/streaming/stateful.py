@@ -1,0 +1,131 @@
+"""Structured-Streaming operators for continuous ingestion.
+
+The reference's freshness story is batch main+delta (incremental.py);
+these operators are the CONTINUOUS versions a crawl feed needs before
+pages reach the delta indexer:
+
+* `dedupe_recrawls` — a custom stateful operator
+  (applyInPandasWithState): per-url state remembers the newest
+  `warc_ts` ever indexed, so a re-crawl only passes through when it is
+  actually newer — the streaming form of the kill-list rule "a later
+  crawl of the same url supersedes the earlier docid" (searchd
+  kill-list chaining, src/searchd.cpp:4185-4196).  Out-of-order and
+  duplicate deliveries (at-least-once sources) drop instead of
+  producing churn segments.  State is one (ts, docid) per url —
+  bounded by corpus url count and spread across executors by the
+  groupBy("url") shuffle, so it scales horizontally.
+
+* `windowed_crawl_stats` — watermarked tumbling-window aggregation
+  over the crawl feed (per window x lang: page count, bytes, distinct
+  hosts).  The watermark bounds state for late data: pages later than
+  the allowed lateness are dropped from the aggregation, everything
+  else updates its window — the standard Spark late-data contract.
+
+Both are pure plan builders: callers attach them to any readStream
+source and sink (the tests drive a parquet file source through
+foreachBatch/memory sinks)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# output of dedupe_recrawls: the accepted (fresher-than-state) pages
+FRESH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+# per-url state: newest timestamp accepted so far (epoch micros — the
+# state server round-trips plain longs more cheaply than timestamps)
+_STATE_SCHEMA = StructType([StructField("max_ts_us", LongType())])
+
+
+def dedupe_recrawls(pages_stream: DataFrame) -> DataFrame:
+    """Keep only pages strictly newer than anything already accepted
+    for their url.  Stateful: survives across micro-batches via the
+    state store (checkpointed, exactly-once with the sink's support).
+
+    Within one micro-batch, only the newest copy of a url is emitted
+    (a batch carrying three crawls of one url forwards one row)."""
+
+    def fn(key, pdfs, state):
+        prev = state.get[0] if state.exists else -1
+        best = None  # (ts_us, row)
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ts_us = int(row["warc_ts"].value // 1_000)
+                if ts_us > prev and (best is None or ts_us > best[0]):
+                    best = (ts_us, row)
+        if best is None:
+            yield pd.DataFrame(
+                {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            )
+            return
+        state.update((best[0],))
+        row = best[1]
+        yield pd.DataFrame(
+            {
+                "url": [row["url"]],
+                "warc_ts": [row["warc_ts"]],
+                "html": [row["html"]],
+                "text": [row["text"]],
+                "lang": [row["lang"]],
+            }
+        )
+
+    return (
+        pages_stream.select("url", "warc_ts", "html", "text", "lang")
+        .groupBy("url")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FRESH_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def windowed_crawl_stats(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window crawl monitoring: (window, lang) -> page count,
+    total bytes, distinct-host estimate.  The watermark drops data
+    later than `lateness` and lets Spark evict closed windows from
+    state — without it, windowed state grows unboundedly on an
+    endless feed."""
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    return (
+        pages_stream.withWatermark("warc_ts", lateness)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).cast("long").alias("n_bytes"),
+            F.approx_count_distinct(host).alias("n_hosts"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "lang",
+            "n_pages",
+            "n_bytes",
+            "n_hosts",
+        )
+    )
