@@ -51,12 +51,31 @@ HAND_PORTED = {
     "test_60": "tests/test_custom_php_goldens.py (select expressions)",
 }
 
+# custom-PHP tests pinned by OTHER suites or declared out of scope —
+# label each so the sweep log is self-documenting
+DECLARED = {
+    "test_18": "excerpts: byte-exact goldens in tests/test_excerpts.py",
+    "test_40": "excerpts: byte-exact goldens in tests/test_excerpts.py",
+    "test_51": "excerpts: byte-exact goldens in tests/test_excerpts.py",
+    "test_56": "excerpts: byte-exact goldens in tests/test_excerpts.py",
+    "test_57": "excerpts: byte-exact goldens in tests/test_excerpts.py",
+    "test_58": (
+        "searchd SIGHUP rotation daemon machinery; atomic-swap analog "
+        "golden-pinned in tests/test_streaming.py (promote/vacuum)"
+    ),
+    "test_86": "searchd rotation + persistent-connection daemon machinery",
+    "test_42": "searchd persistent-connection daemon machinery",
+    "test_39": "remote distributed-agent attr updates (daemon protocol)",
+}
+
 
 def classify_skip(test, test_id: str | None = None) -> str | None:
     import re as _re
 
     if test_id in HAND_PORTED:
         return f"hand-ported: {HAND_PORTED[test_id]}"
+    if test_id in DECLARED:
+        return DECLARED[test_id]
     cfg = test.config_text
     for needle, why in UNSUPPORTED_CFG:
         if _re.search(needle, cfg):

@@ -198,6 +198,54 @@ def _png_features(payload: bytes) -> list[float]:
     return [round(float(v), 9) for v in feats]
 
 
+def _png_encode(arr) -> bytes:
+    """Encode an (H, W, C) uint8 array as a PNG (filter 0 scanlines) —
+    the write half of the stdlib codec, used by resize_images and the
+    test fixtures."""
+    import zlib
+
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Nearest-neighbor resample via numpy fancy-indexing, re-encoded
+    as PNG.  (Bilinear/Lanczos belong to the 'pil' decoder.)"""
+    import numpy as np
+
+    px = _png_pixels(payload)
+    sh, sw = px.shape[:2]
+    ys = np.minimum((np.arange(h) * sh) // h, sh - 1)
+    xs = np.minimum((np.arange(w) * sw) // w, sw - 1)
+    return _png_encode(px[ys][:, xs])
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in: payload bytes tiled/truncated to w*h."""
+    if not payload:
+        payload = b"\x00"
+    need = w * h
+    rep = payload * (need // len(payload) + 1)
+    return rep[:need]
+
+
 # ------------------------------------------------------------------ pil
 
 
@@ -236,11 +284,21 @@ def _pil_features(payload: bytes) -> list[float]:
     return [round(float(v), 9) for v in feats]
 
 
-# decoder registry: name -> (meta_fn, feature_fn); both take bytes
+def _pil_resize(payload: bytes, w: int, h: int) -> bytes:
+    import io
+
+    img = _pil_image(payload)
+    out = io.BytesIO()
+    img.resize((w, h)).save(out, format=img.format or "PNG")
+    return out.getvalue()
+
+
+# decoder registry: name -> (meta_fn, feature_fn, resize_fn); all take
+# bytes (resize also takes target w, h)
 _DECODERS = {
-    "fake": (_fake_decode, _fake_features),
-    "png": (_png_decode_meta, _png_features),
-    "pil": (_pil_decode_meta, _pil_features),
+    "fake": (_fake_decode, _fake_features, _fake_resize),
+    "png": (_png_decode_meta, _png_features, _png_resize),
+    "pil": (_pil_decode_meta, _pil_features, _pil_resize),
 }
 
 
@@ -275,7 +333,7 @@ def decode_image_metadata(
     df: DataFrame, payload_col: str = "payload", decoder: str = "fake"
 ) -> DataFrame:
     """binary payload -> (doc_id, width, height, format, n_bytes)."""
-    meta_fn, _feat_fn = _decoder(decoder)
+    meta_fn = _decoder(decoder)[0]
 
     proj = df.select("doc_id", payload_col)
 
@@ -299,7 +357,7 @@ def extract_features(
     df: DataFrame, payload_col: str = "payload", decoder: str = "fake"
 ) -> DataFrame:
     """binary payload -> (doc_id, features: array<double>[8])."""
-    _meta_fn, feat_fn = _decoder(decoder)
+    feat_fn = _decoder(decoder)[1]
 
     proj = df.select("doc_id", payload_col)
 
@@ -313,6 +371,51 @@ def extract_features(
             yield pd.DataFrame({"doc_id": dids, "features": feats})
 
     return proj.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """binary payload -> (doc_id, payload: resized binary, width,
+    height).  The thumbnail/normalize step of a multimodal training
+    pipeline; 'png' does a real nearest-neighbor resample + re-encode,
+    'pil' uses Pillow's resampling, 'fake' is deterministic filler.
+    Arrow-batched mapInPandas, no shuffle."""
+    resize_fn = _decoder(decoder)[2]
+
+    proj = df.select("doc_id", payload_col)
+
+    def gen(batches):
+        for pdf in batches:
+            dids, outs = [], []
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                dids.append(int(did))
+                outs.append(resize_fn(b, width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": dids,
+                    "payload": outs,
+                    "width": [width] * len(dids),
+                    "height": [height] * len(dids),
+                }
+            )
+
+    return proj.mapInPandas(gen, RESIZED_SCHEMA)
 
 
 def frame_sample(

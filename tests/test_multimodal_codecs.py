@@ -151,3 +151,45 @@ def test_unknown_decoder_rejected(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError, match="known decoders"):
         mm.decode_image_metadata(df, decoder="libvips")
+
+
+# --------------------------------------------------------------- resize
+
+
+def test_png_resize_real_pixels(spark):
+    """resize_images decoder='png': real decode -> nearest-neighbor
+    resample -> PNG re-encode; the output parses and carries the exact
+    sampled pixels."""
+    src = _gradient(8, 6, 3, seed=3)
+    df = spark.createDataFrame(
+        [(1, encode_png(src))], "doc_id long, payload binary"
+    )
+    (row,) = mm.resize_images(df, 3, 4, decoder="png").collect()
+    assert (row["width"], row["height"]) == (3, 4)
+    out = mm._png_pixels(bytes(row["payload"]))
+    assert out.shape == (4, 3, 3)
+    # nearest-neighbor mapping: out[y][x] == src[y*8//4][x*6//3]
+    for y in range(4):
+        for x in range(3):
+            assert (out[y, x] == src[(y * 8) // 4, (x * 6) // 3]).all()
+
+
+def test_resize_upscale_roundtrips(spark):
+    src = _gradient(2, 2, 3, seed=5)
+    df = spark.createDataFrame(
+        [(1, encode_png(src))], "doc_id long, payload binary"
+    )
+    (row,) = mm.resize_images(df, 4, 4, decoder="png").collect()
+    out = mm._png_pixels(bytes(row["payload"]))
+    # each source pixel becomes a 2x2 block
+    assert (out[0:2, 0:2] == src[0, 0]).all()
+    assert (out[2:4, 2:4] == src[1, 1]).all()
+
+
+def test_fake_resize_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"abc")], "doc_id long, payload binary"
+    )
+    rows = mm.resize_images(df, 4, 2, decoder="fake").collect()
+    assert bytes(rows[0]["payload"]) == bytes(rows[1]["payload"])
+    assert len(bytes(rows[0]["payload"])) == 8
