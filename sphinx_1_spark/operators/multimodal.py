@@ -452,3 +452,171 @@ def frame_sample(
             yield pd.DataFrame(rows)
 
     return proj.mapInPandas(gen, schema)
+
+
+# ------------------------------------------------------------------ audio
+# WAV is the audio analog of the PNG path: a REAL container format
+# parsed with the stdlib (RIFF chunk walk + numpy PCM math), proving
+# the audio plumbing in-container; torchaudio/ffmpeg plug in the same
+# two slots for compressed formats.
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+# (rms, zero-crossing rate, peak, dc offset) per clip, doubles in [0,1]
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _wav_parse(payload: bytes):
+    """(sample_rate, channels, bits, pcm_bytes) from a RIFF/WAVE
+    container (PCM format 1 only; compressed WAV → 'torchaudio')."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        typ = payload[i : i + 4]
+        (ln,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + ln]
+        if typ == b"fmt ":
+            fmt = body
+        elif typ == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV (missing fmt/data chunk)")
+    audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_fmt}, bits={bits}) — "
+            "plug torchaudio/ffmpeg into the registry for compressed audio"
+        )
+    return rate, ch, bits, data
+
+
+def _wav_meta(payload: bytes):
+    rate, ch, bits, data = _wav_parse(payload)
+    n = len(data) // (ch * (bits // 8))
+    return rate, ch, bits, n, (n * 1000) // rate
+
+
+def _wav_samples(payload: bytes):
+    """(n_samples, channels) float64 in [-1, 1]."""
+    import numpy as np
+
+    rate, ch, bits, data = _wav_parse(payload)
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned
+        arr = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    return arr.reshape(-1, ch), rate
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    import numpy as np
+
+    x, _rate = _wav_samples(payload)
+    mono = x.mean(axis=1)
+    rms = float(np.sqrt((mono * mono).mean()))
+    zcr = (
+        float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+        if len(mono) > 1
+        else 0.0
+    )
+    peak = float(np.abs(mono).max()) if len(mono) else 0.0
+    dc = float(abs(mono.mean()))
+    return [round(v, 9) for v in (rms, zcr, peak, dc)]
+
+
+def _fake_audio_meta(payload: bytes):
+    h = hashlib.md5(b"aud:" + payload).digest()
+    rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+    ch = 1 + h[1] % 2
+    n = 1000 + (h[2] | (h[3] << 8))
+    return rate, ch, 16, n, (n * 1000) // rate
+
+
+def _fake_audio_features(payload: bytes) -> list[float]:
+    h = hashlib.md5(b"audfeat:" + payload).digest()
+    return [
+        struct.unpack("<H", h[2 * i : 2 * i + 2])[0] / 65535.0
+        for i in range(4)
+    ]
+
+
+_AUDIO_DECODERS = {
+    "fake": (_fake_audio_meta, _fake_audio_features),
+    "wav": (_wav_meta, _wav_features),
+}
+
+
+def _audio_decoder(decoder: str):
+    if decoder not in _AUDIO_DECODERS:
+        raise NotImplementedError(
+            f"audio decoder {decoder!r}: known are "
+            f"{sorted(_AUDIO_DECODERS)}; plug torchaudio/ffmpeg into "
+            "_AUDIO_DECODERS (bytes -> meta/features)"
+        )
+    return _AUDIO_DECODERS[decoder]
+
+
+def decode_audio_metadata(
+    df: DataFrame, payload_col: str = "payload", decoder: str = "fake"
+) -> DataFrame:
+    """binary payload -> (doc_id, sample_rate, channels, bits,
+    n_samples, duration_ms)."""
+    meta_fn = _audio_decoder(decoder)[0]
+
+    proj = df.select("doc_id", payload_col)
+
+    def gen(batches):
+        cols = (
+            "doc_id sample_rate channels bits n_samples duration_ms".split()
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                rate, ch, bits, n, ms = meta_fn(b)
+                for k, v in zip(cols, (int(did), rate, ch, bits, n, ms)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return proj.mapInPandas(gen, AUDIO_META_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", decoder: str = "fake"
+) -> DataFrame:
+    """binary payload -> (doc_id, features: [rms, zcr, peak, dc])."""
+    feat_fn = _audio_decoder(decoder)[1]
+
+    proj = df.select("doc_id", payload_col)
+
+    def gen(batches):
+        for pdf in batches:
+            dids, feats = [], []
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                dids.append(int(did))
+                feats.append(feat_fn(b))
+            yield pd.DataFrame({"doc_id": dids, "features": feats})
+
+    return proj.mapInPandas(gen, AUDIO_FEATURE_SCHEMA)

@@ -193,3 +193,62 @@ def test_fake_resize_deterministic(spark):
     rows = mm.resize_images(df, 4, 2, decoder="fake").collect()
     assert bytes(rows[0]["payload"]) == bytes(rows[1]["payload"])
     assert len(bytes(rows[0]["payload"])) == 8
+
+
+# ---------------------------------------------------------------- audio
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal PCM16 WAV writer for fixtures: samples float in [-1,1],
+    shape (n,) mono or (n, ch)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_meta_and_duration(spark):
+    sr = 8000
+    wav = encode_wav(np.zeros(4000), rate=sr)  # 0.5 s mono
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    (r,) = mm.decode_audio_metadata(df, decoder="wav").collect()
+    assert (r.sample_rate, r.channels, r.bits) == (sr, 1, 16)
+    assert (r.n_samples, r.duration_ms) == (4000, 500)
+    with pytest.raises(ValueError, match="RIFF"):
+        mm._wav_meta(b"OggS not a wav")
+
+
+def test_wav_features_sine(spark):
+    # full-scale 1 kHz sine @ 16 kHz: rms ~ 1/sqrt(2), zcr ~ 2*f/sr,
+    # peak ~ 1, dc ~ 0
+    t = np.arange(16000) / 16000.0
+    wav = encode_wav(np.sin(2 * np.pi * 1000 * t))
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    (r,) = mm.extract_audio_features(df, decoder="wav").collect()
+    rms, zcr, peak, dc = r.features
+    assert rms == pytest.approx(0.7071, abs=2e-3)
+    assert zcr == pytest.approx(2 * 1000 / 16000, abs=2e-3)
+    assert peak == pytest.approx(1.0, abs=2e-3)
+    assert dc == pytest.approx(0.0, abs=1e-3)
+
+
+def test_wav_stereo_roundtrip():
+    x = np.stack(
+        [np.linspace(-1, 1, 100), np.linspace(1, -1, 100)], axis=1
+    )
+    got, rate = mm._wav_samples(encode_wav(x, rate=22050))
+    assert rate == 22050 and got.shape == (100, 2)
+    assert np.abs(got - x).max() < 1e-3
+
+
+def test_unknown_audio_decoder_rejected(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="torchaudio"):
+        mm.decode_audio_metadata(df, decoder="mp3")
