@@ -445,25 +445,65 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_image_meta(spark, sf_dir):
+    """Image + audio metadata decode over binary payloads, merged as a
+    labeled union (q='img'/'aud') on one scalar schema: a/b are the
+    format's two lead ints (width/height vs sample_rate/channels),
+    c/d the counters (n_bytes vs n_samples/duration_ms)."""
     from sphinx_1_spark.operators.multimodal import (
         attach_payload,
+        decode_audio_metadata,
         decode_image_metadata,
     )
 
     df = attach_payload(_docs(spark, sf_dir))
-    return decode_image_metadata(df).orderBy("doc_id").limit(100)
+    img = (
+        decode_image_metadata(df)
+        .orderBy("doc_id")
+        .limit(100)
+        .select(
+            F.lit("img").alias("q"),
+            "doc_id",
+            F.col("width").alias("a"),
+            F.col("height").alias("b"),
+            F.col("n_bytes").cast("long").alias("c"),
+            F.lit(0).cast("long").alias("d"),
+            F.col("format").alias("s"),
+        )
+    )
+    aud = (
+        decode_audio_metadata(df)
+        .orderBy("doc_id")
+        .limit(100)
+        .select(
+            F.lit("aud").alias("q"),
+            "doc_id",
+            F.col("sample_rate").alias("a"),
+            F.col("channels").alias("b"),
+            F.col("n_samples").cast("long").alias("c"),
+            F.col("duration_ms").cast("long").alias("d"),
+            F.lit("pcm16").alias("s"),
+        )
+    )
+    return img.unionByName(aud)
 
 
 def q_image_features(spark, sf_dir):
-    """Feature extraction over binary payloads; flattened to scalar
+    """Image + audio feature extraction over binary payloads, merged
+    as a labeled union (q='img'/'aud'); flattened to scalar
     feat_0..feat_7 columns (the driver's canonicalizer can't hash
-    array cells)."""
-    from sphinx_1_spark.operators.multimodal import attach_payload, extract_features
+    array cells).  Audio's 4 features (rms/zcr/peak/dc analogs of the
+    fake decoder) land in feat_0..3 with zero padding."""
+    from sphinx_1_spark.operators.multimodal import (
+        attach_payload,
+        extract_audio_features,
+        extract_features,
+    )
 
     df = attach_payload(_docs(spark, sf_dir))
-    out = extract_features(df)
-    return (
-        out.select(
+    img = (
+        extract_features(df)
+        .select(
+            F.lit("img").alias("q"),
             "doc_id",
             *[
                 F.round(F.col("features")[i], 6).alias(f"feat_{i}")
@@ -473,6 +513,24 @@ def q_image_features(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+    aud = (
+        extract_audio_features(df)
+        .select(
+            F.lit("aud").alias("q"),
+            "doc_id",
+            *[
+                F.round(F.col("features")[i], 6).alias(f"feat_{i}")
+                for i in range(4)
+            ],
+            *[
+                F.lit(0.0).cast("double").alias(f"feat_{i}")
+                for i in range(4, 8)
+            ],
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+    return img.unionByName(aud)
 
 
 def q_excerpts(spark, sf_dir):
@@ -2500,13 +2558,27 @@ SELECT doc_id,
 FROM lt ORDER BY doc_id LIMIT 100"""
 
     image_meta = """
-WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents)
-SELECT doc_id,
-  (64 + ('0x' || substr(h,3,2) || substr(h,1,2))::INT % 1985)::INT AS width,
-  (64 + ('0x' || substr(h,7,2) || substr(h,5,2))::INT % 1985)::INT AS height,
-  ['jpeg','png','webp','gif'][('0x' || substr(h,9,2))::INT % 4 + 1] AS format,
-  octet_length(encode(text))::INT AS n_bytes
-FROM m ORDER BY doc_id LIMIT 100"""
+WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+     au AS (SELECT doc_id, text, md5('aud:' || text) AS h FROM documents)
+SELECT * FROM (
+  SELECT 'img' AS q, doc_id,
+    (64 + ('0x' || substr(h,3,2) || substr(h,1,2))::INT % 1985)::INT AS a,
+    (64 + ('0x' || substr(h,7,2) || substr(h,5,2))::INT % 1985)::INT AS b,
+    octet_length(encode(text))::BIGINT AS c,
+    0::BIGINT AS d,
+    ['jpeg','png','webp','gif'][('0x' || substr(h,9,2))::INT % 4 + 1] AS s
+  FROM m ORDER BY doc_id LIMIT 100)
+UNION ALL
+SELECT * FROM (
+  SELECT 'aud' AS q, doc_id,
+    ([8000,16000,22050,44100][('0x' || substr(h,1,2))::INT % 4 + 1])::INT AS a,
+    (1 + ('0x' || substr(h,3,2))::INT % 2)::INT AS b,
+    (1000 + ('0x' || substr(h,7,2) || substr(h,5,2))::INT)::BIGINT AS c,
+    ((1000 + ('0x' || substr(h,7,2) || substr(h,5,2))::INT) * 1000
+      // ([8000,16000,22050,44100][('0x' || substr(h,1,2))::INT % 4 + 1])
+    )::BIGINT AS d,
+    'pcm16' AS s
+  FROM au ORDER BY doc_id LIMIT 100)"""
 
     # frame_sample fake decoder: step = max(1, len//4),
     # frame i = bytes[i*step:(i+1)*step]; ASCII text at the gate SF
@@ -2530,11 +2602,25 @@ FROM d, range(4) t(i)"""
         f" / 65535.0, 6) AS feat_{i}"
         for i in range(8)
     )
+    aud_feat_exprs = ",\n  ".join(
+        f"round(('0x' || substr(h,{4*i+3},2) || substr(h,{4*i+1},2))::INT"
+        f" / 65535.0, 6) AS feat_{i}"
+        for i in range(4)
+    ) + ",\n  " + ",\n  ".join(
+        f"0.0::DOUBLE AS feat_{i}" for i in range(4, 8)
+    )
     image_features = f"""
-WITH m AS (SELECT doc_id, md5('feat:' || text) AS h FROM documents)
-SELECT doc_id,
+WITH m AS (SELECT doc_id, md5('feat:' || text) AS h FROM documents),
+     au AS (SELECT doc_id, md5('audfeat:' || text) AS h FROM documents)
+SELECT * FROM (
+  SELECT 'img' AS q, doc_id,
   {feat_exprs}
-FROM m ORDER BY doc_id LIMIT 100"""
+  FROM m ORDER BY doc_id LIMIT 100)
+UNION ALL
+SELECT * FROM (
+  SELECT 'aud' AS q, doc_id,
+  {aud_feat_exprs}
+  FROM au ORDER BY doc_id LIMIT 100)"""
 
     return {
         "q_dedup_exact": dedup_exact,
