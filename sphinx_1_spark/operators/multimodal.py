@@ -180,14 +180,12 @@ def _png_decode_meta(payload: bytes) -> tuple[int, int, str]:
     return w, h, "png"
 
 
-def _png_features(payload: bytes) -> list[float]:
-    """FEATURE_DIM image stats in [0,1]: per-channel means and stds
-    (gray broadcast to 3), aspect ratio w/(w+h), mean luma."""
-    import numpy as np
-
-    px = _png_pixels(payload).astype(np.float64) / 255.0
-    h, w, ch = px.shape
-    rgb = px[:, :, :3] if ch >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+def _rgb_stats(rgb) -> list[float]:
+    """FEATURE_DIM stats in [0,1] from an (H, W, 3) float array in
+    [0,1]: per-channel means and stds, aspect ratio w/(w+h), mean
+    luma.  ONE definition shared by every real decoder — the pil/png
+    agreement test pins them together."""
+    h, w = rgb.shape[:2]
     means = rgb.mean(axis=(0, 1))
     stds = rgb.std(axis=(0, 1))
     luma = float(
@@ -196,6 +194,15 @@ def _png_features(payload: bytes) -> list[float]:
     )
     feats = [*means.tolist(), *stds.tolist(), w / (w + h), luma]
     return [round(float(v), 9) for v in feats]
+
+
+def _png_features(payload: bytes) -> list[float]:
+    import numpy as np
+
+    px = _png_pixels(payload).astype(np.float64) / 255.0
+    ch = px.shape[2]
+    rgb = px[:, :, :3] if ch >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    return _rgb_stats(rgb)
 
 
 def _png_encode(arr) -> bytes:
@@ -273,15 +280,7 @@ def _pil_features(payload: bytes) -> list[float]:
 
     img = _pil_image(payload).convert("RGB")
     rgb = np.asarray(img, dtype=np.float64) / 255.0
-    h, w = rgb.shape[:2]
-    means = rgb.mean(axis=(0, 1))
-    stds = rgb.std(axis=(0, 1))
-    luma = float(
-        (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
-        .mean()
-    )
-    feats = [*means.tolist(), *stds.tolist(), w / (w + h), luma]
-    return [round(float(v), 9) for v in feats]
+    return _rgb_stats(rgb)
 
 
 def _pil_resize(payload: bytes, w: int, h: int) -> bytes:
@@ -534,13 +533,17 @@ def _wav_features(payload: bytes) -> list[float]:
 
     x, _rate = _wav_samples(payload)
     mono = x.mean(axis=1)
+    if not len(mono):
+        # an empty (but structurally valid) data chunk: all-zero
+        # features, never NaN rows in the output
+        return [0.0, 0.0, 0.0, 0.0]
     rms = float(np.sqrt((mono * mono).mean()))
     zcr = (
         float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
         if len(mono) > 1
         else 0.0
     )
-    peak = float(np.abs(mono).max()) if len(mono) else 0.0
+    peak = float(np.abs(mono).max())
     dc = float(abs(mono.mean()))
     return [round(v, 9) for v in (rms, zcr, peak, dc)]
 

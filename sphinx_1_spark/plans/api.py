@@ -148,9 +148,11 @@ def _base_ranked(idx, q: ApiQuery, extra_filters=None, kill_df=None):
 
     kill_df: optional single-column DataFrame of docids to exclude
     (later indexes' kill-lists, searchd.cpp:4185-4196).  Applied as a
-    broadcast left_anti join — never collected to the driver, so a
-    100M-entry delta kill-list stays distributed (plan shape shared
-    with plans/multi.py apply_killlists)."""
+    left_anti join with NO forced broadcast hint: AQE broadcasts a
+    small kill-list (the common case) and falls back to a shuffled
+    anti-join when the list is too large to build driver-side — a
+    mandatory F.broadcast would crash exactly at the 100M-entry scale
+    this path exists for."""
     filters = list(q.filters or [])
     if q.id_range:
         # unsigned range compare via the same sign-bit bijection
@@ -179,7 +181,7 @@ def _base_ranked(idx, q: ApiQuery, extra_filters=None, kill_df=None):
             with_attrs=True,
         )
     if kill_df is not None:
-        ranked = ranked.join(F.broadcast(kill_df), "docid", "left_anti")
+        ranked = ranked.join(kill_df, "docid", "left_anti")
     return ranked, meta
 
 

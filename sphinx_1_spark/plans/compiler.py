@@ -496,7 +496,8 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
 
     # pack each hit into one int64 the UDF can unpack cheaply:
     # lcspos(29b) << 34 | querypos(12b) << 22 | spanlen(14b) << 8 | weight(8b).
-    # lcspos = field<<24 | pos24 and the reference caps fields at 32
+    # lcspos = field<<24 | pos (23-bit position + HIT_FIELD_END flag
+    # at bit 23, see POS_MASK) and the reference caps fields at 32
     # (fieldmask is a DWORD, src/sphinx.h CSphMatch::m_uFields), so 29
     # bits hold it; 14-bit spanlen covers a proximity child's window
     # (qspan+maxdist, e.g. '"a b"~600 << c' → spanlen up to ~602, which

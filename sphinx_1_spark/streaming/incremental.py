@@ -262,11 +262,18 @@ def promote(root: str, generation: str, meta: dict | None = None) -> dict:
             f"refusing to promote {generation!r}: incomplete segment set"
         )
     prev = read_current(root)
+    # record the superseded lineage: vacuum may remove ONLY these —
+    # never an unlisted directory, which could be a NEWER generation
+    # still being built by a writer
+    superseded = list(prev.get("superseded", [])) if prev else []
+    if prev and prev["generation"] != generation:
+        superseded.append(prev["generation"])
     ptr = {
         "generation": generation,
         "epoch": (prev["epoch"] + 1) if prev else 0,
         "segments": [os.path.basename(s) for s in segs],
         "promoted_at": time.time(),
+        "superseded": superseded,
         **(meta or {}),
     }
     tmp = os.path.join(root, CURRENT_POINTER + ".tmp")
@@ -294,24 +301,34 @@ def open_current_view(spark: SparkSession, root: str) -> "IncrementalView":
 
 
 def vacuum(root: str) -> list[str]:
-    """Remove generations other than the one CURRENT points at.
-    Returns the removed generation names.  Call only when no reader
-    can still hold a pre-promote pointer (the reference's analog is
-    unlinking the .old.sp* files after rotation completes)."""
+    """Remove generations the pointer lineage records as SUPERSEDED.
+    Returns the removed generation names.  Only directories listed in
+    CURRENT's `superseded` chain are touched — an unlisted directory
+    may be a newer generation a writer is still building, so it is
+    never removed.  Call only when no reader can still hold a
+    pre-promote pointer (the reference's analog is unlinking the
+    .old.sp* files after rotation completes)."""
     import shutil
 
     ptr = read_current(root)
     if ptr is None:
         return []
     removed = []
-    for d in sorted(os.listdir(root)):
+    for d in ptr.get("superseded", []):
         full = os.path.join(root, d)
-        if (
-            os.path.isdir(full)
-            and d != ptr["generation"]
-            and d != "_checkpoint"
-            and not d.startswith(".")
-        ):
+        if d != ptr["generation"] and os.path.isdir(full):
             shutil.rmtree(full)
             removed.append(d)
+    if removed:
+        # rewrite the pointer without the reclaimed names (same
+        # write-temp-then-rename protocol as promote)
+        ptr["superseded"] = [
+            d for d in ptr.get("superseded", []) if d not in removed
+        ]
+        tmp = os.path.join(root, CURRENT_POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(ptr, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, CURRENT_POINTER))
     return removed

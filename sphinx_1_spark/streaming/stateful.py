@@ -111,7 +111,9 @@ def windowed_crawl_stats(
     later than `lateness` and lets Spark evict closed windows from
     state — without it, windowed state grows unboundedly on an
     endless feed."""
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    # no trailing slash (path-less urls keep their host) and
+    # case-tolerant scheme per RFC 3986
+    host = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
     return (
         pages_stream.withWatermark("warc_ts", lateness)
         .groupBy(F.window("warc_ts", window).alias("win"), "lang")

@@ -299,3 +299,39 @@ def test_rotation_refuses_incomplete_generation(spark, two_batches, tmp_path):
     )
     with _pytest.raises(ValueError, match="incomplete"):
         promote(root, "gen=0000")
+
+
+def test_vacuum_spares_inflight_generation(spark, two_batches, tmp_path):
+    """vacuum must reclaim ONLY generations the pointer lineage
+    records as superseded — an unlisted directory may be a NEWER
+    generation a writer is still building mid-promote."""
+    import os
+
+    from sphinx_1_spark.streaming.incremental import (
+        IncrementalIndexer,
+        open_current_view,
+        promote,
+        vacuum,
+    )
+
+    b0, b1 = two_batches
+    root = str(tmp_path / "rot3")
+    os.makedirs(root)
+    IncrementalIndexer(os.path.join(root, "gen=0000")).process_batch(b0, 0)
+    promote(root, "gen=0000")
+
+    # a writer starts building the NEXT generation (not yet promoted)
+    g1 = os.path.join(root, "gen=0001")
+    IncrementalIndexer(g1).process_batch(b0, 0)
+
+    assert vacuum(root) == []        # nothing superseded yet
+    assert os.path.isdir(g1)         # the in-flight build SURVIVES
+
+    # finish and promote gen=0001; now gen=0000 is superseded
+    IncrementalIndexer(g1).process_batch(b1, 1)
+    promote(root, "gen=0001")
+    assert vacuum(root) == ["gen=0000"]
+    assert not os.path.exists(os.path.join(root, "gen=0000"))
+    assert open_current_view(spark, root).docinfo().count() == 300
+    # idempotent: a second vacuum has nothing left to reclaim
+    assert vacuum(root) == []
