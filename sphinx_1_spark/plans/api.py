@@ -20,7 +20,10 @@ Implements the client-visible semantics of HandleCommandSearch
   the reported word stats are the LAST local index's (:4221);
 * SetLimits cutoff: matching stops after N matches in processing
   (docid) order;
-* SetIDRange, offset/limit paging, max_matches bounding.
+* SetIDRange, offset/limit paging, max_matches bounding;
+* SetOverride: per-query attribute value substitution before filters
+  (EarlyCalc override, src/sphinx.cpp:11083-11088), as a copy-on-write
+  docinfo patch — the original index is untouched.
 
 The heavy lifting (match tree -> ranked relation) stays in
 SphinxIndex._ranked; this layer only adds the sorting/grouping/merge
@@ -75,6 +78,11 @@ class ApiQuery:
     # filters over virtual attrs (@geodist/@expr) evaluated AFTER the
     # virtual columns exist — the reference's late filter list
     late_filters: list[Column] = dc_field(default_factory=list)
+    # SetOverride(attr, type, {docid: value}): per-QUERY attribute
+    # value overrides, applied to each match BEFORE filters/sorting
+    # (EarlyCalc binary-search substitution, src/sphinx.cpp:11083-11088;
+    # setup/validation :16389-16410).  {attr: {docid: value}}.
+    overrides: dict[str, dict[int, float]] | None = None
 
 
 class ApiQueryError(ValueError):
@@ -138,6 +146,44 @@ def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
     raise ApiQueryError(f"unknown sorting mode {q.sortmode!r}")
 
 
+def _with_overrides(idx, overrides: dict[str, dict[int, float]]):
+    """Per-query attribute overrides (SetOverride): a shallow index
+    copy whose docinfo carries the substituted values — the Spark
+    analog of EarlyCalc's per-match binary-search substitution
+    (src/sphinx.cpp:11083-11088).  Copy-on-write: the original index
+    is untouched, so the overrides last exactly one Query() like the
+    reference's.  Applied BEFORE filters, matching the reference's
+    EarlyReject order (override, then early filter)."""
+    import copy
+
+    from sphinx_1_spark.plans.attrs import update_attributes
+
+    types = _attr_types(idx)
+    patched = copy.copy(idx)
+    docinfo = idx.docinfo
+    spark = docinfo.sparkSession
+    for attr, mapping in overrides.items():
+        t = types.get(attr.lower())
+        if t is None:
+            # "attribute override: unknown attribute name '%s'"
+            # (src/sphinx.cpp:16395)
+            raise ApiQueryError(
+                f"attribute override: unknown attribute name '{attr}'"
+            )
+        if t == "mva":
+            raise ApiQueryError(
+                f"attribute override: MVA attribute '{attr}' not supported"
+            )
+        spark_t = {"int": "int", "bigint": "long", "float": "float"}[t]
+        upd = spark.createDataFrame(
+            [(int(d), v) for d, v in mapping.items()],
+            f"docid long, {attr} {spark_t}",
+        )
+        docinfo = update_attributes(docinfo, upd, [attr])
+    patched.docinfo = docinfo
+    return patched
+
+
 def _base_ranked(idx, q: ApiQuery, extra_filters=None, kill_df=None):
     """The SHAREABLE part of query evaluation: filters -> match tree ->
     ranked relation -> kill-list exclusion.  Everything up to (but not
@@ -153,6 +199,8 @@ def _base_ranked(idx, q: ApiQuery, extra_filters=None, kill_df=None):
     anti-join when the list is too large to build driver-side — a
     mandatory F.broadcast would crash exactly at the 100M-entry scale
     this path exists for."""
+    if q.overrides:
+        idx = _with_overrides(idx, q.overrides)
     filters = list(q.filters or [])
     if q.id_range:
         # unsigned range compare via the same sign-bit bijection
@@ -567,6 +615,7 @@ def _multiqueue_eligible(queries: list[ApiQuery]) -> bool:
             q.geoanchor,
             q.index_weights,
             q.score_mode,
+            q.overrides,  # substituted values feed filters/attrs
         )
 
     k0 = _key(q0)

@@ -157,3 +157,53 @@ def test_multiqueue_shares_one_match_relation(chain, monkeypatch):
     for (brows, bmeta), (srows, smeta) in zip(batched, solo):
         assert [tuple(r) for r in brows] == [tuple(r) for r in srows]
         assert bmeta == smeta
+
+
+# ---------------------------------------------------- SetOverride
+
+
+def test_set_override_per_query(spark, chain):
+    """SetOverride (src/sphinx.cpp:11083-11088, :16389-16410): the
+    overridden value substitutes BEFORE filters and lands in the
+    output attrs, for ONE query only — the next query sees the
+    original docinfo."""
+    from pyspark.sql import functions as F
+
+    from sphinx_1_spark.plans.api import ApiQueryError
+
+    # baseline: doc 3 has lat 0.52 (test_31 fixture)
+    rows, _ = api_query(chain, ApiQuery(query="one", mode="all"))
+    base = {r["docid"]: r["lat"] for r in rows}
+    assert base[3] == pytest.approx(0.52, abs=1e-6)
+
+    # override doc 3's lat to 9.0: filter sees the substituted value
+    q = ApiQuery(
+        query="one",
+        mode="all",
+        overrides={"lat": {3: 9.0}},
+        filters=[F.col("lat") > F.lit(1.0)],
+    )
+    rows, meta = api_query(chain, q)
+    assert [r["docid"] for r in rows] == [3]
+    assert rows[0]["lat"] == 9.0  # substituted value in the output
+    assert meta["total_found"] == 1
+
+    # per-query: a plain query afterwards sees the original value
+    rows, _ = api_query(chain, ApiQuery(query="one", mode="all"))
+    assert {r["docid"]: r["lat"] for r in rows} == base
+
+    # unknown attr -> the reference's error message
+    with pytest.raises(ApiQueryError, match="unknown attribute name"):
+        api_query(
+            chain,
+            ApiQuery(query="one", overrides={"nosuch": {1: 1.0}}),
+        )
+
+
+def test_override_breaks_multiqueue_eligibility(chain):
+    """Differing overrides change matching inputs, so the batch must
+    not share one match relation."""
+    a = ApiQuery(query="one", mode="all")
+    b = ApiQuery(query="one", mode="all", overrides={"lat": {3: 9.0}})
+    assert not _multiqueue_eligible([a, b])
+    assert _multiqueue_eligible([b, b])
