@@ -67,6 +67,9 @@ class ApiQuery:
     limit: int = 20
     max_matches: int = 1000
     index_weights: dict[str, int] | None = None
+    # SetWeights/SetFieldWeights: per-field ranking weights in schema
+    # order (BindWeights floors each at 1, src/sphinx.cpp:14574-14595)
+    field_weights: list[int] | None = None
     select: list[tuple[str, str]] = dc_field(default_factory=list)
     # extra virtual attrs: [(alias, expression)] (SetSelect subset)
     now_epoch: int = 0
@@ -225,6 +228,7 @@ def _base_ranked(idx, q: ApiQuery, extra_filters=None, kill_df=None):
             mode=q.mode,
             ranker=q.ranker,
             filters=filters,
+            field_weights=q.field_weights,
             score_mode=q.score_mode,
             with_attrs=True,
         )
@@ -614,6 +618,7 @@ def _multiqueue_eligible(queries: list[ApiQuery]) -> bool:
             q.cutoff,
             q.geoanchor,
             q.index_weights,
+            q.field_weights,  # the reference compares m_pWeights too
             q.score_mode,
             q.overrides,  # substituted values feed filters/attrs
         )

@@ -207,3 +207,54 @@ def test_override_breaks_multiqueue_eligibility(chain):
     b = ApiQuery(query="one", mode="all", overrides={"lat": {3: 9.0}})
     assert not _multiqueue_eligible([a, b])
     assert _multiqueue_eligible([b, b])
+
+
+def test_field_weights_through_api(spark):
+    """SetWeights/SetFieldWeights reach the ranker through ApiQuery
+    (BindWeights floors at 1, src/sphinx.cpp:14574-14595): a term
+    matching only field 2 scores bm25 + 1000*w2."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "gamma"), (2, "gamma", "alpha")],
+        "docid long, title string, body string",
+    )
+    idx = SphinxIndex.build(
+        df, IndexSettings(docid_col="docid", fields=("title", "body"))
+    )
+    # legacy ALL mode: weight = sum over matched fields of
+    # field_weight * per-field LCS (one word -> LCS 1)
+    base, _ = api_query(
+        [("i", idx, None)], ApiQuery(query="gamma", mode="all")
+    )
+    weighted, _ = api_query(
+        [("i", idx, None)],
+        ApiQuery(query="gamma", mode="all", field_weights=[10, 2]),
+    )
+    b = {r["docid"]: r["weight"] for r in base}
+    w = {r["docid"]: r["weight"] for r in weighted}
+    # doc1 matches 'gamma' in body only, doc2 in title only
+    assert (b[1], b[2]) == (1, 1)
+    assert (w[1], w[2]) == (2, 10)
+
+    # extended2/bm25: weight = bm25part + 1000 * sum of matched-field
+    # weights — the field part scales, the bm25 part is untouched
+    base2, _ = api_query(
+        [("i", idx, None)], ApiQuery(query="gamma", mode="extended2")
+    )
+    weighted2, _ = api_query(
+        [("i", idx, None)],
+        ApiQuery(
+            query="gamma", mode="extended2", field_weights=[10, 2]
+        ),
+    )
+    b2 = {r["docid"]: r["weight"] for r in base2}
+    w2 = {r["docid"]: r["weight"] for r in weighted2}
+    assert w2[2] - b2[2] == 9 * 1000   # title weight 1 -> 10
+    assert w2[1] - b2[1] == 1 * 1000   # body weight 1 -> 2
+    # identical field_weights stay multiqueue-eligible; differing break
+    a = ApiQuery(query="gamma", mode="all", field_weights=[10, 2])
+    assert _multiqueue_eligible([a, a])
+    assert not _multiqueue_eligible(
+        [a, ApiQuery(query="gamma", mode="all")]
+    )
