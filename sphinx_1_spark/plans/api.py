@@ -161,10 +161,17 @@ def _with_overrides(idx, overrides: dict[str, dict[int, float]]):
 
     from sphinx_1_spark.plans.attrs import update_attributes
 
-    types = _attr_types(idx)
-    patched = copy.copy(idx)
     docinfo = idx.docinfo
     spark = docinfo.sparkSession
+    types = _attr_types(idx)
+    # resolve each override name to the docinfo column's EXACT case
+    # (validation is case-insensitive like the reference's
+    # GetAttrIndex, but the patch must reuse the existing column name
+    # or withColumn would silently rename it)
+    by_lower = {f.name.lower(): f.name for f in docinfo.schema.fields}
+    _PY_T = {"int": int, "bigint": int, "float": float}
+
+    resolved: dict[str, dict[int, float]] = {}
     for attr, mapping in overrides.items():
         t = types.get(attr.lower())
         if t is None:
@@ -177,13 +184,32 @@ def _with_overrides(idx, overrides: dict[str, dict[int, float]]):
             raise ApiQueryError(
                 f"attribute override: MVA attribute '{attr}' not supported"
             )
-        spark_t = {"int": "int", "bigint": "long", "float": "float"}[t]
-        upd = spark.createDataFrame(
-            [(int(d), v) for d, v in mapping.items()],
-            f"docid long, {attr} {spark_t}",
-        )
-        docinfo = update_attributes(docinfo, upd, [attr])
-    patched.docinfo = docinfo
+        col = by_lower[attr.lower()]
+        py_t = _PY_T[t]
+        resolved[col] = {
+            # uint64 docids above 2^63-1 wrap into negative longs,
+            # the same sign-bit bijection docinfo keys use (id64)
+            (int(d) - (1 << 64)) if int(d) >= (1 << 63) else int(d):
+                py_t(v)
+            for d, v in mapping.items()
+        }
+
+    # ONE combined update: a single per-docid row with nullable
+    # per-attr columns (update_attributes' coalesce keeps the original
+    # where a docid has no value for that attr) -> one broadcast join
+    # regardless of how many attrs are overridden
+    all_ids = sorted({d for m in resolved.values() for d in m})
+    spark_t = {"int": "int", "bigint": "long", "float": "float"}
+    ddl = "docid long, " + ", ".join(
+        f"`{col}` {spark_t[types[col.lower()]]}" for col in resolved
+    )
+    rows = [
+        tuple([d] + [resolved[col].get(d) for col in resolved])
+        for d in all_ids
+    ]
+    upd = spark.createDataFrame(rows, ddl)
+    patched = copy.copy(idx)
+    patched.docinfo = update_attributes(docinfo, upd, list(resolved))
     return patched
 
 

@@ -527,8 +527,14 @@ class SphinxIndex:
             "wordcount", "matchany",
         )
         plan, meta = self.match(match, mode, need_hits, score_mode)
-        weights = list(field_weights or [1] * len(self.settings.fields))
-        weights = [max(1, w) for w in weights]  # BindWeights floor 1
+        # BindWeights (src/sphinx.cpp:14574-14595): every field
+        # defaults to 1, then Min(nfields, provided) entries are
+        # copied and floored at 1 — a SHORT list leaves the remaining
+        # fields at 1 (not 0), extras are ignored
+        n_fields = len(self.settings.fields)
+        weights = list(field_weights or [])[:n_fields]
+        weights += [1] * (n_fields - len(weights))
+        weights = [max(1, w) for w in weights]
         ranked = apply_ranker(
             plan, ranker, weights, score_mode, meta["idf_by_qpos"]
         )

@@ -258,3 +258,50 @@ def test_field_weights_through_api(spark):
     assert not _multiqueue_eligible(
         [a, ApiQuery(query="gamma", mode="all")]
     )
+
+
+def test_override_coercion_case_and_multi_attr(spark, chain):
+    """Review-fix pins: int values coerce into float attrs (and vice
+    versa), mixed-case attr names patch the EXISTING column without
+    renaming it, and multi-attr overrides land in one combined
+    update."""
+    # int literal into a float attr + mixed-case name, two attrs at once
+    q = ApiQuery(
+        query="one",
+        mode="all",
+        overrides={"LAT": {3: 9}, "long": {3: 8}},
+    )
+    rows, _ = api_query(chain, q)
+    by_id = {r["docid"]: r for r in rows}
+    assert by_id[3]["lat"] == 9.0       # original column name kept
+    assert by_id[3]["long"] == 8.0
+    assert "LAT" not in rows[0].asDict()
+    assert by_id[1]["lat"] == 0.5       # other docs untouched
+
+
+def test_short_field_weights_pad_to_one(spark):
+    """BindWeights (src/sphinx.cpp:14574-14595): a SHORT weights list
+    leaves the remaining fields at weight 1, never 0; extras ignored."""
+    from sphinx_1_spark import IndexSettings, SphinxIndex
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "gamma"), (2, "gamma", "beta")],
+        "docid long, title string, body string",
+    )
+    idx = SphinxIndex.build(
+        df, IndexSettings(docid_col="docid", fields=("title", "body"))
+    )
+    # one weight for two fields: body defaults to 1 -> doc1 (body-only
+    # match) still ranks 1 in legacy ALL mode, never 0/dropped
+    rows, _ = api_query(
+        [("i", idx, None)],
+        ApiQuery(query="gamma", mode="all", field_weights=[10]),
+    )
+    w = {r["docid"]: r["weight"] for r in rows}
+    assert w == {1: 1, 2: 10}
+    # an over-long list is truncated, not an error
+    rows, _ = api_query(
+        [("i", idx, None)],
+        ApiQuery(query="gamma", mode="all", field_weights=[10, 2, 7, 9]),
+    )
+    assert {r["docid"]: r["weight"] for r in rows} == {1: 2, 2: 10}
