@@ -1192,6 +1192,32 @@ def q_show_meta(spark, sf_dir):
     )
 
 
+def q_show_status(spark, sf_dir):
+    """SHOW STATUS (STMT_SHOW_STATUS src/sphinxql.y:373-374 ->
+    BuildStatus src/searchd.cpp:5297-5365): the reference's full
+    29-counter name set after two SELECTs on one session.  Wall-clock
+    values (uptime, query_wall, avg_query_wall) are masked to '<t>' —
+    the gate pins the exact name list plus every deterministic value
+    (query/command counters, OFF'd cpu+io stats, zeroed dist stats)."""
+    from sphinx_1_spark.plans.sphinxql import SphinxQLSession
+
+    idx = _docs_index(spark, sf_dir)
+    sess = SphinxQLSession(index=idx)
+    for _ in range(2):
+        sess.execute(
+            "SELECT @id, @weight FROM documents WHERE MATCH('table') "
+            "ORDER BY @weight DESC, @id ASC LIMIT 5 OPTION ranker=bm25"
+        ).collect()
+    out = sess.execute("SHOW STATUS")
+    timelike = F.col("variable_name").isin(
+        "uptime", "query_wall", "avg_query_wall"
+    )
+    return out.select(
+        "variable_name",
+        F.when(timelike, F.lit("<t>")).otherwise(F.col("value")).alias("value"),
+    )
+
+
 def q_mode_phrase(spark, sf_dir):
     """Legacy SPH_MATCH_PHRASE emulation (PrepareQueryEmulation,
     src/sphinx.cpp:16179: quote + PROXIMITY ranker).  A full 2-word
@@ -1392,6 +1418,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_phrase": q_mode_phrase,
         "q_show_meta": q_show_meta,
         "q_show_warnings": q_show_warnings,
+        "q_show_status": q_show_status,
         "q_multi_minimize": q_multi_minimize,
         "q_incremental": q_incremental,
         "q_compact": q_compact,
@@ -1879,6 +1906,25 @@ SELECT * FROM (VALUES
         "'Query word length is less than "
         "min prefix length. word: ''ta*'' ' AS value"
     )
+
+    # BuildStatus's 29 counters (src/searchd.cpp:5297-5365) after two
+    # session SELECTs; wall-clock rows masked '<t>' on the Spark side
+    out["q_show_status"] = """
+SELECT * FROM (VALUES
+('uptime', '<t>'), ('connections', '1'), ('maxed_out', '0'),
+('command_search', '2'), ('command_excerpt', '0'),
+('command_update', '0'), ('command_keywords', '0'),
+('command_persist', '0'), ('command_status', '0'),
+('agent_connect', '0'), ('agent_retry', '0'),
+('queries', '2'), ('dist_queries', '0'),
+('query_wall', '<t>'), ('query_cpu', 'OFF'),
+('dist_wall', '0.000'), ('dist_local', '0.000'), ('dist_wait', '0.000'),
+('query_reads', 'OFF'), ('query_readkb', 'OFF'), ('query_readtime', 'OFF'),
+('avg_query_wall', '<t>'), ('avg_query_cpu', 'OFF'),
+('avg_dist_wall', '0.000'), ('avg_dist_local', '0.000'),
+('avg_dist_wait', '0.000'), ('avg_query_reads', 'OFF'),
+('avg_query_readkb', 'OFF'), ('avg_query_readtime', 'OFF')
+) AS t(variable_name, value)"""
 
     # incremental main+delta: per-segment IDF (N1=docs<=299 incl.
     # later-killed rows, N2=docs>=250), batch-1 matches restricted to
@@ -2677,7 +2723,9 @@ _MERGES: list[tuple[str, str | None, list[str]]] = [
     ]),
     ("q_sort_order", None, ["q_sort_multi", "q_sort_random"]),
     ("q_main_delta", None, ["q_incremental", "q_compact"]),
-    ("q_show_session", None, ["q_show_meta", "q_show_warnings"]),
+    ("q_show_session", None, [
+        "q_show_meta", "q_show_warnings", "q_show_status",
+    ]),
     ("q_sphinxql_sel", None, ["q_sphinxql", "q_sphinxql_page"]),
 ]
 

@@ -196,8 +196,18 @@ def minhash_lsh_pairs(
     have degenerate clusters (boilerplate, empty pages) whose buckets
     grow linearly with the corpus — the same quadratic cliff the
     shingle path caps with max_shingle_df.  Buckets above the cap are
-    dropped (their members still pair through their OTHER bands, the
-    standard LSH hot-bucket mitigation); 0 disables."""
+    dropped; 0 disables.
+
+    Measured recall trade (pinned in test_round4_fixes.py
+    test_minhash_bucket_cap_recall): pairs whose distinguishing
+    content contributes minhash minima keep pairing through their
+    small buckets — recall 1.0 on planted near-dups beside a 2,000-doc
+    boilerplate cluster.  Pairs INSIDE an over-cap degenerate cluster
+    (near-copies of the boilerplate itself) are dropped with their
+    buckets: two near-copies only ever share the mega-bucket's band
+    hashes, so there is no other band to pair through.  That content
+    is what upstream exact/simhash dedup removes, and what this cap
+    exists to not pay B^2 for."""
     num_hashes = bands * rows_per_band
     # one persisted shingle relation feeds both the signature build
     # and the verify joins; persist sig too (self-joined for banding)

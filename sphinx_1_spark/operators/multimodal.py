@@ -417,6 +417,71 @@ def resize_images(
     return proj.mapInPandas(gen, RESIZED_SCHEMA)
 
 
+def _fake_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic payload slicing — the gate-checked plumbing path."""
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+def _pyav_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Real keyframe sampling via PyAV (ffmpeg bindings): decode the
+    container from bytes, take n_frames evenly spaced frames, return
+    each re-encoded as PNG.  Import guarded by _video_decoder's
+    driver-side probe."""
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        total = stream.frames or 0
+        if total:
+            want = sorted(
+                {min(total - 1, i * total // n_frames) for i in range(n_frames)}
+            )
+        else:
+            want = None  # unknown frame count: take the first n_frames
+        out: list[bytes] = []
+        for i, frame in enumerate(container.decode(stream)):
+            if want is not None and i not in want:
+                continue
+            buf = io.BytesIO()
+            frame.to_image().save(buf, format="PNG")
+            out.append(buf.getvalue())
+            if len(out) >= n_frames:
+                break
+    return out
+
+
+_VIDEO_DECODERS = {
+    "fake": _fake_frames,
+    "pyav": _pyav_frames,
+}
+
+
+def _video_decoder(decoder: str):
+    if decoder not in _VIDEO_DECODERS:
+        raise NotImplementedError(
+            f"video decoder {decoder!r}: known are "
+            f"{sorted(_VIDEO_DECODERS)}; plug new codecs into "
+            "_VIDEO_DECODERS (bytes, n_frames -> list[frame bytes])"
+        )
+    if decoder == "pyav":
+        # driver-side probe, same pattern as _decoder('pil'): a
+        # missing lib fails fast with the integration message instead
+        # of a wrapped executor PythonException mid-job
+        try:
+            import av  # noqa: F401
+            import PIL  # noqa: F401  (frame -> PNG re-encode)
+        except ImportError as e:
+            raise NotImplementedError(
+                "video decoder 'pyav' needs PyAV + Pillow on driver and "
+                "executors (pip install av pillow); the 'fake' decoder "
+                "covers the plumbing without them"
+            ) from e
+    return _VIDEO_DECODERS[decoder]
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",
@@ -425,9 +490,10 @@ def frame_sample(
 ) -> DataFrame:
     """video payload -> one row per sampled frame
     (doc_id, frame_idx, frame: binary) — the explode-shaped op a video
-    pipeline needs; fake decoder slices the payload deterministically."""
-    if decoder != "fake":
-        raise NotImplementedError("plug ffmpeg keyframe extraction here")
+    pipeline needs.  'fake' slices the payload deterministically (the
+    oracle-checked plumbing path); 'pyav' decodes real containers via
+    ffmpeg and emits PNG frames."""
+    frames_fn = _video_decoder(decoder)
 
     proj = df.select("doc_id", payload_col)
     schema = StructType(
@@ -443,11 +509,10 @@ def frame_sample(
             rows = {"doc_id": [], "frame_idx": [], "frame": []}
             for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                step = max(1, len(b) // n_frames)
-                for i in range(n_frames):
+                for i, fr in enumerate(frames_fn(b, n_frames)):
                     rows["doc_id"].append(int(did))
                     rows["frame_idx"].append(i)
-                    rows["frame"].append(b[i * step : (i + 1) * step])
+                    rows["frame"].append(fr)
             yield pd.DataFrame(rows)
 
     return proj.mapInPandas(gen, schema)
@@ -529,23 +594,9 @@ def _wav_samples(payload: bytes):
 
 
 def _wav_features(payload: bytes) -> list[float]:
-    import numpy as np
-
     x, _rate = _wav_samples(payload)
-    mono = x.mean(axis=1)
-    if not len(mono):
-        # an empty (but structurally valid) data chunk: all-zero
-        # features, never NaN rows in the output
-        return [0.0, 0.0, 0.0, 0.0]
-    rms = float(np.sqrt((mono * mono).mean()))
-    zcr = (
-        float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
-        if len(mono) > 1
-        else 0.0
-    )
-    peak = float(np.abs(mono).max())
-    dc = float(abs(mono.mean()))
-    return [round(v, 9) for v in (rms, zcr, peak, dc)]
+    # shared feature math (empty data chunk -> all-zero, never NaN)
+    return _audio_feature_vec(x.mean(axis=1))
 
 
 def _fake_audio_meta(payload: bytes):
@@ -564,9 +615,58 @@ def _fake_audio_features(payload: bytes) -> list[float]:
     ]
 
 
+def _audio_feature_vec(mono) -> list[float]:
+    """Shared (rms, zcr, peak, dc) math over a mono float64 array in
+    [-1, 1] — one definition for the wav and torchaudio decoders."""
+    import numpy as np
+
+    if not len(mono):
+        return [0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt((mono * mono).mean()))
+    zcr = (
+        float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+        if len(mono) > 1
+        else 0.0
+    )
+    peak = float(np.abs(mono).max())
+    dc = float(abs(mono.mean()))
+    return [round(v, 9) for v in (rms, zcr, peak, dc)]
+
+
+def _torchaudio_load(payload: bytes):
+    """(samples ndarray (n, ch) float64 in [-1,1], rate, bits) via
+    torchaudio — covers compressed formats (mp3/flac/ogg/...) the
+    stdlib WAV parser rejects.  Import guarded by _audio_decoder's
+    driver-side probe."""
+    import io
+
+    import torchaudio
+
+    buf = io.BytesIO(payload)
+    info = torchaudio.info(buf)
+    buf.seek(0)
+    wav, rate = torchaudio.load(buf)  # (channels, n) float32 in [-1,1]
+    # bits_per_sample is 0 for lossy codecs (no fixed sample width)
+    return wav.numpy().T.astype("float64"), int(rate), int(
+        getattr(info, "bits_per_sample", 0) or 0
+    )
+
+
+def _torchaudio_meta(payload: bytes):
+    x, rate, bits = _torchaudio_load(payload)
+    n, ch = x.shape
+    return rate, ch, bits, n, (n * 1000) // rate
+
+
+def _torchaudio_features(payload: bytes) -> list[float]:
+    x, _rate, _bits = _torchaudio_load(payload)
+    return _audio_feature_vec(x.mean(axis=1))
+
+
 _AUDIO_DECODERS = {
     "fake": (_fake_audio_meta, _fake_audio_features),
     "wav": (_wav_meta, _wav_features),
+    "torchaudio": (_torchaudio_meta, _torchaudio_features),
 }
 
 
@@ -574,9 +674,19 @@ def _audio_decoder(decoder: str):
     if decoder not in _AUDIO_DECODERS:
         raise NotImplementedError(
             f"audio decoder {decoder!r}: known are "
-            f"{sorted(_AUDIO_DECODERS)}; plug torchaudio/ffmpeg into "
+            f"{sorted(_AUDIO_DECODERS)}; plug new codecs into "
             "_AUDIO_DECODERS (bytes -> meta/features)"
         )
+    if decoder == "torchaudio":
+        # driver-side probe, same pattern as _decoder('pil')
+        try:
+            import torchaudio  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "audio decoder 'torchaudio' needs torchaudio on driver "
+                "and executors (pip install torchaudio); the stdlib "
+                "'wav' decoder covers PCM WAV without it"
+            ) from e
     return _AUDIO_DECODERS[decoder]
 
 

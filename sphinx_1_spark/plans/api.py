@@ -86,6 +86,9 @@ class ApiQuery:
     # (EarlyCalc binary-search substitution, src/sphinx.cpp:11083-11088;
     # setup/validation :16389-16410).  {attr: {docid: value}}.
     overrides: dict[str, dict[int, float]] | None = None
+    # SetMaxQueryTime (api/sphinxapi.py:285): permanent N/A — see
+    # _base_ranked's rejection for the contract and reasoning.
+    max_query_time: int = 0
 
 
 class ApiQueryError(ValueError):
@@ -171,6 +174,18 @@ def _with_overrides(idx, overrides: dict[str, dict[int, float]]):
     by_lower = {f.name.lower(): f.name for f in docinfo.schema.fields}
     _PY_T = {"int": int, "bigint": int, "float": float}
 
+    # _attr_types buckets every non-float/bigint/array column into
+    # 'int' (fine for sorting), but an override must only target a
+    # genuinely numeric column — int()-coercing a string/boolean/
+    # timestamp docinfo column would escape as a raw ValueError or an
+    # AnalysisException from update_attributes' coalesce instead of
+    # the reference-style clean validation error
+    _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    actual_t = {
+        f.name.lower(): f.dataType.simpleString()
+        for f in docinfo.schema.fields
+    }
+
     resolved: dict[str, dict[int, float]] = {}
     for attr, mapping in overrides.items():
         t = types.get(attr.lower())
@@ -181,18 +196,38 @@ def _with_overrides(idx, overrides: dict[str, dict[int, float]]):
                 f"attribute override: unknown attribute name '{attr}'"
             )
         if t == "mva":
+            # DELIBERATE deviation: the reference's SetOverride
+            # validation (src/sphinx.cpp:16389-16410) checks only
+            # name+type, so a type-matched MVA override would clobber
+            # the .spm pool OFFSET with a raw value — corrupting every
+            # later MVA read of that row.  Rejecting is strictly safer
+            # than reproducing that footgun.
             raise ApiQueryError(
-                f"attribute override: MVA attribute '{attr}' not supported"
+                f"attribute override: MVA attribute '{attr}' not "
+                "supported (a value override would clobber the MVA "
+                "pool offset, src/sphinx.cpp:16389-16410)"
+            )
+        if actual_t.get(attr.lower()) not in _NUMERIC:
+            raise ApiQueryError(
+                f"attribute override: unsupported attribute type "
+                f"'{actual_t.get(attr.lower())}' for '{attr}' "
+                "(src/sphinx.cpp:16389-16410 allows numeric attrs only)"
             )
         col = by_lower[attr.lower()]
         py_t = _PY_T[t]
-        resolved[col] = {
-            # uint64 docids above 2^63-1 wrap into negative longs,
-            # the same sign-bit bijection docinfo keys use (id64)
-            (int(d) - (1 << 64)) if int(d) >= (1 << 63) else int(d):
-                py_t(v)
-            for d, v in mapping.items()
-        }
+        try:
+            resolved[col] = {
+                # uint64 docids above 2^63-1 wrap into negative longs,
+                # the same sign-bit bijection docinfo keys use (id64)
+                (int(d) - (1 << 64)) if int(d) >= (1 << 63) else int(d):
+                    py_t(v)
+                for d, v in mapping.items()
+            }
+        except (TypeError, ValueError) as exc:
+            raise ApiQueryError(
+                f"attribute override: cannot coerce value for "
+                f"'{attr}' to {t}: {exc}"
+            ) from None
 
     # ONE combined update: a single per-docid row with nullable
     # per-attr columns (update_attributes' coalesce keeps the original
@@ -228,6 +263,26 @@ def _base_ranked(idx, q: ApiQuery, extra_filters=None, kill_df=None):
     anti-join when the list is too large to build driver-side — a
     mandatory F.broadcast would crash exactly at the 100M-entry scale
     this path exists for."""
+    if q.max_query_time:
+        # Permanent N/A, declared like libstemmer (morphology.py): the
+        # reference's max_query_time is a soft budget checked inside
+        # the term-chunk loop (m_iMaxTimer, src/sphinx.cpp:11841-11847
+        # via :16326) that silently truncates to whatever PARTIAL match
+        # set the elapsed wall clock allowed — a timing-dependent,
+        # nondeterministic result no declarative batch plan can
+        # reproduce (Catalyst owns the iteration; there is no
+        # mid-match abort point).  Rejecting beats silently ignoring a
+        # resource-control knob: a caller who relied on it must decide
+        # between a full run and a driver-side job timeout
+        # (spark.sparkContext.cancelJobGroup), which errors instead of
+        # returning partial rows and so is NOT the same contract.
+        raise ApiQueryError(
+            "max_query_time is a documented permanent N/A: the "
+            "reference truncates to a timing-dependent partial match "
+            "set (src/sphinx.cpp:11841-11847), which a declarative "
+            "batch plan cannot reproduce; bound job wall-clock with "
+            "spark.sparkContext.cancelJobGroup instead"
+        )
     if q.overrides:
         idx = _with_overrides(idx, q.overrides)
     filters = list(q.filters or [])
@@ -363,8 +418,10 @@ def _normalize_kills(indexes):
     """Normalize each kill-list ONCE (the harness passes literal Python
     lists; the engine passes DataFrames).  Literal lists stay isin()
     filters; DataFrame kill-lists stay DISTRIBUTED and apply as a
-    broadcast left_anti join — never .collect()ed, so a large delta
-    kill-list neither lands on the driver nor inflates the plan."""
+    left_anti join with no forced hint — AQE broadcasts a small list
+    and falls back to a shuffled anti-join past driver-buildable size.
+    Never .collect()ed, so a large delta kill-list neither lands on
+    the driver nor inflates the plan."""
     kill_lits: list[list | None] = []
     kill_dfs: list[DataFrame | None] = []
     for _n, _i, kill in indexes:
@@ -620,6 +677,30 @@ def api_query(
     }
 
 
+# markers of a Column whose string form is NOT a clean semantic
+# rendering: Python UDFs print as '<lambda>(columnnodeexpression(...
+# Origin(...@objhash...)))' — the form can both collide across
+# genuinely different filters (older Sparks render bare '<lambda>(col)')
+# and differ across identical ones (the Origin object hash is
+# per-construction), so it is unusable as an equality key either way.
+_OPAQUE_MARKERS = ("lambda", "columnnodeexpression", "java.lang")
+
+
+def _filter_forms(cols) -> list[str] | None:
+    """Comparable string forms for a filter list, or None when any
+    filter's form is opaque — an opaque filter DISQUALIFIES the batch
+    from sharing one match relation (sharing on a collided string
+    would silently return the first query's rows for the second)."""
+    out = []
+    for c in cols or []:
+        s = str(c)
+        low = s.lower()
+        if not s.isprintable() or any(m in low for m in _OPAQUE_MARKERS):
+            return None
+        out.append(s)
+    return out
+
+
 def _multiqueue_eligible(queries: list[ApiQuery]) -> bool:
     """The reference's single-query multi-queue check (RunSubset,
     src/searchd.cpp:3972-4019): batched queries share one match loop
@@ -627,19 +708,27 @@ def _multiqueue_eligible(queries: list[ApiQuery]) -> bool:
     mode/ranker, id range, filters, select items, cutoff, geo anchor
     (and expr-sort strings when both queries sort by expr).  Sort and
     group settings may differ freely: each query keeps its own sorter.
+
+    Filters compare by their Column string form, which is only sound
+    when that form is a clean semantic rendering — any opaque filter
+    (Python UDF / lambda) disqualifies the batch (see _filter_forms).
     """
     if len(queries) < 2:
         return False
     q0 = queries[0]
 
     def _key(q: ApiQuery):
+        flt = _filter_forms(q.filters)
+        late = _filter_forms(q.late_filters)
+        if flt is None or late is None:
+            return None
         return (
             q.query,
             q.mode,
             q.ranker,
             q.id_range,
-            [str(c) for c in (q.filters or [])],
-            [str(c) for c in q.late_filters],
+            flt,
+            late,
             list(q.select),
             q.cutoff,
             q.geoanchor,
@@ -650,8 +739,11 @@ def _multiqueue_eligible(queries: list[ApiQuery]) -> bool:
         )
 
     k0 = _key(q0)
+    if k0 is None:
+        return False
     for q in queries[1:]:
-        if _key(q) != k0:
+        k = _key(q)
+        if k is None or k != k0:
             return False
         # sort expressions must match only when BOTH are expr-sorted
         # (searchd.cpp:3990)

@@ -504,16 +504,12 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
     # the old 9-bit field silently overflowed into querypos).  Any value
     # out of range raises instead of corrupting the packed hit.
     def _pack(h):
-        ok = F.assert_true(
+        in_range = (
             (h["lcspos"] >= 0)
             & (h["lcspos"] < F.lit(1 << 29))
             & (h["querypos"].cast("bigint").between(0, (1 << 12) - 1))
             & (h["spanlen"].cast("bigint").between(0, (1 << 14) - 1))
-            & (h["weight"].cast("bigint").between(0, (1 << 8) - 1)),
-            F.lit(
-                "BEFORE hit packing overflow: need lcspos<2^29, "
-                "querypos<4096, spanlen<16384, weight<256"
-            ),
+            & (h["weight"].cast("bigint").between(0, (1 << 8) - 1))
         )
         packed = (
             h["lcspos"] * F.lit(1 << 34)
@@ -521,9 +517,20 @@ def _compile_before(node: XQNode, ctx: CompileContext) -> DataFrame:
             + h["spanlen"].cast("bigint") * F.lit(1 << 8)
             + h["weight"].cast("bigint")
         )
-        # assert_true yields NULL on success — route through it so the
-        # guard can't be optimized away
-        return F.when(ok.isNull(), packed).otherwise(packed)
+        # The guard's branches must DIFFER: an earlier
+        # when(assert_true(c).isNull(), v).otherwise(v) had identical
+        # branches, so SimplifyConditionals deleted the conditional —
+        # and the assert with it — letting out-of-range spanlen corrupt
+        # querypos bits silently.  raise_error in the else branch
+        # cannot be folded away.
+        return F.when(in_range, packed).otherwise(
+            F.raise_error(
+                F.lit(
+                    "BEFORE hit packing overflow: need lcspos<2^29, "
+                    "querypos<4096, spanlen<16384, weight<256"
+                )
+            ).cast("bigint")
+        )
 
     j = _join_all(
         [

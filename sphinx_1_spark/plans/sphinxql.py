@@ -364,16 +364,74 @@ class SphinxQLSession:
     def __init__(
         self, df: DataFrame | None = None, index=None, docid_col: str = "docid"
     ):
+        import time as _time
+
         self.df = df
         self.index = index
         self.docid_col = docid_col
         self._meta: list[tuple[str, str]] = []
         self._warnings: list[str] = []
+        self._started = _time.time()
+        self._n_queries = 0  # g_pStats->m_iQueries analog
+        self._query_wall = 0.0  # m_iQueryTime analog, seconds
         self._spark = (
             df.sparkSession if df is not None
             else index.spark if index is not None
             else None
         )
+
+    @staticmethod
+    def _fmt_msec(seconds: float) -> str:
+        # FormatMsec (src/searchd.cpp:5291-5294): "%d.%03d" over usec
+        us = int(seconds * 1_000_000)
+        return f"{us // 1_000_000}.{(us % 1_000_000) // 1000:03d}"
+
+    def status(self) -> list[tuple[str, str]]:
+        """SHOW STATUS counters — the reference's BuildStatus name set
+        and order (src/searchd.cpp:5297-5365), batch-session values
+        where daemon ones don't apply: this in-process endpoint is one
+        connection with no agents, CPU/IO stats default OFF exactly
+        like an unconfigured searchd (g_bCpuStats / g_bIOStats), and
+        command_status counts the binary-API STATUS command, which the
+        SphinxQL path never issues (the reference's mysql41 SHOW
+        STATUS doesn't bump it either, searchd.cpp:5891-5896)."""
+        import time as _time
+
+        nq = self._n_queries
+        div = max(nq, 1)
+        off = "OFF"
+        zero = self._fmt_msec(0.0)
+        return [
+            ("uptime", str(int(_time.time() - self._started))),
+            ("connections", "1"),
+            ("maxed_out", "0"),
+            ("command_search", str(nq)),
+            ("command_excerpt", "0"),
+            ("command_update", "0"),
+            ("command_keywords", "0"),
+            ("command_persist", "0"),
+            ("command_status", "0"),
+            ("agent_connect", "0"),
+            ("agent_retry", "0"),
+            ("queries", str(nq)),
+            ("dist_queries", "0"),
+            ("query_wall", self._fmt_msec(self._query_wall)),
+            ("query_cpu", off),
+            ("dist_wall", zero),
+            ("dist_local", zero),
+            ("dist_wait", zero),
+            ("query_reads", off),
+            ("query_readkb", off),
+            ("query_readtime", off),
+            ("avg_query_wall", self._fmt_msec(self._query_wall / div)),
+            ("avg_query_cpu", off),
+            ("avg_dist_wall", zero),
+            ("avg_dist_local", zero),
+            ("avg_dist_wait", zero),
+            ("avg_query_reads", off),
+            ("avg_query_readkb", off),
+            ("avg_query_readtime", off),
+        ]
 
     def execute(self, sql: str) -> DataFrame:
         import time as _time
@@ -388,6 +446,13 @@ class SphinxQLSession:
             return self._spark.createDataFrame(
                 [(i + 1, w) for i, w in enumerate(self._warnings)] or [],
                 "level int, message string",
+            )
+        if up == "SHOW STATUS":
+            # STMT_SHOW_STATUS (src/sphinxql.y:373-374) -> BuildStatus
+            # (src/searchd.cpp:5297), same two-string-column result
+            # set as SHOW META (Variable_name, Value — :5906-5908)
+            return self._spark.createDataFrame(
+                self.status(), "variable_name string, value string"
             )
         if up.startswith("SHOW"):
             raise SphinxQLError(f"unsupported SHOW statement: {sql!r}")
@@ -421,4 +486,6 @@ class SphinxQLSession:
                 meta.append((f"docs[{i}]", str(docs)))
                 meta.append((f"hits[{i}]", str(hits)))
         self._meta = meta
+        self._n_queries += 1
+        self._query_wall += _time.perf_counter() - t0
         return out

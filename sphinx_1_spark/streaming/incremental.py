@@ -320,8 +320,17 @@ def vacuum(root: str) -> list[str]:
             shutil.rmtree(full)
             removed.append(d)
     if removed:
-        # rewrite the pointer without the reclaimed names (same
-        # write-temp-then-rename protocol as promote)
+        # Rewrite the pointer without the reclaimed names (same
+        # write-temp-then-rename protocol as promote) — but RE-READ
+        # CURRENT first: a promote() landing after our snapshot would
+        # otherwise be clobbered by the stale pointer, reverting the
+        # live generation (lost update).  Stripping `removed` from the
+        # FRESH pointer is always safe: those directories are gone
+        # regardless of which generation is now current.  (The
+        # remaining reread->replace window is not closed — vacuum and
+        # promote must not run concurrently; single-writer is the
+        # rotation contract, same as the reference's seamless_rotate.)
+        ptr = read_current(root) or ptr
         ptr["superseded"] = [
             d for d in ptr.get("superseded", []) if d not in removed
         ]

@@ -11,7 +11,7 @@ pages reach the delta indexer:
   crawl of the same url supersedes the earlier docid" (searchd
   kill-list chaining, src/searchd.cpp:4185-4196).  Out-of-order and
   duplicate deliveries (at-least-once sources) drop instead of
-  producing churn segments.  State is one (ts, docid) per url —
+  producing churn segments.  State is one max-timestamp long per url —
   bounded by corpus url count and spread across executors by the
   groupBy("url") shuffle, so it scales horizontally.
 
@@ -63,30 +63,33 @@ def dedupe_recrawls(pages_stream: DataFrame) -> DataFrame:
     Within one micro-batch, only the newest copy of a url is emitted
     (a batch carrying three crawls of one url forwards one row)."""
 
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
     def fn(key, pdfs, state):
-        prev = state.get[0] if state.exists else -1
-        best = None  # (ts_us, row)
+        # vectorized: per Arrow chunk take the argmax timestamp and
+        # keep it only if strictly newer than everything seen (state
+        # from prior batches, earlier chunks of this one) — no per-row
+        # Python on the ingestion hot path.
+        best_ts = state.get[0] if state.exists else -1
+        best = None  # one-row pandas frame
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                ts_us = int(row["warc_ts"].value // 1_000)
-                if ts_us > prev and (best is None or ts_us > best[0]):
-                    best = (ts_us, row)
-        if best is None:
-            yield pd.DataFrame(
-                {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            if not len(pdf):
+                continue
+            # .to_numpy() may be datetime64[ns] or [us] depending on
+            # the Arrow round-trip; normalize to epoch micros
+            ts_us = (
+                pdf["warc_ts"].to_numpy().astype("datetime64[ns]").view("int64")
+                // 1_000
             )
+            i = int(ts_us.argmax())
+            if int(ts_us[i]) > best_ts:
+                best_ts = int(ts_us[i])
+                best = pdf.iloc[[i]][cols]
+        if best is None:
+            yield pd.DataFrame({c: [] for c in cols})
             return
-        state.update((best[0],))
-        row = best[1]
-        yield pd.DataFrame(
-            {
-                "url": [row["url"]],
-                "warc_ts": [row["warc_ts"]],
-                "html": [row["html"]],
-                "text": [row["text"]],
-                "lang": [row["lang"]],
-            }
-        )
+        state.update((best_ts,))
+        yield best
 
     return (
         pages_stream.select("url", "warc_ts", "html", "text", "lang")

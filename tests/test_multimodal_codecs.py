@@ -252,3 +252,84 @@ def test_unknown_audio_decoder_rejected(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError, match="torchaudio"):
         mm.decode_audio_metadata(df, decoder="mp3")
+
+
+# ------------------------------------------- optional video/audio seams
+
+
+def test_pyav_video_seam():
+    """VERDICT r3 #6: with PyAV installed the 'pyav' decoder samples
+    real frames as PNGs; without it, the driver-side probe raises the
+    integration message (never an ImportError leak mid-job)."""
+    try:
+        import av  # noqa: F401
+        import PIL  # noqa: F401
+
+        has_av = True
+    except ImportError:
+        has_av = False
+
+    if not has_av:
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            mm._video_decoder("pyav")
+        return
+
+    # encode a tiny 8-frame video in-memory, then sample 4 frames
+    import io
+
+    import av
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(8):
+            arr = np.full((16, 16, 3), i * 30, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    frames = mm._video_decoder("pyav")(buf.getvalue(), 4)
+    assert len(frames) == 4
+    for fr in frames:
+        assert fr[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_torchaudio_seam_agrees_with_wav():
+    """With torchaudio installed the 'torchaudio' decoder must agree
+    with the stdlib WAV parser on a PCM16 fixture (same meta, same
+    shared feature math); without it, the probe raises the
+    integration message."""
+    t = np.arange(8000) / 8000.0
+    wav = encode_wav(np.sin(2 * np.pi * 440 * t), rate=8000)
+    try:
+        import torchaudio  # noqa: F401
+
+        has_ta = True
+    except ImportError:
+        has_ta = False
+
+    if not has_ta:
+        with pytest.raises(NotImplementedError, match="torchaudio"):
+            mm._audio_decoder("torchaudio")
+        return
+
+    assert mm._torchaudio_meta(wav) == mm._wav_meta(wav)
+    got = mm._torchaudio_features(wav)
+    want = mm._wav_features(wav)
+    assert got == pytest.approx(want, abs=1e-4)
+
+
+def test_frame_sample_fake_still_deterministic(spark):
+    """The registry refactor must not change the gate-checked fake
+    path: frames are deterministic payload slices."""
+    df = spark.createDataFrame(
+        [(1, bytes(range(16)))], "doc_id long, payload binary"
+    )
+    rows = mm.frame_sample(df, n_frames=4).orderBy("frame_idx").collect()
+    assert [bytes(r.frame) for r in rows] == [
+        bytes(range(0, 4)), bytes(range(4, 8)),
+        bytes(range(8, 12)), bytes(range(12, 16)),
+    ]
