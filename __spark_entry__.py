@@ -645,13 +645,24 @@ def q_group_week(spark, sf_dir):
 
 
 def q_group_month(spark, sf_dir):
-    """GROUPBY_MONTH (src/sphinxsort.cpp:240-245)."""
-    return _group_period(spark, sf_dir, "month", F.sum("value"), 24)
+    """GROUPBY_MONTH (src/sphinxsort.cpp:240-245).
+
+    The SUM gates round to 4 decimals (not the usual 6): a whole-corpus
+    double sum's value GROWS with the corpus while parallel summation
+    order perturbs the low bits, so 6-decimal agreement broke at the
+    10x corpus (4.98e7 sums differing by 1e-6).  4 decimals on that
+    magnitude is still a ~1e-12 relative check with ~100x headroom."""
+    return _group_period(
+        spark, sf_dir, "month", F.round(F.sum("value"), 4), 24
+    )
 
 
 def q_group_year(spark, sf_dir):
-    """GROUPBY_YEAR (src/sphinxsort.cpp:236-239)."""
-    return _group_period(spark, sf_dir, "year", F.sum("value"), 10)
+    """GROUPBY_YEAR (src/sphinxsort.cpp:236-239).  4-decimal rounding
+    for the corpus-sized sum — see q_group_month."""
+    return _group_period(
+        spark, sf_dir, "year", F.round(F.sum("value"), 4), 10
+    )
 
 
 def q_select_math(spark, sf_dir):
@@ -1828,19 +1839,27 @@ i1 AS (
   FROM (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
         FROM h2 WHERE word = 'table'), nd
 ), r2 AS (
+  -- r2's own top-1000 cut (search limit=1000) and the merged top-1000
+  -- below both bind once the corpus has >1000 matches; (weight DESC,
+  -- doc_id ASC) fully tiebreaks, so the cuts stay deterministic
   SELECT doc_id,
     CAST(floor((tf/(tf+1.2) * (SELECT idf FROM i2) + 0.5) * 1000) AS INT)
       + 1000 * ((fm & 1) + ((fm >> 1) & 1)) AS weight, 1 AS tag
   FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf,
                bit_or(CASE WHEN fld = 0 THEN 1 ELSE 2 END) AS fm
         FROM h2 WHERE word = 'table' GROUP BY doc_id)
+  ORDER BY weight DESC, doc_id ASC LIMIT 1000
+), merged AS (
+  SELECT * FROM r2
+  UNION ALL
+  SELECT * FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM r2)
+), cut AS (
+  -- minimize_results' fresh queue: weight desc, docid asc, limit 1000
+  SELECT * FROM merged ORDER BY weight DESC, doc_id ASC LIMIT 1000
 )
 SELECT tag, CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(weight) AS BIGINT) AS sum_weight
-FROM (SELECT * FROM r2
-      UNION ALL
-      SELECT * FROM r1
-      WHERE doc_id NOT IN (SELECT doc_id FROM r2))
+FROM cut
 GROUP BY tag ORDER BY tag"""
 
     # literal oracle: md5 of every excerpt over the pinned sf0.01
@@ -2124,9 +2143,11 @@ SELECT CAST(date_trunc('day', ts)::DATE AS VARCHAR) AS period,
        count(*) AS at_count, round(avg(value), 6) AS agg_value
 FROM events GROUP BY 1 ORDER BY period LIMIT 40"""
 
+    # SUM gates round to 4 (not 6): whole-corpus double sums differ in
+    # the 6th decimal between engines' summation orders at 10x data
     group_month = """
 SELECT CAST(date_trunc('month', ts)::DATE AS VARCHAR) AS period,
-       count(*) AS at_count, round(sum(value), 6) AS agg_value
+       count(*) AS at_count, round(sum(value), 4) AS agg_value
 FROM events GROUP BY 1 ORDER BY period LIMIT 24"""
 
     group_week = """
@@ -2136,7 +2157,7 @@ FROM events GROUP BY 1 ORDER BY period LIMIT 20"""
 
     group_year = """
 SELECT CAST(date_trunc('year', ts)::DATE AS VARCHAR) AS period,
-       count(*) AS at_count, round(sum(value), 6) AS agg_value
+       count(*) AS at_count, round(sum(value), 4) AS agg_value
 FROM events GROUP BY 1 ORDER BY period LIMIT 10"""
 
     select_exprs = """

@@ -146,11 +146,9 @@ def _png_pixels(payload: bytes):
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
         if f == 0:
             out[y] = line
-        elif f == 1:  # Sub
-            cur = line.copy()
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
-            out[y] = cur
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            lane = line.reshape(w, ch).astype(np.int64)
+            out[y] = (np.cumsum(lane, axis=0) & 0xFF).reshape(stride)
         elif f == 2:  # Up
             out[y] = (line + prev) & 0xFF
         elif f == 3:  # Average

@@ -69,27 +69,36 @@ def dedupe_recrawls(pages_stream: DataFrame) -> DataFrame:
         # vectorized: per Arrow chunk take the argmax timestamp and
         # keep it only if strictly newer than everything seen (state
         # from prior batches, earlier chunks of this one) — no per-row
-        # Python on the ingestion hot path.
+        # Python on the ingestion hot path.  The winning row is read
+        # with scalar .iat (a pdf.iloc[[i]] fancy-index here costs
+        # ~1 ms of DataFrame construction PER KEY and dominated the
+        # whole operator in the 100k-row micro-bench).
         best_ts = state.get[0] if state.exists else -1
-        best = None  # one-row pandas frame
+        best_vals = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
             # .to_numpy() may be datetime64[ns] or [us] depending on
             # the Arrow round-trip; normalize to epoch micros
+            # (copy=False: skip the realloc when it's already ns)
             ts_us = (
-                pdf["warc_ts"].to_numpy().astype("datetime64[ns]").view("int64")
+                pdf["warc_ts"]
+                .to_numpy()
+                .astype("datetime64[ns]", copy=False)
+                .view("int64")
                 // 1_000
             )
             i = int(ts_us.argmax())
             if int(ts_us[i]) > best_ts:
                 best_ts = int(ts_us[i])
-                best = pdf.iloc[[i]][cols]
-        if best is None:
+                best_vals = [
+                    pdf.iat[i, pdf.columns.get_loc(c)] for c in cols
+                ]
+        if best_vals is None:
             yield pd.DataFrame({c: [] for c in cols})
             return
         state.update((best_ts,))
-        yield best
+        yield pd.DataFrame({c: [v] for c, v in zip(cols, best_vals)})
 
     return (
         pages_stream.select("url", "warc_ts", "html", "text", "lang")

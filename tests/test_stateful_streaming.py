@@ -137,3 +137,90 @@ def test_windowed_crawl_stats_watermark(spark, stream_dirs):
     assert all(
         n_pages <= 2 for (_w, _l), (n_pages, _b) in rows.items()
     )
+
+
+def test_continuous_ingestion_end_to_end(spark, tmp_path):
+    """The full continuous-ingestion chain in one run: crawl feed
+    (readStream, one file per micro-batch) -> dedupe_recrawls
+    (stateful supersede-on-the-stream) -> IncrementalIndexer
+    (foreachBatch delta segments + kill-lists) -> promote (atomic
+    CURRENT pointer) -> open_current_view -> WAND top-k.
+
+    Pins the whole supersede story: the re-crawled url keeps ONE live
+    row (the newest text), the stale duplicate never reaches a
+    segment, and the superseded copy's terms stop matching because
+    the later segment's kill-list suppresses its docid."""
+    from sphinx_1_spark.streaming.incremental import (
+        IncrementalIndexer,
+        open_current_view,
+        promote,
+    )
+    from sphinx_1_spark.streaming.stateful import dedupe_recrawls
+
+    src = str(tmp_path / "feed")
+    root = str(tmp_path / "idx")
+    gen = "gen=0000"
+    os.makedirs(src)
+
+    # batch 0: first crawls
+    b0 = [
+        _page("https://a", "2025-01-01T00:10:00", "alpha common"),
+        _page("https://b", "2025-01-01T00:11:00", "beta common"),
+    ]
+    # batch 1: a NEWER re-crawl of url a, a STALE duplicate of it
+    # (older than batch 0's crawl), and a fresh url c
+    b1 = [
+        _page("https://a", "2025-01-01T02:00:00", "gamma common"),
+        _page("https://a", "2025-01-01T00:05:00", "stale common"),
+        _page("https://c", "2025-01-01T02:01:00", "delta common"),
+    ]
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, PAGES_DDL).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    indexer = IncrementalIndexer(os.path.join(root, gen))
+    stream = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        indexer.attach(dedupe_recrawls(stream))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    ptr = promote(root, gen)
+    assert len(ptr["segments"]) == 2  # one delta per micro-batch
+    view = open_current_view(spark, root)
+
+    live = {
+        (r["url"], r["warc_ts"].isoformat())
+        for r in view.docinfo().collect()
+    }
+    assert live == {
+        ("https://a", "2025-01-01T02:00:00"),
+        ("https://b", "2025-01-01T00:11:00"),
+        ("https://c", "2025-01-01T02:01:00"),
+    }
+
+    def hit_urls(word):
+        docids = {
+            r["docid"] for r in view.search_topk([word], k=10).collect()
+        }
+        return {
+            r["url"]
+            for r in view.docinfo().collect()
+            if r["docid"] in docids
+        }
+
+    # every live row matches the shared term
+    assert hit_urls("common") == {"https://a", "https://b", "https://c"}
+    # the re-crawl's text is live ...
+    assert hit_urls("gamma") == {"https://a"}
+    # ... the superseded copy's terms are kill-listed out, and the
+    # stale duplicate was dropped on the stream (never indexed)
+    assert hit_urls("alpha") == set()
+    assert hit_urls("stale") == set()
