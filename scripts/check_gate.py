@@ -4,18 +4,56 @@ DuckDB over the same parquet views, compare row count, column names,
 and order-insensitive values.
 
 Usage: python scripts/check_gate.py [sf_dir] [query ...]
+       python scripts/check_gate.py --scaled [query ...]
+
+--scaled builds (once) the deterministic 10x corpus derived from
+sf0.1 (scripts/bench_sf_scale.build_scaled), flattens the Spark
+parquet directories to single files for the DuckDB views, and runs
+the gate there — the one-command reproduction of the "values hold at
+10x" evidence in BENCH.md.  q_excerpts is skipped at 10x with a
+printed reason: its oracle is a literal golden table pinned to the
+sf0.01 corpus (the excerpts automaton itself is byte-exact-pinned in
+tests/test_excerpts.py).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+SCALED_DIR = "/tmp/sf_scaled"
+SCALED_FLAT = "/tmp/sf_flat"
+
+
+def _prepare_scaled(spark) -> str:
+    """Build + flatten the 10x corpus; idempotent."""
+    import duckdb
+
+    from bench_sf_scale import build_scaled
+
+    build_scaled(spark, SCALED_DIR, 10)
+    os.makedirs(SCALED_FLAT, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        dst = f"{SCALED_FLAT}/{t}.parquet"
+        if not os.path.exists(dst):
+            con.execute(
+                f"COPY (SELECT * FROM '{SCALED_DIR}/{t}.parquet/*.parquet') "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+    for t in "region nation customer supplier part orders lineitem".split():
+        dst = f"{SCALED_FLAT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    return SCALED_FLAT
 
 
 def main() -> int:
@@ -24,11 +62,20 @@ def main() -> int:
     import __spark_entry__ as entry
     from sphinx_1_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    scaled = "--scaled" in args
+    if scaled:
+        args.remove("--scaled")
+    sf_dir = args[0] if args and not args[0].startswith("q_") else None
+    only = set(a for a in args if a.startswith("q_"))
 
     spark = get_spark(cores=8)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if scaled:
+        sf_dir = _prepare_scaled(spark)
+    elif sf_dir is None:
+        sf_dir = "/root/testdata/sf0.01"
 
     con = duckdb.connect()
     for t in TABLES:
@@ -41,6 +88,13 @@ def main() -> int:
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if scaled and name == "q_excerpts":
+            print(
+                "q_excerpts: SKIP at 10x (oracle is a literal golden "
+                "table pinned to the sf0.01 corpus; automaton is "
+                "byte-exact-pinned in tests/test_excerpts.py)"
+            )
             continue
         sdf = fn(spark, sf_dir)
         spark_rows = [tuple(r) for r in sdf.collect()]
