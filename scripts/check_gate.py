@@ -45,10 +45,14 @@ def _prepare_scaled(spark) -> str:
     for t in ("documents", "events", "embeddings"):
         dst = f"{SCALED_FLAT}/{t}.parquet"
         if not os.path.exists(dst):
+            # write-temp-then-rename: an interrupted COPY must not
+            # leave a truncated file the skip-if-exists would reuse
+            tmp = dst + ".tmp"
             con.execute(
                 f"COPY (SELECT * FROM '{SCALED_DIR}/{t}.parquet/*.parquet') "
-                f"TO '{dst}' (FORMAT PARQUET)"
+                f"TO '{tmp}' (FORMAT PARQUET)"
             )
+            os.replace(tmp, dst)
     for t in "region nation customer supplier part orders lineitem".split():
         dst = f"{SCALED_FLAT}/{t}.parquet"
         if not os.path.exists(dst):
@@ -68,6 +72,11 @@ def main() -> int:
         args.remove("--scaled")
     sf_dir = args[0] if args and not args[0].startswith("q_") else None
     only = set(a for a in args if a.startswith("q_"))
+    if scaled and sf_dir is not None:
+        raise SystemExit(
+            "--scaled builds its own corpus; drop the sf_dir argument "
+            f"(got both --scaled and {sf_dir!r})"
+        )
 
     spark = get_spark(cores=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -431,6 +431,10 @@ def _pyav_frames(payload: bytes, n_frames: int) -> list[bytes]:
     import av
 
     with av.open(io.BytesIO(payload)) as container:
+        if not container.streams.video:
+            # descriptive error like _wav_parse/_png_pixels, not a raw
+            # IndexError killing the executor task
+            raise ValueError("no video stream in container")
         stream = container.streams.video[0]
         total = stream.frames or 0
         if total:

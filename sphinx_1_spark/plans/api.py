@@ -215,13 +215,20 @@ def _with_overrides(idx, overrides: dict[str, dict[int, float]]):
             )
         col = by_lower[attr.lower()]
         py_t = _PY_T[t]
+        # docid keys and override values fail separately so the error
+        # names the actual culprit
+        try:
+            keyed = {int(d): v for d, v in mapping.items()}
+        except (TypeError, ValueError) as exc:
+            raise ApiQueryError(
+                f"attribute override: invalid docid for '{attr}': {exc}"
+            ) from None
         try:
             resolved[col] = {
                 # uint64 docids above 2^63-1 wrap into negative longs,
                 # the same sign-bit bijection docinfo keys use (id64)
-                (int(d) - (1 << 64)) if int(d) >= (1 << 63) else int(d):
-                    py_t(v)
-                for d, v in mapping.items()
+                (d - (1 << 64)) if d >= (1 << 63) else d: py_t(v)
+                for d, v in keyed.items()
             }
         except (TypeError, ValueError) as exc:
             raise ApiQueryError(
@@ -683,7 +690,9 @@ def api_query(
 # genuinely different filters (older Sparks render bare '<lambda>(col)')
 # and differ across identical ones (the Origin object hash is
 # per-construction), so it is unusable as an equality key either way.
-_OPAQUE_MARKERS = ("lambda", "columnnodeexpression", "java.lang")
+# '<lambda>' (not the bare word) so a filter over a column literally
+# named 'lambda_rate' isn't falsely disqualified.
+_OPAQUE_MARKERS = ("<lambda>", "columnnodeexpression", "java.lang")
 
 
 def _filter_forms(cols) -> list[str] | None:

@@ -394,7 +394,16 @@ class SphinxQLSession:
         like an unconfigured searchd (g_bCpuStats / g_bIOStats), and
         command_status counts the binary-API STATUS command, which the
         SphinxQL path never issues (the reference's mysql41 SHOW
-        STATUS doesn't bump it either, searchd.cpp:5891-5896)."""
+        STATUS doesn't bump it either, searchd.cpp:5891-5896).
+
+        query_wall fidelity caveat: execute() returns a LAZY
+        DataFrame, so the accumulated wall covers plan construction
+        plus the in-execute materializations (the SHOW META
+        total_found count for MATCH queries) — not the caller's later
+        .collect().  The daemon's m_iQueryTime covers the full
+        serve; here the serve completes outside the session's
+        control, so the counter is a lower bound for plain attribute
+        SELECTs."""
         import time as _time
 
         nq = self._n_queries
