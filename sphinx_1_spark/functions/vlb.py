@@ -39,30 +39,38 @@ def vlb_encode(values: np.ndarray) -> bytes:
 
 
 def _vlb_encode_core(v: np.ndarray) -> tuple[bytes, np.ndarray]:
-    # bytes needed = ceil(bit_length / 7), min 1
-    bits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        bits[nz] += 1
-        tmp >>= np.uint64(1)
-        nz = tmp > 0
-    nbytes = np.maximum((bits + 6) // 7, 1)
+    # bytes needed = ceil(bit_length / 7), min 1 — computed as
+    # 1 + (number of 7-bit-group thresholds the value reaches): at
+    # most 9 vectorized compares, early-exit when none reach (the old
+    # per-bit while loop made one masked pass per BIT, ~40 for docid
+    # deltas; this cut the whole encode stage ~4x, see BENCH.md)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        if not m.any():
+            break
+        nbytes += m
     total = int(nbytes.sum())
+    if total == v.size:
+        # every value < 128: the stream IS the values (tf / fieldmask
+        # streams land here almost always)
+        return v.astype(np.uint8).tobytes(), nbytes
     out = np.empty(total, dtype=np.uint8)
-    # positions of each value's LAST byte
+    # positions of each value's LAST byte; write it for all values,
+    # then fill higher groups only for the (compacted) multi-byte tail
     ends = np.cumsum(nbytes) - 1
-    # fill bytes from least-significant group backwards
-    maxb = int(nbytes.max())
-    shifted = v.copy()
-    for k in range(maxb):
-        mask = nbytes > k
-        idx = ends[mask] - k
-        byte = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
-        if k > 0:
-            byte |= 0x80
-        out[idx] = byte
-        shifted = shifted >> np.uint64(7)
+    out[ends] = (v & np.uint64(0x7F)).astype(np.uint8)
+    active = np.flatnonzero(nbytes > 1)
+    shifted = v[active] >> np.uint64(7)
+    k = 1
+    while active.size:
+        out[ends[active] - k] = (
+            (shifted & np.uint64(0x7F)) | np.uint64(0x80)
+        ).astype(np.uint8)
+        keep = nbytes[active] > k + 1
+        active = active[keep]
+        shifted = shifted[keep] >> np.uint64(7)
+        k += 1
     return out.tobytes(), nbytes
 
 
@@ -72,20 +80,27 @@ def vlb_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
-    # value index of each byte = number of completed values before it
-    val_idx = np.zeros(b.size, dtype=np.int64)
-    val_idx[1:] = np.cumsum(is_last)[:-1]
+    if not is_last[-1]:
+        raise ValueError("truncated VLB stream (ends on a continuation byte)")
     nvals = int(is_last.sum())
-    out = np.zeros(nvals, dtype=np.uint64)
     data = (b & 0x7F).astype(np.uint64)
     # accumulate high-bits-first: out = out*128 + byte, grouped by val_idx
     # loop over byte-position-within-value (max 10 for 64-bit)
     starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
     lengths = np.diff(np.concatenate((starts, [b.size])))
-    maxlen = int(lengths.max())
-    for k in range(maxlen):
-        mask = lengths > k
-        out[mask] = (out[mask] << np.uint64(7)) | data[starts[mask] + k]
+    # first (highest) byte group for every value, then accumulate
+    # lower groups over a compacted multi-byte tail (same shape as the
+    # encode: 1-byte values — the vast majority — take one pass)
+    out = data[starts].copy()
+    active = np.flatnonzero(lengths > 1)
+    alens = lengths[active]
+    k = 1
+    while active.size:
+        out[active] = (out[active] << np.uint64(7)) | data[starts[active] + k]
+        keep = alens > k + 1
+        active = active[keep]
+        alens = alens[keep]
+        k += 1
     if count is not None and nvals != count:
         raise ValueError(f"expected {count} values, decoded {nvals}")
     return out

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -254,6 +255,147 @@ def build_hits_fused(
             )
 
     return proj.mapInPandas(gen, schema=HITS_SCHEMA)
+
+
+RUNS_SCHEMA = StructType(
+    [
+        StructField("word", StringType(), False),
+        StructField("grp", IntegerType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("docids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("fieldmasks", BinaryType(), False),
+        StructField("positions", BinaryType(), False),
+    ]
+)
+
+
+def build_runs_fused(
+    docs: DataFrame,
+    docid_col: str,
+    html_col: str,
+    settings: TokenizerSettings,
+    remove_elements: str = "script, style",
+    index_attrs: dict[str, list[str]] | None = None,
+    n_groups: int = 1,
+) -> DataFrame:
+    """Fused strip+tokenize with MAP-SIDE RUN COMBINE: html -> one row
+    per (Arrow batch, word) carrying that word's docid-sorted entries
+    as packed numpy buffers (docids int64[n], tfs int32[n],
+    fieldmasks int64[n], positions int32[sum tf] — raw little-endian,
+    not VLB: the shuffle is transient and lz4-compressed, and
+    frombuffer decodes for free on the reduce side).
+
+    Why: Spark's per-row JVM<->Python crossing is the segment build's
+    real wall — a NOOP mapInPandas over the 27M raw hit rows of a
+    400k-doc corpus costs the same ~12 s as the full encode, while the
+    numpy encode itself is <1 s of it.  Grouping hits into per-word
+    runs BEFORE they leave Python cuts the crossing ~40x (one row per
+    word per batch instead of one per occurrence).  This is also the
+    reference's own build shape: sort hit chunks locally, spill sorted
+    runs, merge (Build src/sphinx.cpp:9210) — here the "spill" is the
+    runs shuffle and the k-way merge is encode_blocks_from_runs.
+
+    `grp` spreads one word's runs over n_groups reduce keys —
+    deterministic in (input partition id, batch ordinal), so a head
+    term's 10^6 runs at web scale never funnel into a single reduce
+    task; tail words fragment into at most n_groups extra blocks.
+    Size it ~ n_input_partitions / 64 (each key then merges <=64
+    runs).  Blocks are deterministic given the input split layout and
+    n_groups (the resume/rebuild contract); across DIFFERENT layouts
+    the decoded postings are identical while block cuts may differ —
+    serving tolerates arbitrary run fragmentation by design."""
+    proj = docs.select(
+        F.col(docid_col).alias("docid"),
+        F.col(html_col).alias("html"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    attrs_cfg = index_attrs if index_attrs is not None else {"img": ["alt"]}
+    cfg = (remove_elements, tuple(sorted((k, tuple(v)) for k, v in attrs_cfg.items())))
+    n_groups = max(int(n_groups), 1)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sphinx_1_spark.functions.stripper import HtmlStripper
+        from sphinx_1_spark.functions.tokenizer import Tokenizer
+
+        stripper = HtmlStripper(cfg[0], {k: list(v) for k, v in cfg[1]})
+        tok = Tokenizer(settings)
+        batch_idx = 0
+        for pdf in batches:
+            docids: list[int] = []
+            words: list[str] = []
+            poss: list[int] = []
+            for did, html in zip(pdf["docid"], pdf["html"]):
+                if html is None:
+                    continue
+                text = stripper.strip(bytes(html)).decode("utf-8", "replace")
+                hits = tok.hits_for_doc([text])
+                if hits:
+                    did = int(did)
+                    docids.extend([did] * len(hits))
+                    words.extend(h[0] for h in hits)
+                    poss.extend(h[1] for h in hits)
+            if not words:
+                batch_idx += 1
+                continue
+            grp = (int(pdf["_pid"].iat[0]) * 1000003 + batch_idx) % n_groups
+            batch_idx += 1
+
+            w = np.asarray(words, dtype=object)
+            d = np.asarray(docids, dtype=np.int64)
+            p = np.asarray(poss, dtype=np.int64)
+            # word -> dense ordinal (np.unique sorts, so runs come out
+            # in lexicographic word order), then one int lexsort
+            uw, winv = np.unique(w, return_inverse=True)
+            order = np.lexsort((p, d, winv))
+            wi = winv[order]
+            ds = d[order]
+            ps = p[order]
+
+            # entry = (word, docid); run = word
+            wchg = np.concatenate(([True], wi[1:] != wi[:-1]))
+            echg = wchg | np.concatenate(([True], ds[1:] != ds[:-1]))
+            estarts = np.flatnonzero(echg)
+            etf = np.diff(np.concatenate((estarts, [ds.size])))
+            edoc = ds[estarts]
+            fbits = np.int64(1) << ((ps >> 24) & 0xFF)
+            efm = np.bitwise_or.reduceat(fbits, estarts)
+
+            e_new_word = wchg[estarts]
+            rstarts_e = np.flatnonzero(e_new_word)  # entry idx per run
+            rends_e = np.concatenate((rstarts_e[1:], [estarts.size]))
+            rstarts_h = estarts[rstarts_e]  # hit idx per run
+            rends_h = np.concatenate((rstarts_h[1:], [ds.size]))
+
+            ps32 = ps.astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "word": uw[wi[rstarts_h]],
+                    "grp": np.full(rstarts_e.size, grp, dtype=np.int32),
+                    "n": (rends_e - rstarts_e).astype(np.int32),
+                    "docids": [
+                        edoc[s:e].tobytes()
+                        for s, e in zip(rstarts_e, rends_e)
+                    ],
+                    "tfs": [
+                        etf[s:e].astype(np.int32).tobytes()
+                        for s, e in zip(rstarts_e, rends_e)
+                    ],
+                    "fieldmasks": [
+                        efm[s:e].tobytes()
+                        for s, e in zip(rstarts_e, rends_e)
+                    ],
+                    "positions": [
+                        ps32[s:e].tobytes()
+                        for s, e in zip(rstarts_h, rends_h)
+                    ],
+                }
+            )
+
+    return proj.mapInPandas(gen, schema=RUNS_SCHEMA)
 
 
 def build_hits_arrow(

@@ -27,16 +27,35 @@ addition):
       the same binary-search role is played by row-group stats, so this
       table is primarily a compatibility/debug artifact.
 
-Scale design: the encoder is a **streaming mapInPandas over
-range-partitioned, partition-sorted hits** — Spark's sort-shuffle is
-the external hit sort (Build, src/sphinx.cpp:9210), and no executor
-ever materializes a full head-term posting list: a word whose postings
-span partitions (or Arrow batches) simply yields multiple independent
-block runs.  That IS the head-term skew answer: "the" with 10^11
-postings becomes ~10^9 independent 128-entry blocks spread across all
-partitions, encoded locally, with no single-node merge.  Per-shard
-manifests carry lineage + phase metrics; a killed sharded build
-resumes by skipping shards whose manifest exists.
+Scale design — two build paths, one block format:
+
+  * encode_blocks_from_runs (PRODUCTION, round 4): map-side run
+    combine.  The tokenizer stage groups each Arrow batch's hits into
+    per-word docid-sorted runs and ships them as packed numpy buffers
+    — one row per (batch, word) instead of one per occurrence.
+    Profiling showed Spark's per-row JVM<->Python Arrow crossing was
+    the whole build wall (a NOOP mapInPandas over the raw hit rows
+    cost the same ~12 s as the full encode at 400k docs; the numpy
+    encode itself <1 s), so crossing ~40x fewer rows is the lever.
+    The reduce merges each (word, grp) key's runs with one lexsort
+    and cuts blocks — the reference's own sort-chunks/spill/merge
+    build (Build, src/sphinx.cpp:9210).  Head-term skew: `grp`
+    spreads one word's runs over n_groups deterministic reduce keys,
+    so "the" with 10^11 postings at web scale merges in ~n_groups
+    independent tasks, each bounded to ~64 runs; tail words pay at
+    most n_groups extra blocks.
+
+  * encode_blocks_from_hits (kept: streaming deltas, replay tests):
+    one hash sort-shuffle over raw hits; a word's postings spread by
+    docid hash, every partition emits independent block runs.  Byte-
+    deterministic given num_partitions alone (the runs path is
+    deterministic given the input split layout — rebuild/resume in
+    the same layout is identical; across layouts the decoded postings
+    are identical while block cuts differ, which serving tolerates).
+
+No executor ever materializes a full head-term posting list in either
+path.  Per-shard manifests carry lineage + phase metrics; a killed
+sharded build resumes by skipping shards whose manifest exists.
 """
 
 from __future__ import annotations
@@ -261,10 +280,6 @@ def encode_blocks_from_hits(
 def _encode_hit_frame(
     pdf: pd.DataFrame, with_positions: bool, schema
 ) -> pd.DataFrame:
-    import zlib
-
-    from sphinx_1_spark.functions.vlb import vlb_encode_with_sizes
-
     w = pdf["word"].to_numpy()
     d = pdf["docid"].to_numpy(dtype=np.int64)
     p = pdf["wordpos"].to_numpy(dtype=np.int64)
@@ -274,7 +289,6 @@ def _encode_hit_frame(
     wchg = np.concatenate(([True], w[1:] != w[:-1]))
     echg = wchg | np.concatenate(([True], d[1:] != d[:-1]))
     entry_starts = np.flatnonzero(echg)  # row index of each entry
-    n_entries = entry_starts.size
     entry_rows = np.diff(np.concatenate((entry_starts, [n])))  # == tf
     entry_docid = d[entry_starts]
 
@@ -282,14 +296,45 @@ def _encode_hit_frame(
     fbits = np.int64(1) << ((p >> 24) & 0xFF)
     entry_fm = np.bitwise_or.reduceat(fbits, entry_starts)
 
-    # word-run id per entry; block splits every BLOCK_SIZE entries
-    entry_is_new_word = wchg[entry_starts]
+    # positions are already flat in row order, contiguous per entry
+    return _blocks_from_entries(
+        w[entry_starts],
+        entry_docid,
+        entry_rows,
+        entry_fm,
+        wchg[entry_starts],
+        p if with_positions else None,
+        schema,
+    )
+
+
+def _blocks_from_entries(
+    entry_word: np.ndarray,
+    entry_docid: np.ndarray,
+    entry_tf: np.ndarray,
+    entry_fm: np.ndarray,
+    entry_is_new_word: np.ndarray,
+    pos_flat: np.ndarray | None,
+    schema,
+) -> pd.DataFrame:
+    """Entry-level arrays -> <=BLOCK_SIZE-entry compressed block rows.
+
+    Shared back half of the hits and runs encoders: entries must be
+    word-grouped and docid-sorted within each word run; `pos_flat`
+    (when positions are kept) is the flat wordpos stream, contiguous
+    per entry in entry order, entry k owning entry_tf[k] values."""
+    import zlib
+
+    from sphinx_1_spark.functions.vlb import vlb_encode_with_sizes
+
+    n_entries = entry_docid.size
+
+    # block splits every BLOCK_SIZE entries within a word run
     run_id = np.cumsum(entry_is_new_word) - 1
     run_first_entry = np.flatnonzero(entry_is_new_word)
     within = np.arange(n_entries) - run_first_entry[run_id]
     bchg = entry_is_new_word | (within % BLOCK_SIZE == 0)
     blk_starts_e = np.flatnonzero(bchg)  # entry index of each block
-    n_blocks = blk_starts_e.size
     blk_n = np.diff(np.concatenate((blk_starts_e, [n_entries])))
     blk_ends_e = blk_starts_e + blk_n
 
@@ -304,7 +349,7 @@ def _encode_hit_frame(
         np.subtract(entry_docid[1:], entry_docid[:-1], out=ddelta[1:].view(np.int64))
         ddelta[blk_starts_e] = 1
     dbuf, dsz = vlb_encode_with_sizes(ddelta)
-    tbuf, tsz = vlb_encode_with_sizes(entry_rows.astype(np.uint64))
+    tbuf, tsz = vlb_encode_with_sizes(entry_tf.astype(np.uint64))
     fbuf, fsz = vlb_encode_with_sizes(entry_fm.astype(np.uint64))
 
     def _block_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
@@ -313,11 +358,10 @@ def _encode_hit_frame(
         ends = offs[blk_ends_e]
         return [buf[int(s) : int(e)] for s, e in zip(starts, ends)]
 
+    blk_word = entry_word[blk_starts_e]
     out: dict[str, list] = {}
-    out["wordid"] = [
-        zlib.crc32(x.encode("utf-8")) for x in w[entry_starts[blk_starts_e]]
-    ]
-    out["word"] = list(w[entry_starts[blk_starts_e]])
+    out["wordid"] = [zlib.crc32(x.encode("utf-8")) for x in blk_word]
+    out["word"] = list(blk_word)
     out["n"] = blk_n.astype(np.int32)
     out["min_docid"] = blk_min
     out["max_docid"] = blk_max
@@ -325,30 +369,146 @@ def _encode_hit_frame(
     out["tfs"] = _block_slices(tbuf, tsz)
     out["fieldmasks"] = _block_slices(fbuf, fsz)
 
-    tf_f = entry_rows.astype(np.float64)
+    tf_f = entry_tf.astype(np.float64)
     imp = tf_f / (tf_f + SPH_BM25_K1)
     out["max_impact"] = np.maximum.reduceat(imp, blk_starts_e)
     out["min_impact"] = np.minimum.reduceat(imp, blk_starts_e)
-    out["sum_tf"] = np.add.reduceat(entry_rows, blk_starts_e).astype(np.int64)
+    out["sum_tf"] = np.add.reduceat(entry_tf, blk_starts_e).astype(np.int64)
 
-    if with_positions:
-        # per-row position deltas with reset at entry starts (infinum 0)
-        pu = p.astype(np.uint64)
-        pdelta = np.empty(n, dtype=np.uint64)
-        if n:
+    if pos_flat is not None:
+        # per-value position deltas with reset at entry starts (infinum 0)
+        nh = pos_flat.size
+        entry_pos_starts = np.concatenate(([0], np.cumsum(entry_tf)))[:-1]
+        pu = pos_flat.astype(np.uint64)
+        pdelta = np.empty(nh, dtype=np.uint64)
+        if nh:
             pdelta[0] = pu[0]
             np.subtract(pu[1:], pu[:-1], out=pdelta[1:])
-            pdelta[entry_starts] = pu[entry_starts]
+            pdelta[entry_pos_starts] = pu[entry_pos_starts]
         pbuf, psz = vlb_encode_with_sizes(pdelta)
         poffs = np.concatenate(([0], np.cumsum(psz)))
-        row_starts = entry_starts[blk_starts_e]
-        row_ends = np.concatenate((entry_starts[1:], [n]))[blk_ends_e - 1]
+        val_starts = entry_pos_starts[blk_starts_e]
+        val_ends = np.concatenate((entry_pos_starts[1:], [nh]))[blk_ends_e - 1]
         out["positions"] = [
             pbuf[int(s) : int(e)]
-            for s, e in zip(poffs[row_starts], poffs[row_ends])
+            for s, e in zip(poffs[val_starts], poffs[val_ends])
         ]
 
     return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+
+def encode_blocks_from_runs(
+    runs: DataFrame,
+    with_positions: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Packed per-(batch, word) runs (build_runs_fused) -> compressed
+    blocks: shuffle ~40x fewer rows than the raw-hit path, merge each
+    (word, grp) key's runs with one batch-wide lexsort, cut via the
+    shared entry-level block encoder.
+
+    The reduce is the k-way merge of the reference build
+    (src/sphinx.cpp:9210): runs arrive docid-sorted, the key's entries
+    are re-sorted by docid (docids are globally unique, so the merge
+    order is total and deterministic), and blocks come out
+    docid-contiguous per (word, grp) — better packed than the raw-hit
+    path's hash-spread runs."""
+    if num_partitions is None:
+        sc = runs.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism * 2, 16)
+    sorted_r = (
+        runs.repartition(num_partitions, "word", "grp")
+        .sortWithinPartitions("word", "grp")
+    )
+    schema = _blocks_schema(with_positions)
+
+    def enc(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing (possibly incomplete) key
+            words = pdf["word"].to_numpy()
+            grps = pdf["grp"].to_numpy()
+            last_key = (words[-1], grps[-1])
+            tail = (words == last_key[0]) & (grps == last_key[1])
+            cut = int(np.argmax(tail))  # first row of the last key
+            if cut == 0 and bool(tail[0]):
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:]
+            yield _encode_run_frame(pdf.iloc[:cut], with_positions, schema)
+        if carry is not None and len(carry):
+            yield _encode_run_frame(carry, with_positions, schema)
+
+    return sorted_r.mapInPandas(enc, schema=schema)
+
+
+def _encode_run_frame(
+    pdf: pd.DataFrame, with_positions: bool, schema
+) -> pd.DataFrame:
+    words = pdf["word"].to_numpy()
+    grps = pdf["grp"].to_numpy()
+    n_per_run = pdf["n"].to_numpy().astype(np.int64)
+
+    # one concatenate per column across every run in the frame
+    doc_all = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in pdf["docids"]]
+    )
+    tf_all = np.concatenate(
+        [np.frombuffer(b, dtype=np.int32) for b in pdf["tfs"]]
+    ).astype(np.int64)
+    fm_all = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in pdf["fieldmasks"]]
+    )
+
+    # key ordinal per entry; merge = one lexsort (docids are unique
+    # within a key — each doc lives in exactly one source batch)
+    kchg = np.concatenate(
+        ([True], (words[1:] != words[:-1]) | (grps[1:] != grps[:-1]))
+    )
+    kid_run = np.cumsum(kchg) - 1
+    key_all = np.repeat(kid_run, n_per_run)
+    order = np.lexsort((doc_all, key_all))
+
+    entry_docid = doc_all[order]
+    entry_tf = tf_all[order]
+    entry_fm = fm_all[order]
+    key_sorted = key_all[order]
+    entry_is_new_word = np.concatenate(
+        ([True], key_sorted[1:] != key_sorted[:-1])
+    )
+    # per-entry word (pointer repeat, no string copies)
+    entry_word = np.repeat(words, n_per_run)[order]
+
+    pos_flat = None
+    if with_positions:
+        pos_all = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in pdf["positions"]]
+        ).astype(np.int64)
+        # permute per-entry variable-length chunks into merged order
+        src_off = np.concatenate(([0], np.cumsum(tf_all)))[:-1]
+        new_lens = entry_tf
+        new_src = src_off[order]
+        total = int(new_lens.sum())
+        out_off = np.concatenate(([0], np.cumsum(new_lens)))[:-1]
+        gather = (
+            np.repeat(new_src - out_off, new_lens)
+            + np.arange(total, dtype=np.int64)
+        )
+        pos_flat = pos_all[gather]
+
+    return _blocks_from_entries(
+        entry_word,
+        entry_docid,
+        entry_tf,
+        entry_fm,
+        entry_is_new_word,
+        pos_flat,
+        schema,
+    )
 
 
 def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:

@@ -139,13 +139,23 @@ def build_segments(
     docid_mode: str = "fingerprint",
     lineage_extra: dict | None = None,
     encode_partitions: int | None = None,
+    combine: str = "runs",
 ) -> list[str]:
     """Resumable sharded build: shard i <- urls with xxhash64(url)%n == i.
 
     Already-complete shards (manifest present) are skipped, so a killed
     job resumes mid-build by re-invoking with the same arguments.
-    """
-    from sphinx_1_spark.plans.pipeline import assign_docids, strip_pages
+
+    combine="runs" (default): map-side run combine — the tokenizer
+    stage emits packed per-(batch, word) entry runs and the reduce
+    merges them into blocks (~40x fewer rows over the JVM<->Python
+    Arrow boundary, which profiling showed IS the build wall; also
+    the reference's own sort-chunks-then-merge shape,
+    src/sphinx.cpp:9210).  combine="hits" keeps the raw-hit
+    sort-shuffle whose block stream is byte-deterministic given
+    encode_partitions alone (the runs path is deterministic given the
+    input split layout — same-session rebuild/resume identical)."""
+    from sphinx_1_spark.plans.pipeline import assign_docids
 
     spark = pages.sparkSession
     tok = tokenizer or TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
@@ -159,24 +169,47 @@ def build_segments(
         t0 = time.perf_counter()
         sub = pages.where(shard_col == shard)
         docs = assign_docids(sub, docid_mode)
-        from sphinx_1_spark.operators.hits import build_hits_fused
-        from sphinx_1_spark.operators.segments import encode_blocks_from_hits
-
-        hits = build_hits_fused(docs, "docid", "html", tok)
         docinfo = docs.select("docid", "url", "warc_ts", "lang")
         # encode_partitions: pass an explicit value (sized from data
         # volume, e.g. hits_bytes/128MB) to make the emitted block
         # stream byte-identical regardless of cluster size; None
         # derives it from the session's parallelism
-        blocks = encode_blocks_from_hits(
-            hits,
-            with_positions=with_positions,
-            num_partitions=encode_partitions,
-        )
+        if combine == "runs":
+            from sphinx_1_spark.operators.hits import build_runs_fused
+            from sphinx_1_spark.operators.segments import (
+                encode_blocks_from_runs,
+            )
+
+            # each (word, grp) reduce key merges <=~64 map runs: head
+            # terms spread over n_groups keys, tail words pay at most
+            # n_groups extra blocks
+            n_in = docs.rdd.getNumPartitions()
+            n_groups = max(1, n_in // 64)
+            runs = build_runs_fused(
+                docs, "docid", "html", tok, n_groups=n_groups
+            )
+            blocks = encode_blocks_from_runs(
+                runs,
+                with_positions=with_positions,
+                num_partitions=encode_partitions,
+            )
+        else:
+            from sphinx_1_spark.operators.hits import build_hits_fused
+            from sphinx_1_spark.operators.segments import (
+                encode_blocks_from_hits,
+            )
+
+            hits = build_hits_fused(docs, "docid", "html", tok)
+            blocks = encode_blocks_from_hits(
+                hits,
+                with_positions=with_positions,
+                num_partitions=encode_partitions,
+            )
         lineage = {
             "shard": shard,
             "n_shards": n_shards,
             "docid_mode": docid_mode,
+            "combine": combine,
             "tokenizer": {
                 "ngram_chars": tok.ngram_chars,
                 "mmseg_dict": tok.mmseg_dict_path,

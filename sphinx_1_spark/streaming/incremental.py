@@ -32,11 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sphinx_1_spark.functions.tokenizer import TokenizerSettings
-from sphinx_1_spark.operators.hits import build_hits_fused
+from sphinx_1_spark.operators.hits import build_runs_fused
 from sphinx_1_spark.operators.segments import (
     build_checkpoints,
     build_dictionary_from_blocks,
-    encode_blocks_from_hits,
+    encode_blocks_from_runs,
 )
 from sphinx_1_spark.plans.pipeline import assign_docids
 from sphinx_1_spark.plans.segment_index import (
@@ -75,9 +75,12 @@ class IncrementalIndexer:
         spark = pages.sparkSession
         t0 = time.perf_counter()
         docs = assign_docids(pages, "fingerprint")
-        hits = build_hits_fused(docs, "docid", "html", self.tok)
+        # same map-side run combine as the batch build (the per-row
+        # JVM<->Python crossing is the wall at ingest scale too)
+        n_groups = max(1, docs.rdd.getNumPartitions() // 64)
+        runs = build_runs_fused(docs, "docid", "html", self.tok, n_groups=n_groups)
         docinfo = docs.select("docid", "url", "warc_ts", "lang")
-        blocks = encode_blocks_from_hits(hits, with_positions=self.with_positions)
+        blocks = encode_blocks_from_runs(runs, with_positions=self.with_positions)
         lineage = {
             "batch_id": batch_id,
             "mode": "streaming-delta",

@@ -154,3 +154,133 @@ def test_wand_equals_exact(built_segments, words, mode):
     got = [(r["docid"], r["weight"]) for r in segs.wand_topk(words, 10, mode).collect()]
     want = [(r["docid"], r["weight"]) for r in _exact_topk(segs, words, 10, mode)]
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# Map-side run combine (build_runs_fused + encode_blocks_from_runs):
+# the production build path since round 4 — the raw-hit shuffle's
+# JVM<->Python crossing was the measured build wall (a NOOP
+# mapInPandas over the hit rows cost the same as the full encode).
+def test_runs_path_equivalent_to_hits_path(spark, tmp_path):
+    """Same corpus through both combine modes: decoded postings,
+    positions, and dictionary stats must be identical (block CUTS may
+    differ — runs blocks are docid-contiguous per (word, grp), the
+    hit path's are hash-spread)."""
+    from sphinx_1_spark.operators.segments import decode_blocks
+    from sphinx_1_spark.plans.segment_index import SegmentSet, build_segments
+    from sphinx_1_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 600, seed=23, partitions=5)
+    sets = {}
+    for mode in ("hits", "runs"):
+        out = str(tmp_path / mode)
+        paths = build_segments(pages, out, n_shards=2, combine=mode)
+        sets[mode] = SegmentSet(spark, paths)
+
+    def canon(segs):
+        rows = decode_blocks(segs.blocks, with_positions=True).collect()
+        return sorted(
+            (r["wordid"], r["word"], r["docid"], r["tf"], r["fieldmask"],
+             tuple(r["positions"]))
+            for r in rows
+        )
+
+    assert canon(sets["hits"]) == canon(sets["runs"])
+    d_h = {(r["wordid"], r["word"]): (r["docs"], r["hits"])
+           for r in sets["hits"].dictionary.collect()}
+    d_r = {(r["wordid"], r["word"]): (r["docs"], r["hits"])
+           for r in sets["runs"].dictionary.collect()}
+    assert d_h == d_r
+    # runs-path manifests record their combine mode for lineage
+    assert sets["runs"].manifests[0]["lineage"]["combine"] == "runs"
+
+
+def test_runs_multi_group_and_block_invariants(spark):
+    """n_groups > 1 (the head-term skew spread): every word's entries
+    split across grp keys, blocks stay <= BLOCK_SIZE, internally
+    docid-sorted, and the union of decoded postings is exactly the
+    single-group set."""
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.operators.hits import build_runs_fused
+    from sphinx_1_spark.operators.segments import (
+        BLOCK_SIZE,
+        decode_blocks,
+        encode_blocks_from_runs,
+    )
+    from sphinx_1_spark.plans.pipeline import assign_docids
+    from sphinx_1_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 500, seed=31, partitions=6)
+    docs = assign_docids(pages, "fingerprint")
+    tok = TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
+
+    def postings(n_groups, num_partitions):
+        runs = build_runs_fused(docs, "docid", "html", tok, n_groups=n_groups)
+        blocks = encode_blocks_from_runs(
+            runs, with_positions=True, num_partitions=num_partitions
+        )
+        rows = blocks.collect()
+        assert all(r["n"] <= BLOCK_SIZE for r in rows)
+        for r in rows:
+            assert r["min_docid"] <= r["max_docid"]
+        dec = decode_blocks(
+            spark.createDataFrame(rows, blocks.schema), with_positions=True
+        ).collect()
+        return sorted(
+            (r["wordid"], r["docid"], r["tf"], tuple(r["positions"]))
+            for r in dec
+        )
+
+    base = postings(1, 8)
+    spread = postings(4, 3)  # more groups, different reduce parallelism
+    assert base == spread
+
+
+def test_runs_reduce_carry_across_batches(spark):
+    """A (word, grp) key split across reduce Arrow batches must merge
+    into one docid-contiguous run, not two: force 1-row batches via a
+    tiny maxRecordsPerBatch and check the heavy word's blocks."""
+    import pandas as pd
+
+    from sphinx_1_spark.operators.segments import (
+        decode_blocks,
+        encode_blocks_from_runs,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        import numpy as np
+
+        rows = []
+        # one word, 7 runs of 3 entries each, interleaved docid ranges
+        for r in range(7):
+            d = np.array([r + 10 * k for k in range(3)], dtype=np.int64)
+            rows.append(
+                {
+                    "word": "hot",
+                    "grp": 0,
+                    "n": 3,
+                    "docids": d.tobytes(),
+                    "tfs": np.array([1, 1, 1], dtype=np.int32).tobytes(),
+                    "fieldmasks": np.array([1, 1, 1], dtype=np.int64).tobytes(),
+                    "positions": np.array([1, 1, 1], dtype=np.int32).tobytes(),
+                }
+            )
+        from sphinx_1_spark.operators.hits import RUNS_SCHEMA
+
+        runs = spark.createDataFrame(pd.DataFrame(rows), RUNS_SCHEMA)
+        blocks = encode_blocks_from_runs(
+            runs, with_positions=True, num_partitions=1
+        )
+        out = blocks.collect()
+        # 21 entries, one key -> one block, globally docid-sorted
+        assert len(out) == 1 and out[0]["n"] == 21
+        dec = decode_blocks(
+            spark.createDataFrame(out, blocks.schema), with_positions=True
+        ).collect()
+        docids = [r["docid"] for r in sorted(dec, key=lambda r: r["docid"])]
+        assert docids == sorted(r + 10 * k for r in range(7) for k in range(3))
+        assert docids == [r["docid"] for r in dec]  # stream order == sorted
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
