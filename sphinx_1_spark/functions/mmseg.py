@@ -322,6 +322,18 @@ class ChineseTokenizer:
         if in_range.any():
             maybe[in_range] = gate[cps[in_range]]
 
+        # one whole-doc decode; per-token text is then a str slice
+        # (folded values are fold-table outputs or 0, all valid
+        # codepoints — identical bytes to the old per-token
+        # codepoints_to_text, ~4x fewer numpy round trips)
+        ftext = folded.astype("<u4", copy=False).tobytes().decode("utf-32-le")
+        # plain-list views: the loop below reads one scalar per
+        # iteration, and list indexing beats numpy scalar indexing ~5x
+        sep_l = sep.tolist()
+        maybe_l = maybe.tolist()
+        next_sep_l = next_sep.tolist()
+        byte_off_l = byte_off.tolist()
+        cp_at_l = cp_at.tolist()
         out: list[tuple[str, int]] = []
         i = 0
         overshort = 0
@@ -329,8 +341,8 @@ class ChineseTokenizer:
         cap = self.MAX_ACCUM_CP
         prefix_search = d.prefix_search
         while i < ncp:
-            if maybe[i]:
-                b = int(byte_off[i])
+            if maybe_l[i]:
+                b = byte_off_l[i]
                 m = prefix_search(data, b, 256)
                 if m:
                     # dict word: raw bytes, bypasses min_word_len
@@ -339,16 +351,16 @@ class ChineseTokenizer:
                         (data[b : b + wl].decode("utf-8", errors="replace"), overshort)
                     )
                     overshort = 0
-                    i = int(cp_at[b + wl])
+                    i = cp_at_l[b + wl]
                     continue
-            if sep[i]:
+            if sep_l[i]:
                 # leading separator: scalar breaks back to dict search
                 # at the next position
                 i += 1
                 continue
             # word-char run [i, e); scalar accumulates at most cap cps
             # then keeps consuming to the separator
-            e = int(next_sep[i])
+            e = next_sep_l[i]
             naccum = e - i
             if naccum > cap:
                 naccum = cap
@@ -360,16 +372,15 @@ class ChineseTokenizer:
                 overshort += 1
                 i = e + 1
                 continue
-            tok = codepoints_to_text(folded[i : i + naccum])
-            out.append((tok, overshort))
+            out.append((ftext[i : i + naccum], overshort))
             overshort = 0
             if e >= ncp:
                 break
             # rewind-to-separator quirk: window measured from PAST the
             # separator (m_pBufferMax - m_pCur); gate soundly skips the
             # search when no dict word can start at the separator
-            if maybe[e] and prefix_search(
-                data, int(byte_off[e]), 256, n - int(byte_off[e + 1])
+            if maybe_l[e] and prefix_search(
+                data, byte_off_l[e], 256, n - byte_off_l[e + 1]
             ):
                 i = e
             else:

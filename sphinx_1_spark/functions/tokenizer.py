@@ -311,6 +311,16 @@ class Tokenizer:
         min_word_len was already applied inside GetToken (dict words
         bypass it, matching the reference)."""
         s = self.settings
+        if not self._wordforms and not self._morph and not s.stopwords:
+            # raw==normalized and step is always 1: pure position
+            # arithmetic, no _normalize/stopword probe per token
+            out_f: list[tuple[str, str | None, int]] = []
+            pos = 0
+            ostep = s.overshort_step
+            for raw, overshorts in toks:
+                pos += 1 + overshorts * ostep
+                out_f.append((raw, raw, pos))
+            return out_f
         out: list[tuple[str, str | None, int]] = []
         pos = 0
         step = 1
