@@ -37,6 +37,7 @@ from sphinx_1_spark.functions.charset import (
 MAX_WORD_LEN = 64  # SPH_MAX_WORD_LEN, src/sphinx.h:145
 HIT_FIELD_END = 0x800000  # src/sphinx.cpp:241
 POS_MASK = 0x7FFFFF
+_EMPTY_POS = np.zeros(0, dtype=np.int32)
 
 
 def hit_pack(field_id: int, pos: int) -> int:
@@ -464,6 +465,39 @@ class Tokenizer:
         np.place(folded, folded == 0, 32)
         toks = codepoints_to_text(folded).split()
         return [t if len(t) <= MAX_WORD_LEN else t[:MAX_WORD_LEN] for t in toks]
+
+    @property
+    def fast_array_path_ok(self) -> bool:
+        """hits_arrays_single_field is hit-identical to
+        hits_for_doc([text]): the vectorized token fast path applies
+        AND there are no star expansions (min_prefix/infix_len unset),
+        so every kept token emits exactly one (token, packed_pos)."""
+        s = self.settings
+        return (
+            self._fast_path_ok
+            and not s.min_prefix_len
+            and not s.min_infix_len
+        )
+
+    def hits_arrays_single_field(self, text: str) -> tuple[list[str], "np.ndarray"]:
+        """(tokens, packed positions int32[n]) for ONE whole field.
+
+        Columnar twin of hits_for_doc([text]) under fast_array_path_ok
+        (equivalence fuzz-pinned in tests): the fused segment builders
+        consume hits as parallel arrays, so building a per-hit tuple
+        list only to tear it apart again costs ~2 allocations + 2
+        iterations per hit — at ~34 hits/page that is a measurable
+        slice of the build's per-doc Python.  Positions are 1-based
+        ordinals (fast path: no overshort/stopword steps) with
+        HIT_FIELD_END on the trailing hit (src/sphinx.cpp:18666-18672;
+        positions are unique here so only the last hit carries it)."""
+        toks = self._fast_tokens(text)
+        n = len(toks)
+        if not n:
+            return toks, _EMPTY_POS
+        wp = np.arange(1, n + 1, dtype=np.int32)
+        wp[n - 1] |= HIT_FIELD_END
+        return toks, wp
 
     def hits_for_doc(
         self,

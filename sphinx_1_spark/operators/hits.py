@@ -323,21 +323,55 @@ def build_runs_fused(
 
         stripper = HtmlStripper(cfg[0], {k: list(v) for k, v in cfg[1]})
         tok = Tokenizer(settings)
+        use_arrays = tok.fast_array_path_ok
         batch_idx = 0
         for pdf in batches:
-            docids: list[int] = []
             words: list[str] = []
-            poss: list[int] = []
-            for did, html in zip(pdf["docid"], pdf["html"]):
-                if html is None:
-                    continue
-                text = stripper.strip(bytes(html)).decode("utf-8", "replace")
-                hits = tok.hits_for_doc([text])
-                if hits:
-                    did = int(did)
-                    docids.extend([did] * len(hits))
-                    words.extend(h[0] for h in hits)
-                    poss.extend(h[1] for h in hits)
+            if use_arrays:
+                # columnar hit emission: tokens + int32 position array
+                # per doc, no per-hit tuples (hit-identical to the
+                # general path below — fast_array_path_ok contract)
+                doc_l: list[int] = []
+                cnt_l: list[int] = []
+                pos_chunks: list[np.ndarray] = []
+                for did, html in zip(
+                    pdf["docid"].tolist(), pdf["html"].tolist()
+                ):
+                    if html is None:
+                        continue
+                    text = stripper.strip(bytes(html)).decode(
+                        "utf-8", "replace"
+                    )
+                    toks, wp = tok.hits_arrays_single_field(text)
+                    if toks:
+                        words.extend(toks)
+                        pos_chunks.append(wp)
+                        doc_l.append(did)
+                        cnt_l.append(len(toks))
+                if words:
+                    d = np.repeat(
+                        np.asarray(doc_l, dtype=np.int64),
+                        np.asarray(cnt_l),
+                    )
+                    p = np.concatenate(pos_chunks).astype(np.int64)
+            else:
+                docids: list[int] = []
+                poss: list[int] = []
+                for did, html in zip(pdf["docid"], pdf["html"]):
+                    if html is None:
+                        continue
+                    text = stripper.strip(bytes(html)).decode(
+                        "utf-8", "replace"
+                    )
+                    hits = tok.hits_for_doc([text])
+                    if hits:
+                        did = int(did)
+                        docids.extend([did] * len(hits))
+                        words.extend(h[0] for h in hits)
+                        poss.extend(h[1] for h in hits)
+                if words:
+                    d = np.asarray(docids, dtype=np.int64)
+                    p = np.asarray(poss, dtype=np.int64)
             if not words:
                 batch_idx += 1
                 continue
@@ -345,8 +379,6 @@ def build_runs_fused(
             batch_idx += 1
 
             w = np.asarray(words, dtype=object)
-            d = np.asarray(docids, dtype=np.int64)
-            p = np.asarray(poss, dtype=np.int64)
             # word -> dense ordinal (np.unique sorts, so runs come out
             # in lexicographic word order), then one int lexsort
             uw, winv = np.unique(w, return_inverse=True)

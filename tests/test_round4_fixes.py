@@ -308,3 +308,58 @@ def test_minhash_bucket_cap_recall(spark):
     # LSH itself misses a pair with prob (1-(28/30)^4)^4 ~ 0.3% — the
     # point is the CAP isn't what drops them below the cap size
     assert len(in_cluster) >= int(0.95 * (40 * 39 // 2))
+
+
+# --------------------------------------- columnar fast-hit emission
+
+
+def test_hits_arrays_single_field_equivalence():
+    """hits_arrays_single_field must be hit-identical to
+    hits_for_doc([text]) whenever fast_array_path_ok claims it is —
+    the fused runs builder switches on that contract."""
+    import random
+
+    from sphinx_1_spark.functions.tokenizer import (
+        Tokenizer,
+        TokenizerSettings,
+    )
+
+    tok = Tokenizer(TokenizerSettings(ngram_chars="U+4E00..U+9FBF"))
+    assert tok.fast_array_path_ok
+    rng = random.Random(7)
+    vocab = [
+        "hello", "WORLD", "a", "x" * 80, "中文分词测试", "mix中ed",
+        "tok-en", "1234", "ÀÉÎ", "",
+    ]
+    cases = ["", "   ", "中文", "plain words only", "y" * 200]
+    cases += [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    for text in cases:
+        ref = tok.hits_for_doc([text])
+        toks, wp = tok.hits_arrays_single_field(text)
+        assert list(zip(toks, (int(x) for x in wp))) == ref, repr(text[:60])
+
+
+def test_fast_array_path_disabled_for_expanding_configs():
+    """Star expansion, stopwords, morphology, exact words, and MMSEG
+    all emit more than one hit per token (or step positions) — the
+    columnar path must refuse them."""
+    from sphinx_1_spark.functions.tokenizer import (
+        Tokenizer,
+        TokenizerSettings,
+    )
+
+    for s in [
+        TokenizerSettings(min_prefix_len=2),
+        TokenizerSettings(min_infix_len=2),
+        TokenizerSettings(stopwords=frozenset({"the"})),
+        TokenizerSettings(morphology=("stem_en",)),
+        # exact-words only takes effect with morphology (the
+        # constructor normalizes it away otherwise, matching the
+        # reference's "no morphology, no effect" warning)
+        TokenizerSettings(index_exact_words=True, morphology=("stem_en",)),
+        TokenizerSettings(min_word_len=3),
+    ]:
+        assert not Tokenizer(s).fast_array_path_ok, s
