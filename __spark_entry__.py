@@ -647,22 +647,24 @@ def q_group_week(spark, sf_dir):
 def q_group_month(spark, sf_dir):
     """GROUPBY_MONTH (src/sphinxsort.cpp:240-245).
 
-    The SUM gates round to 4 decimals (not the usual 6): a whole-corpus
-    double sum's value GROWS with the corpus while parallel summation
-    order perturbs the low bits, so 6-decimal agreement broke at the
-    10x corpus (4.98e7 sums differing by 1e-6).  4 decimals on that
-    magnitude is still a ~1e-12 relative check with ~100x headroom."""
-    return _group_period(
-        spark, sf_dir, "month", F.round(F.sum("value"), 4), 24
-    )
+    The whole-corpus SUM gates sum DECIMAL(28,6), not double: decimal
+    addition is exact and associative, so the result is bit-identical
+    regardless of partition count, core count, or corpus scale —
+    unlike the earlier round-to-4-decimals mitigation, which was a
+    boundary check (a true sum within summation-order noise of a
+    0.00005 boundary could still round apart).  Both engines convert
+    each double to the same 6-fraction-digit decimal (ties never
+    occur: a binary double is never an exact decimal midpoint), so
+    the compare is exact with zero order dependence."""
+    agg = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    return _group_period(spark, sf_dir, "month", agg, 24)
 
 
 def q_group_year(spark, sf_dir):
-    """GROUPBY_YEAR (src/sphinxsort.cpp:236-239).  4-decimal rounding
-    for the corpus-sized sum — see q_group_month."""
-    return _group_period(
-        spark, sf_dir, "year", F.round(F.sum("value"), 4), 10
-    )
+    """GROUPBY_YEAR (src/sphinxsort.cpp:236-239).  Exact decimal sum
+    for the corpus-sized aggregate — see q_group_month."""
+    agg = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    return _group_period(spark, sf_dir, "year", agg, 10)
 
 
 def q_select_math(spark, sf_dir):
@@ -2143,11 +2145,16 @@ SELECT CAST(date_trunc('day', ts)::DATE AS VARCHAR) AS period,
        count(*) AS at_count, round(avg(value), 6) AS agg_value
 FROM events GROUP BY 1 ORDER BY period LIMIT 40"""
 
-    # SUM gates round to 4 (not 6): whole-corpus double sums differ in
-    # the 6th decimal between engines' summation orders at 10x data
+    # whole-corpus SUM gates sum DECIMAL(28,6): exact + associative,
+    # so both engines agree bit-for-bit at any scale / partitioning
+    # (the earlier round-to-4 was a boundary check that could still
+    # split on a sum near a 0.00005 edge); outer round(...,6) mirrors
+    # the Spark side's _group_period wrapper
     group_month = """
 SELECT CAST(date_trunc('month', ts)::DATE AS VARCHAR) AS period,
-       count(*) AS at_count, round(sum(value), 4) AS agg_value
+       count(*) AS at_count,
+       round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS agg_value
 FROM events GROUP BY 1 ORDER BY period LIMIT 24"""
 
     group_week = """
@@ -2157,7 +2164,9 @@ FROM events GROUP BY 1 ORDER BY period LIMIT 20"""
 
     group_year = """
 SELECT CAST(date_trunc('year', ts)::DATE AS VARCHAR) AS period,
-       count(*) AS at_count, round(sum(value), 4) AS agg_value
+       count(*) AS at_count,
+       round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS agg_value
 FROM events GROUP BY 1 ORDER BY period LIMIT 10"""
 
     select_exprs = """

@@ -55,7 +55,12 @@ def _prepare_scaled(spark) -> str:
             os.replace(tmp, dst)
     for t in "region nation customer supplier part orders lineitem".split():
         dst = f"{SCALED_FLAT}/{t}.parquet"
-        if not os.path.exists(dst):
+        # lexists, not exists: a dangling symlink (testdata moved or
+        # re-provisioned) returns exists()==False but still makes
+        # os.symlink raise FileExistsError — re-point it instead
+        if os.path.islink(dst) and not os.path.exists(dst):
+            os.unlink(dst)
+        if not os.path.lexists(dst):
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
     return SCALED_FLAT
 

@@ -320,6 +320,9 @@ def build_runs_fused(
 
         from sphinx_1_spark.functions.stripper import HtmlStripper
         from sphinx_1_spark.functions.tokenizer import Tokenizer
+        from sphinx_1_spark.operators.segments import (
+            entries_from_sorted_hits,
+        )
 
         stripper = HtmlStripper(cfg[0], {k: list(v) for k, v in cfg[1]})
         tok = Tokenizer(settings)
@@ -387,16 +390,12 @@ def build_runs_fused(
             ds = d[order]
             ps = p[order]
 
-            # entry = (word, docid); run = word
+            # entry = (word, docid); run = word — boundary math shared
+            # with the reduce-side encoder (one definition, no drift)
             wchg = np.concatenate(([True], wi[1:] != wi[:-1]))
-            echg = wchg | np.concatenate(([True], ds[1:] != ds[:-1]))
-            estarts = np.flatnonzero(echg)
-            etf = np.diff(np.concatenate((estarts, [ds.size])))
-            edoc = ds[estarts]
-            fbits = np.int64(1) << ((ps >> 24) & 0xFF)
-            efm = np.bitwise_or.reduceat(fbits, estarts)
-
-            e_new_word = wchg[estarts]
+            estarts, etf, edoc, efm, e_new_word = entries_from_sorted_hits(
+                wchg, ds, ps
+            )
             rstarts_e = np.flatnonzero(e_new_word)  # entry idx per run
             rends_e = np.concatenate((rstarts_e[1:], [estarts.size]))
             rstarts_h = estarts[rstarts_e]  # hit idx per run

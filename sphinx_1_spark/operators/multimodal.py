@@ -430,7 +430,19 @@ def _pyav_frames(payload: bytes, n_frames: int) -> list[bytes]:
 
     import av
 
-    with av.open(io.BytesIO(payload)) as container:
+    if not payload:
+        # NULL/empty payload: no frames, like the fake path's empty
+        # slices — one missing video must not abort the whole job
+        # with av's raw InvalidDataError from deep inside a task
+        return []
+    try:
+        container = av.open(io.BytesIO(payload))
+    except OSError as exc:
+        # PyAV's FFmpegError (InvalidDataError etc.) subclasses
+        # OSError in every released version — rewrap with the seam's
+        # descriptive-error contract
+        raise ValueError(f"cannot decode video container: {exc}") from exc
+    with container:
         if not container.streams.video:
             # descriptive error like _wav_parse/_png_pixels, not a raw
             # IndexError killing the executor task

@@ -277,24 +277,39 @@ def encode_blocks_from_hits(
     return sorted_h.mapInPandas(enc, schema=schema)
 
 
+def entries_from_sorted_hits(
+    wchg: np.ndarray, d: np.ndarray, p: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Group a word-major, docid-sorted flat hit stream into
+    (word, docid) entries.  `wchg` marks word changes per row (the
+    caller derives it from strings or dense ordinals).  Returns
+    (entry_starts row-index, entry_tf, entry_docid, entry_fieldmask,
+    entry_new_word).  The ONE definition of the hit->entry boundary
+    math — shared by the reduce-side encoder (_encode_hit_frame) and
+    the map-side run combine (hits.build_runs_fused) so the two build
+    paths cannot drift apart (their byte-equivalence is also
+    fuzz-pinned in tests/test_segments.py)."""
+    echg = wchg | np.concatenate(([True], d[1:] != d[:-1]))
+    entry_starts = np.flatnonzero(echg)  # row index of each entry
+    entry_tf = np.diff(np.concatenate((entry_starts, [d.size])))
+    entry_docid = d[entry_starts]
+    # per-entry fieldmask: OR of 1<<field over the entry's rows
+    fbits = np.int64(1) << ((p >> 24) & 0xFF)
+    entry_fm = np.bitwise_or.reduceat(fbits, entry_starts)
+    return entry_starts, entry_tf, entry_docid, entry_fm, wchg[entry_starts]
+
+
 def _encode_hit_frame(
     pdf: pd.DataFrame, with_positions: bool, schema
 ) -> pd.DataFrame:
     w = pdf["word"].to_numpy()
     d = pdf["docid"].to_numpy(dtype=np.int64)
     p = pdf["wordpos"].to_numpy(dtype=np.int64)
-    n = len(pdf)
 
-    # --- entry (word,docid) and word-run boundaries over rows --------
     wchg = np.concatenate(([True], w[1:] != w[:-1]))
-    echg = wchg | np.concatenate(([True], d[1:] != d[:-1]))
-    entry_starts = np.flatnonzero(echg)  # row index of each entry
-    entry_rows = np.diff(np.concatenate((entry_starts, [n])))  # == tf
-    entry_docid = d[entry_starts]
-
-    # per-entry fieldmask: OR of 1<<field over the entry's rows
-    fbits = np.int64(1) << ((p >> 24) & 0xFF)
-    entry_fm = np.bitwise_or.reduceat(fbits, entry_starts)
+    entry_starts, entry_rows, entry_docid, entry_fm, e_new_word = (
+        entries_from_sorted_hits(wchg, d, p)
+    )
 
     # positions are already flat in row order, contiguous per entry
     return _blocks_from_entries(
@@ -302,7 +317,7 @@ def _encode_hit_frame(
         entry_docid,
         entry_rows,
         entry_fm,
-        wchg[entry_starts],
+        e_new_word,
         p if with_positions else None,
         schema,
     )

@@ -157,6 +157,13 @@ def build_segments(
     input split layout — same-session rebuild/resume identical)."""
     from sphinx_1_spark.plans.pipeline import assign_docids
 
+    if combine not in ("runs", "hits"):
+        # a typo must not silently select the legacy hits build AND
+        # record the bogus mode in lineage (the evidence trail would
+        # then claim a combine that never executed)
+        raise ValueError(
+            f"combine must be 'runs' or 'hits', got {combine!r}"
+        )
     spark = pages.sparkSession
     tok = tokenizer or TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
     paths = []
