@@ -120,6 +120,19 @@ def main() -> None:
         os.path.join(tempfile.gettempdir(), "mmseg_bench_dict.txt")
     )
     mmseg_tok = TokenizerSettings(mmseg_dict_path=mmseg_dict)
+    # untimed mmseg warmup: the per-worker dictionary load + mmseg
+    # module import is a fixed cost that otherwise lands entirely in
+    # run 1, skewing the recorded median (the min was already warm)
+    warm_dir = tempfile.mkdtemp(prefix="bench_mmseg_warm_")
+    try:
+        build_segments(
+            generate_pages(spark, 20000, seed=7, partitions=128),
+            warm_dir,
+            n_shards=1,
+            tokenizer=mmseg_tok,
+        )
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
     mmseg_runs = []
     for _ in range(max(repeat, 2)):
         seg_dir = tempfile.mkdtemp(prefix="bench_mmseg_")

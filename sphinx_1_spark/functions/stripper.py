@@ -121,8 +121,15 @@ class HtmlStripper:
         # longest-match over a sorted list, like the reference's sorted
         # m_dTags scan (src/sphinx.cpp:18205-18225): candidates sharing a
         # first char are tried in ascending order; the first tag whose name
-        # is a prefix with a non-tag char following wins.
+        # is a prefix with a non-tag char following wins.  Bucketed by
+        # first byte: tags in other buckets can never match, and intra-
+        # bucket order is preserved, so the scan result is identical
+        # while _match_tag (called once per '<' in the corpus) touches
+        # ~1-3 candidates instead of all ~20.
         self._sorted = sorted(self._tags.values(), key=lambda t: t.name)
+        self._by_first: dict[bytes, list[Tag]] = {}
+        for tag in self._sorted:
+            self._by_first.setdefault(tag.name[:1], []).append(tag)
 
     # ------------------------------------------------------------------
     def _match_tag(self, data: bytes, i: int) -> tuple[Tag | None, int]:
@@ -130,9 +137,7 @@ class HtmlStripper:
         char following (sorted candidate scan, src/sphinx.cpp:18205-18225);
         returns (tag, end-of-name index) or (None, i)."""
         first = data[i : i + 1].lower()
-        for tag in self._sorted:
-            if tag.name[:1] != first:
-                continue
+        for tag in self._by_first.get(first, ()):
             n = len(tag.name)
             if data[i : i + n].lower() != tag.name:
                 continue
