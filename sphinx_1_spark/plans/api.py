@@ -415,9 +415,14 @@ def _collect_sorted(
         total_found = n_total  # caller passes the group count
         return rows, min(total_found, q.max_matches), total_found
     out = matches.orderBy(*_sort_columns(q, attr_types))
+    # the reference's bounded queue holds max_matches rows: a page
+    # reaching past it truncates to ranks [offset, max_matches), it
+    # never returns rank > max_matches (offset < max_matches is
+    # CheckQuery-validated upstream)
+    page_end = min(q.offset + q.limit, q.max_matches)
     if q.offset:
         out = out.offset(q.offset)
-    rows = out.limit(min(q.limit, q.max_matches)).collect()
+    rows = out.limit(page_end - q.offset).collect()
     return rows, min(n_total, q.max_matches), n_total
 
 
@@ -481,6 +486,21 @@ def api_query(
     relation per index."""
     if not indexes:
         raise ApiQueryError("no indexes")
+    # CheckQuery bounds (src/searchd.cpp:2988-3007): the reference's
+    # match queue holds max_matches rows, so an offset past it is a
+    # client error — and offset+limit past it TRUNCATES to the queue
+    # (enforced in _collect_sorted), it does not read beyond it
+    if q.max_matches < 1:
+        raise ApiQueryError(
+            f"per-query max_matches={q.max_matches} out of bounds"
+        )
+    if q.offset < 0 or q.offset >= q.max_matches:
+        raise ApiQueryError(
+            f"offset out of bounds (offset={q.offset}, "
+            f"max_matches={q.max_matches})"
+        )
+    if q.limit < 0:
+        raise ApiQueryError(f"limit out of bounds (limit={q.limit})")
 
     kill_lits, kill_dfs = _normalize_kills(indexes)
 
@@ -556,17 +576,31 @@ def api_query(
     ]
 
     tagged = None
-    counts = []
+    cached_parts = []
     for tag, (name, r, _t) in enumerate(per_index):
         cur = r.select(*base_cols).withColumn("_tag", F.lit(tag)).cache()
-        counts.append(cur.count())
+        cached_parts.append(cur)
         tagged = cur if tagged is None else tagged.unionByName(cur)
+    try:
+        return _multi_index_collect(tagged, per_index, q, attr_types,
+                                    meta_words)
+    finally:
+        for cur in cached_parts:
+            cur.unpersist()
 
+
+def _multi_index_collect(tagged, per_index, q, attr_types, meta_words):
     if q.groupattr:
+        from sphinx_1_spark.plans.attrs import api_group_key
+
         # group sorter handles dupes "automagically" (searchd.cpp:
         # 3760-3767): per-key merge sums @count/@distinct across
         # indexes (0.9.9 sums distinct counts, it does not re-unique)
         mva = attr_types.get(q.groupattr.lower()) == "mva"
+        # with a groupdistinct the max_matches cut must wait until the
+        # summed @distinct is recomputed and the groups re-sorted:
+        # cutting first (under the uniqued @distinct ordering) could
+        # keep the wrong top-N when groupsort orders by @distinct
         grouped = api_group_query(
             tagged,
             q.groupattr,
@@ -575,7 +609,7 @@ def api_query(
             attr_types,
             distinct_attr=q.groupdistinct,
             mva=mva,
-            limit=q.max_matches,
+            limit=0 if q.groupdistinct else q.max_matches,
             max_matches=q.max_matches,
         )
         # NOTE: api_group_query over the union already merges groups
@@ -610,21 +644,31 @@ def api_query(
                 .withColumnRenamed("_dist_sum", "@distinct")
             )
             keys = parse_sort_clause(
-                q.groupsort, set(attr_types) | set(base_cols)
+                q.groupsort, set(attr_types) | set(tagged.columns)
             )
             grouped = grouped.orderBy(
                 *sort_clause_columns(keys, attr_types)
+            ).limit(q.max_matches)  # the deferred max_matches cut
+        # total_found counts ALL groups over the merged relation (the
+        # single-index path's semantics) — counting the limited
+        # `grouped` would cap it at max_matches, so merging indexes
+        # would silently change the reported group count
+        if mva:
+            vals = tagged.select(
+                F.explode(F.col(q.groupattr)).alias("_gval")
             )
-        # count groups distributedly (grouped is already bounded at
-        # max_matches by api_group_query), then page via limit — no
-        # whole-result-set collect on the driver
-        grouped = grouped.cache()
-        try:
-            n_groups = grouped.count()
-            page = min(q.offset + q.limit, q.max_matches)
-            rows = grouped.limit(page).collect()[q.offset :]
-        finally:
-            grouped.unpersist()
+        else:
+            vals = tagged.select(F.col(q.groupattr).alias("_gval"))
+        n_groups = (
+            vals.select(
+                api_group_key(F.col("_gval"), q.groupfunc).alias("k")
+            )
+            .distinct()
+            .count()
+        )
+        # page via limit — no whole-result-set collect on the driver
+        page = min(q.offset + q.limit, q.max_matches)
+        rows = grouped.limit(page).collect()[q.offset :]
         return rows, {
             "total": min(n_groups, q.max_matches),
             "total_found": n_groups,
@@ -660,7 +704,6 @@ def api_query(
             .withColumn("weight", F.col("_sumw"))
             .drop("_rn", "_sumw")
         )
-        n_dupes = sum(counts) - merged.count()
     else:
         # dupes sweep comparator (docid asc, tag desc): the LAST
         # listed index's copy survives (searchd.cpp:2515,3803)
@@ -670,15 +713,17 @@ def api_query(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        n_dupes = sum(counts) - merged.count()
 
-    total_found = sum(counts) - n_dupes
-    out = merged.orderBy(*_sort_columns(q, attr_types))
-    if q.offset:
-        out = out.offset(q.offset)
-    rows = out.limit(min(q.limit, q.max_matches)).collect()
+    # total_found = sum(per-index counts) - dupes, which is exactly
+    # the merged cardinality — ONE count job instead of one per index
+    # plus the merged one; paging shares _collect_sorted's non-group
+    # path (one definition of the max_matches window)
+    total_found = merged.count()
+    rows, total, total_found = _collect_sorted(
+        merged, q, attr_types, total_found
+    )
     return rows, {
-        "total": min(total_found, q.max_matches),
+        "total": total,
         "total_found": total_found,
         "words": meta_words,
     }
@@ -745,6 +790,11 @@ def _multiqueue_eligible(queries: list[ApiQuery]) -> bool:
             q.field_weights,  # the reference compares m_pWeights too
             q.score_mode,
             q.overrides,  # substituted values feed filters/attrs
+            # max_query_time is a declared permanent N/A that RAISES in
+            # _base_ranked; keying on it keeps a nonzero value from
+            # riding a shared base past its own rejection (and a zero
+            # from being poisoned by a batchmate's nonzero)
+            q.max_query_time,
         )
 
     k0 = _key(q0)

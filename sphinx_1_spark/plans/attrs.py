@@ -311,6 +311,10 @@ def api_group_query(
     out = out.orderBy(
         *sort_clause_columns(keys, attr_types, docid_col=docid_col)
     )
+    if not limit:
+        # limit=0: caller defers the cut (multi-index groupdistinct
+        # must re-aggregate + re-sort before applying max_matches)
+        return out
     return out.limit(min(limit, max_matches))
 
 

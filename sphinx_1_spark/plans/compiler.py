@@ -97,6 +97,14 @@ def _compile_term(node: XQNode, ctx: CompileContext) -> DataFrame:
     w = node.words[0]
     df = ctx.term_scan(w.word)
     preds = _pos_predicates(node, w)
+    if preds and "positions" not in df.columns:
+        # field-limited / anchor / exact operators need hit positions;
+        # fail with validation, not an unresolved-column analysis error
+        raise ValueError(
+            "query needs hit positions (field limit / anchor / "
+            "phrase operators) but the index was built with "
+            "with_positions=False"
+        )
     if preds:
         qual = F.filter(
             F.col("positions"), lambda p: _and_all(pred(p) for pred in preds)
@@ -165,7 +173,7 @@ def _suffix(df: DataFrame, s: str) -> DataFrame:
 
 def _compile_and(node: XQNode, ctx: CompileContext) -> DataFrame:
     left = compile_node(node.children[0], ctx)
-    for i, child in enumerate(node.children[1:]):
+    for child in node.children[1:]:
         right = _suffix(compile_node(child, ctx), "_r")
         j = left.join(right, left["docid"] == right["docid_r"], "inner")
         left = _merge_both(j, ctx)
@@ -193,7 +201,6 @@ def _merge_both(j: DataFrame, ctx: CompileContext, outer: bool = False) -> DataF
     fieldmask = F.coalesce(F.col("fieldmask"), zi).bitwiseOR(
         F.coalesce(F.col("fieldmask_r"), zi)
     )
-    empty_tfs = F.lit(None).cast(_TFS_STRUCT)
     tfs = F.concat(
         F.coalesce(F.col("tfs"), F.array().cast(_TFS_STRUCT)),
         F.coalesce(F.col("tfs_r"), F.array().cast(_TFS_STRUCT)),
@@ -278,7 +285,7 @@ def _or_cols(cols: list[Column]) -> Column:
     return acc
 
 
-def _concat_tfs(n: int, present: list[Column] | None = None) -> Column:
+def _concat_tfs(n: int) -> Column:
     parts = [
         F.coalesce(F.col(f"tfs_{i}"), F.array().cast(_TFS_STRUCT)) for i in range(n)
     ]

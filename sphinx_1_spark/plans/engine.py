@@ -254,7 +254,12 @@ class SphinxIndex:
         if src_kill:
             dst_info = dst_info.where(~F.col("docid").isin(src_kill))
         keep = dst_info.select("docid").distinct()
-        dst_post = dst.postings.join(F.broadcast(keep), "docid", "left_semi")
+        # no forced broadcast: `keep` is the ENTIRE surviving dst docid
+        # set — at a 100M-doc dst a mandatory hint would materialize it
+        # on the driver (the exact cliff the kill-list anti-join
+        # documents avoiding); AQE broadcasts it while small and falls
+        # back to a shuffled semi-join past driver-buildable size
+        dst_post = dst.postings.join(keep, "docid", "left_semi")
         merged = dst_post.unionByName(src.postings)
         aggs = [
             F.sum("tf").cast("int").alias("tf"),
@@ -502,7 +507,10 @@ class SphinxIndex:
             return out
         out = out.orderBy(F.col("weight").desc(),
                 F.col("docid").bitwiseXOR(F.lit(-(1 << 63))).asc())
-        k = min(limit, max_matches)
+        # the bounded-queue window: ranks past max_matches do not
+        # exist (searchd CheckQuery rejects offset>=max_matches; here
+        # the page just truncates to the queue)
+        k = max(0, min(offset + limit, max_matches) - offset)
         if offset:
             out = out.offset(offset)
         return out.limit(k)
@@ -578,7 +586,9 @@ class SphinxIndex:
             )
             if offset:
                 out = out.offset(offset)
-            rows = out.limit(min(limit, max_matches)).collect()
+            # truncate the page to the bounded-queue window (see search)
+            k = max(0, min(offset + limit, max_matches) - offset)
+            rows = out.limit(k).collect()
         finally:
             ranked.unpersist()
         elapsed = _time.perf_counter() - t0

@@ -363,3 +363,99 @@ def test_fast_array_path_disabled_for_expanding_configs():
         TokenizerSettings(min_word_len=3),
     ]:
         assert not Tokenizer(s).fast_array_path_ok, s
+
+
+# ------------------------------------------- bounded-queue paging window
+
+
+@pytest.fixture(scope="module")
+def page_index(spark):
+    rows = [(i, f"common word{i % 3}") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "docid long, text string")
+    return SphinxIndex.build(df, IndexSettings(docid_col="docid"))
+
+
+def test_offset_out_of_bounds_rejected(page_index):
+    """CheckQuery (src/searchd.cpp:2994): offset >= max_matches is a
+    client error, not a silent empty page."""
+    q = ApiQuery(query="common", offset=10, limit=5, max_matches=10)
+    with pytest.raises(ApiQueryError, match="offset out of bounds"):
+        api_query([("i", page_index, None)], q)
+    with pytest.raises(ApiQueryError, match="max_matches"):
+        api_query(
+            [("i", page_index, None)],
+            ApiQuery(query="common", max_matches=0),
+        )
+
+
+def test_page_truncates_to_max_matches_window(page_index):
+    """The reference's match queue holds max_matches rows: a page of
+    offset=8, limit=5 against a 10-row queue returns ranks 9-10 only —
+    never rows ranked past max_matches (20 real matches here)."""
+    q = ApiQuery(query="common", offset=8, limit=5, max_matches=10)
+    rows, meta = api_query([("i", page_index, None)], q)
+    assert len(rows) == 2
+    assert meta["total"] == 10
+    assert meta["total_found"] == 20
+    # engine-level search() obeys the same window
+    n = page_index.search(
+        "common", offset=8, limit=5, max_matches=10
+    ).count()
+    assert n == 2
+
+
+@pytest.fixture(scope="module")
+def two_part_indexes(spark):
+    a = spark.createDataFrame(
+        [(i, "common pair", i % 4) for i in range(1, 11)],
+        "docid long, text string, grp int",
+    )
+    b = spark.createDataFrame(
+        [(i, "common pair", i % 4) for i in range(11, 21)],
+        "docid long, text string, grp int",
+    )
+    s = IndexSettings(docid_col="docid", attrs=("grp",))
+    return SphinxIndex.build(a, s), SphinxIndex.build(b, s)
+
+
+def test_multi_index_page_window_and_total(two_part_indexes):
+    ia, ib = two_part_indexes
+    q = ApiQuery(query="common", offset=8, limit=5, max_matches=10)
+    rows, meta = api_query([("a", ia, None), ("b", ib, None)], q)
+    assert len(rows) == 2  # 20 matches, 10-row queue, ranks 9-10
+    assert meta["total"] == 10
+    assert meta["total_found"] == 20
+
+
+def test_multi_index_grouped_total_found_not_capped(two_part_indexes):
+    """total_found counts ALL groups over the merged relation, like
+    the single-index path — not the max_matches-limited group page."""
+    ia, ib = two_part_indexes
+    q = ApiQuery(
+        query="common", groupattr="grp", groupfunc="attr", max_matches=2
+    )
+    rows, meta = api_query([("a", ia, None), ("b", ib, None)], q)
+    assert meta["total_found"] == 4  # grp 0..3
+    assert meta["total"] == 2
+    assert len(rows) <= 2
+
+
+def test_max_query_time_disqualifies_batch():
+    """max_query_time is keyed in the multi-queue check: a nonzero
+    value must not ride a shared base past its own N/A rejection."""
+    a = ApiQuery(query="one")
+    b = ApiQuery(query="one", max_query_time=100)
+    assert not _multiqueue_eligible([a, b])
+
+
+def test_positions_needed_raises_clean_error(spark):
+    """A field-limited query against a positionless index must fail
+    with validation, not an unresolved-column AnalysisException."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta")], "docid long, text string"
+    )
+    idx = SphinxIndex.build(
+        df, IndexSettings(docid_col="docid", with_positions=False)
+    )
+    with pytest.raises(ValueError, match="hit positions"):
+        idx.search("^alpha").collect()
