@@ -1096,13 +1096,15 @@ def q_incremental(spark, sf_dir):
             comp_dir = tempfile.mkdtemp(prefix="gate_compact_")
             try:
                 idxr.compact(spark, comp_dir)
-                cseg = SegmentSet(
-                    spark, [os.path.join(comp_dir, "delta=0000000000")]
-                )
+                # the compacted segment is named compacted=NNN (it
+                # must never collide with a fresh stream's batch 0);
+                # discover it instead of hardcoding the name
+                (cpath,) = IncrementalIndexer(comp_dir).segment_paths()
+                cseg = SegmentSet(spark, [cpath])
                 cres = cseg.wand_topk(["table", "scan"], k=100000, mode="and")
                 cinfo = (
                     spark.read.parquet(
-                        os.path.join(comp_dir, "delta=0000000000", "docinfo")
+                        os.path.join(cpath, "docinfo")
                     ).select("docid", "url")
                 )
                 crows = [

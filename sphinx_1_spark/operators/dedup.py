@@ -14,12 +14,42 @@ Scale notes:
   * n-gram Jaccard: inverted shingle->doc join; head shingles (stop
     phrases) should be frequency-capped at 10^12 scale (df cap filter
     included);
-  * SimHash: 16-bit chunk LSH is exact for hamming radius <= 3 over
-    64-bit fingerprints (pigeonhole: 4 chunks, <=3 differing bits hit
-    at most 3 chunks).
+  * SimHash: 15-bit chunk LSH is exact for hamming radius <= 3 over
+    60-bit fingerprints (pigeonhole: 4 chunks, <=3 differing bits hit
+    at most 3 chunks).  60 bits, not 64: the fingerprint is built from
+    the first 15 hex chars of md5 so the value stays inside a SIGNED
+    long for the SQL oracle's conv() — documented here so an external
+    consumer does not derive an incompatible 64-bit variant.
 """
 
 from __future__ import annotations
+
+# Relations persist()ed by the pair-finders below (shingle tables,
+# signatures, fingerprints) — they must outlive the call because the
+# returned DataFrames are lazy, so the functions cannot unpersist
+# internally.  A long-lived session running periodic dedup passes
+# should call release_dedup_caches() between passes, or executor
+# storage accumulates one pinned relation per call.
+_CACHED = []
+
+
+def _pin(df):
+    _CACHED.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every relation cached by prior dedup calls (safe while
+    results are still referenced — Spark just recomputes); returns the
+    number released."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -115,7 +145,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
     # the shingle relation feeds three plan branches (two join sides +
     # sizes); persist so tokenization runs once
-    sh = sh.persist()
+    sh = _pin(sh.persist())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("x")
@@ -211,10 +241,12 @@ def minhash_lsh_pairs(
     num_hashes = bands * rows_per_band
     # one persisted shingle relation feeds both the signature build
     # and the verify joins; persist sig too (self-joined for banding)
-    sh = shingle_df(docs, k, text_col).persist()
-    sig = minhash_signatures(
-        docs, k, num_hashes, text_col, shingles=sh
-    ).persist()
+    sh = _pin(shingle_df(docs, k, text_col).persist())
+    sig = _pin(
+        minhash_signatures(
+            docs, k, num_hashes, text_col, shingles=sh
+        ).persist()
+    )
     band_arr = F.array(
         *[
             F.md5(
@@ -279,11 +311,12 @@ def minhash_lsh_pairs(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash over distinct tokens.
+    """(doc_id, simhash): 60-bit SimHash over distinct tokens.
 
-    Token hash = first 16 hex chars of md5 (as a 64-bit value); bit i
-    of the fingerprint is 1 iff sum over tokens of (+1 if hash bit i
-    else -1) > 0.  Pure relational form (explode bits) so the SQL
+    Token hash = first 15 hex chars of md5 (a 60-bit value — one hex
+    digit under 64 keeps conv() inside a signed long in BOTH engines);
+    bit i of the fingerprint is 1 iff sum over tokens of (+1 if hash
+    bit i else -1) > 0.  Pure relational form (explode bits) so the SQL
     oracle is exact; the scale path replaces the bit explode with a
     vectorized pandas UDF of identical definition."""
     toks = docs.select(
@@ -319,7 +352,7 @@ def simhash_neardup_pairs(
     # persist the fingerprints: the relation feeds both join sides
     # (and previously 4 union branches), which would otherwise re-run
     # the aggregation lineage per branch
-    fp = simhash64(docs, text_col).persist()
+    fp = _pin(simhash64(docs, text_col).persist())
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -488,7 +521,13 @@ def embedding_neardup_bucketed(
         lsh_bucket,
     )
 
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        # empty input: no pairs (a .first()[0] here raised TypeError)
+        return emb.sparkSession.createDataFrame(
+            [], "a long, b long, cos double"
+        )
+    dim = len(first[0])
     planes = deterministic_planes(dim, nbits, seed)
     v = emb.select(
         F.col(id_col).alias("vec_id"),

@@ -122,14 +122,18 @@ def _probe_set(query_vec: list[float], planes: list[list[float]], probe_hamming:
         dp = sum(float(a) * float(b) for a, b in zip(query_vec, p))
         if dp >= 0:
             qbucket |= 1 << i
+    from itertools import combinations
+
+    # all bit-flip combinations up to probe_hamming (the old hand
+    # rolled version silently stopped at distance 2, so
+    # probe_hamming=nbits was NOT the documented exact brute force)
     probes = {qbucket}
-    if probe_hamming >= 1:
-        for i in range(nbits):
-            probes.add(qbucket ^ (1 << i))
-    if probe_hamming >= 2:
-        for i in range(nbits):
-            for j in range(i + 1, nbits):
-                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    for d in range(1, min(probe_hamming, nbits) + 1):
+        for bits in combinations(range(nbits), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            probes.add(qbucket ^ m)
     return sorted(probes)
 
 
@@ -153,7 +157,10 @@ def build_ann_index(
     of the data instead of 100%.  Planes are hash-derived from
     (dim, nbits, seed) — no sidecar metadata needed to re-derive them
     at probe time."""
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot build an ANN index over an empty table")
+    dim = len(first[0])
     planes = deterministic_planes(dim, nbits, seed)
     v = emb.select(
         F.col(id_col).alias("vec_id"),

@@ -113,12 +113,11 @@ def _attr_types(idx) -> dict[str, str]:
 
 
 def _docid_ord() -> Column:
-    """Order key reproducing UNSIGNED 64-bit docid comparisons:
-    uint64 docids above 2^63-1 arrive wrapped into negative longs
-    (SphDocID_t is a DWORD64, --enable-id64); xor with the sign bit is
-    the monotone unsigned->signed bijection, so '.asc()' over this key
-    is docid-asc in the reference's unsigned order (test_47)."""
-    return F.col("docid").bitwiseXOR(F.lit(-(1 << 63)))
+    """Unsigned docid order key — the shared definition lives in
+    attrs.docid_ord (one tie-break for every serving path)."""
+    from sphinx_1_spark.plans.attrs import docid_ord
+
+    return docid_ord()
 
 
 def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:

@@ -135,6 +135,19 @@ class SortClauseError(ValueError):
     pass
 
 
+def docid_ord(docid_col: str = "docid") -> Column:
+    """UNSIGNED 64-bit docid order key: SphDocID_t is a DWORD64
+    (src/sphinx.h, --enable-id64), so every reference comparator
+    orders docids unsigned; uint64 values above 2^63-1 arrive here
+    wrapped into negative longs, and xor with the sign bit is the
+    monotone unsigned->signed bijection — '.asc()' over this key is
+    docid-asc in the reference's unsigned order.  THE one docid
+    tie-break definition: engine/api/sphinxql/group/minimize/WAND all
+    order through it so the same query gives the same tie order on
+    every path (test_47 id64 parity)."""
+    return F.col(docid_col).bitwiseXOR(F.lit(-(1 << 63)))
+
+
 def parse_sort_clause(
     clause: str, attr_names: set[str]
 ) -> str | list[tuple[str, bool]]:
@@ -202,7 +215,8 @@ def sort_clause_columns(
         if key == "@weight":
             c = F.col(weight_col)
         elif key == "@id":
-            c = F.col(docid_col)
+            # SphDocID_t compares as a DWORD64 — unsigned order
+            c = docid_ord(docid_col)
         else:
             c = F.col(key)
             if attr_types.get(key) == "float":
@@ -290,7 +304,7 @@ def api_group_query(
             "@groupby", api_group_key(F.col(group_attr), group_func)
         )
     w = Window.partitionBy("@groupby").orderBy(
-        F.col("weight").desc(), F.col(docid_col).asc()
+        F.col("weight").desc(), docid_ord(docid_col).asc()
     )
     best = (
         keyed.withColumn("_rn", F.row_number().over(w))

@@ -36,11 +36,15 @@ def apply_killlists(
     out = None
     for i, seg in enumerate(segments):
         cur = seg
-        # later kill-lists suppress this segment's docids
+        # later kill-lists suppress this segment's docids; no forced
+        # broadcast — a main+delta kill-list can be arbitrarily large,
+        # and AQE broadcasts small lists while falling back to a
+        # shuffled anti-join past driver-buildable size (the same
+        # policy as api._normalize_kills / engine.merge)
         for later in killlists[i + 1 :]:
             if later is not None:
                 cur = cur.join(
-                    F.broadcast(later.select(F.col(docid_col))),
+                    later.select(F.col(docid_col)),
                     docid_col,
                     "left_anti",
                 )
@@ -86,8 +90,10 @@ def minimize_results(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    from sphinx_1_spark.plans.attrs import docid_ord
+
     return out.orderBy(
-        F.col("weight").desc(), F.col(docid_col).asc()
+        F.col("weight").desc(), docid_ord(docid_col).asc()
     ).limit(limit)
 
 

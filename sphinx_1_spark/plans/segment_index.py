@@ -39,6 +39,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sphinx_1_spark.plans.attrs import docid_ord
+
 from sphinx_1_spark.functions.tokenizer import Tokenizer, TokenizerSettings
 from sphinx_1_spark.functions.wordid import crc32_word
 from sphinx_1_spark.operators.segments import (
@@ -51,6 +53,14 @@ from sphinx_1_spark.operators.segments import (
 from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
 
 MANIFEST = "_MANIFEST.json"
+
+
+def _minus(df: DataFrame, exclude: DataFrame | None) -> DataFrame:
+    """Anti-join an optional docid exclusion set — no broadcast hint:
+    kill-list chains are unbounded, AQE picks broadcast vs shuffle."""
+    if exclude is None:
+        return df
+    return df.join(exclude.select("docid"), "docid", "left_anti")
 
 
 # ----------------------------------------------------------------------
@@ -226,8 +236,13 @@ def build_segments(
         }
         m = write_segment(spark, path, blocks, docinfo, lineage, with_positions)
         m["lineage"]["build_wall_s"] = round(time.perf_counter() - t0, 3)
-        with open(os.path.join(path, MANIFEST), "w") as f:
+        # same temp+rename protocol as write_segment: a kill between
+        # truncate and dump must not leave a corrupt completion marker
+        # that resume would trust forever
+        tmp = os.path.join(path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(m, f, indent=2)
+        os.replace(tmp, os.path.join(path, MANIFEST))
     return paths
 
 
@@ -320,10 +335,24 @@ class SegmentSet:
             out[w] = (idf, dfw)
         return out
 
-    def wand_topk(self, words: list[str], k: int = 10, mode: str = "and") -> DataFrame:
+    def wand_topk(
+        self,
+        words: list[str],
+        k: int = 10,
+        mode: str = "and",
+        exclude: DataFrame | None = None,
+    ) -> DataFrame:
         """BM25 top-k over compressed blocks, decoding as little as
         possible.  Exact: never misses a true top-k doc; ties broken
         docid asc (queue comparator, src/sphinxsort.cpp:1159-1175).
+
+        `exclude`: optional docid relation (e.g. a kill-list chain)
+        anti-joined INSIDE the plan — before the top-k cut AND before
+        the OR-mode theta seed, so the threshold is computed over live
+        docs only (a theta seeded from excluded docs would over-prune
+        blocks holding viable lower-scoring candidates).  This is what
+        keeps kill-list-aware serving exact without over-fetching
+        k + n_killed rows per segment.
         Scoring matches ranker="bm25" with one matched field:
         weight = int((sum_tfidf + 0.5)*1000) + 1000.
 
@@ -369,17 +398,23 @@ class SegmentSet:
                 "left_semi",
             )
             survivors = rare_blocks.unionByName(overlapping)
+            scored = self._score_blocks(
+                survivors, terms, wids, idf, require_all=True
+            )
+            scored = _minus(scored, exclude)
             return (
-                self._score_blocks(survivors, terms, wids, idf, require_all=True)
-                .orderBy(F.col("weight").desc(), F.col("docid").asc())
+                scored.orderBy(F.col("weight").desc(), docid_ord().asc())
                 .limit(k)
             )
 
         # ---- OR ----
         if any(idf[w][0] < 0 for w in terms):
+            scored = self._score_blocks(
+                term_blocks, terms, wids, idf, require_all=False
+            )
+            scored = _minus(scored, exclude)
             return (
-                self._score_blocks(term_blocks, terms, wids, idf, require_all=False)
-                .orderBy(F.col("weight").desc(), F.col("docid").asc())
+                scored.orderBy(F.col("weight").desc(), docid_ord().asc())
                 .limit(k)
             )
         # phase 1: theta from highest-impact seed blocks (partial scores
@@ -387,7 +422,10 @@ class SegmentSet:
         nseed = max(4, (k + BLOCK_SIZE - 1) // BLOCK_SIZE + 2)
         seed = term_blocks.orderBy(F.col("max_impact").desc()).limit(nseed)
         seeded = (
-            self._score_blocks(seed, terms, wids, idf, require_all=False)
+            _minus(
+                self._score_blocks(seed, terms, wids, idf, require_all=False),
+                exclude,
+            )
             .orderBy(F.col("weight").desc())
             .limit(k)
             .collect()
@@ -440,11 +478,15 @@ class SegmentSet:
             "left_semi",
         )
         full = survivors.unionByName(completing)
+        scored = _minus(
+            self._score_blocks(full, terms, wids, idf, require_all=False),
+            exclude,
+        )
         return (
-            self._score_blocks(full, terms, wids, idf, require_all=False)
+            scored
             .where(F.col("weight") >= F.lit(int((theta + 0.5) * 1000) + 1000)
                    if theta != float("-inf") else F.lit(True))
-            .orderBy(F.col("weight").desc(), F.col("docid").asc())
+            .orderBy(F.col("weight").desc(), docid_ord().asc())
             .limit(k)
         )
 

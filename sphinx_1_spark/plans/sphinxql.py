@@ -217,6 +217,12 @@ class Parser:
 
 
 def parse_select(sql: str) -> SelectStmt:
+    # MySQL-wire clients terminate every statement with ';' — strip
+    # one trailing terminator (the SHOW paths already did; a bare
+    # SELECT used to die in _tokenize on it)
+    sql = sql.strip()
+    if sql.endswith(";"):
+        sql = sql[:-1]
     return Parser(_tokenize(sql)).parse()
 
 
@@ -232,31 +238,35 @@ def _cond_col(name: str, docid_col: str) -> Column:
     return F.col(name)
 
 
-def execute(
+def _order_col(name: str, docid_col: str) -> Column:
+    """Like _cond_col but for ORDER/WITHIN GROUP ORDER keys: @id
+    orders UNSIGNED (SphDocID_t is a DWORD64)."""
+    if name == "@id":
+        from sphinx_1_spark.plans.attrs import docid_ord
+
+        return docid_ord(docid_col)
+    return _cond_col(name, docid_col)
+
+
+def _filtered_base(
     stmt: SelectStmt,
-    df: DataFrame | None = None,
-    index=None,
+    df: DataFrame | None,
+    index,
     docid_col: str = "docid",
 ) -> DataFrame:
-    """Run a parsed SELECT against an attribute DataFrame and/or a
-    SphinxIndex (for MATCH); mirrors the searchd flow: match ->
-    filters -> group -> sort -> page (src/searchd.cpp:4657-4850)."""
+    """Matched (or scanned) relation with the statement's WHERE
+    conditions applied — the match set that feeds the bounded queue,
+    and the set SHOW META's total_found counts (m_iTotalMatches
+    counts matches that PASSED m_dFilters)."""
     if stmt.match is not None:
         if index is None:
             raise SphinxQLError("MATCH() requires an index")
-        # max_matches truncation happens BEFORE attribute filters (the
-        # searchd queue bound); without the OPTION there is nothing to
-        # truncate, so skip the inner global sort entirely — the
-        # statement's own ORDER BY supersedes it (an unbounded
-        # TakeOrdered over every match would be a scale anti-pattern)
-        bounded = "max_matches" in stmt.options
-        max_matches = int(stmt.options.get("max_matches", 1 << 30))
         ranked = index.search(
             stmt.match,
             ranker=stmt.options.get("ranker"),
-            limit=max_matches,
-            max_matches=max_matches,
-            sorted_output=bounded,
+            limit=1 << 30,
+            max_matches=1 << 30,
+            sorted_output=False,
         )
         base = ranked if df is None else ranked.join(df, docid_col, "inner")
     else:
@@ -282,6 +292,37 @@ def execute(
             base = base.where(c <= val)
         elif op == ">=":
             base = base.where(c >= val)
+    return base
+
+
+def execute(
+    stmt: SelectStmt,
+    df: DataFrame | None = None,
+    index=None,
+    docid_col: str = "docid",
+) -> DataFrame:
+    """Run a parsed SELECT against an attribute DataFrame and/or a
+    SphinxIndex (for MATCH); mirrors the searchd flow: match ->
+    filters -> group/sort (the max_matches-bounded queue) -> page
+    (src/searchd.cpp:4657-4850).
+
+    Filters run BEFORE the max_matches bound: the reference's match
+    queue is fed by filtered matches (early reject,
+    src/sphinxfilter.h), its comparator is the statement's own sort
+    spec, and ranks past max_matches (default 1000, like searchd) do
+    not exist — truncating the unfiltered top-N first and filtering
+    after would silently drop filtered matches that belong in the
+    queue."""
+    from sphinx_1_spark.plans.attrs import docid_ord
+
+    base = _filtered_base(stmt, df, index, docid_col)
+    max_matches = int(stmt.options.get("max_matches", 1000))
+    if stmt.offset >= max_matches:
+        # CheckQuery (src/searchd.cpp:2994)
+        raise SphinxQLError(
+            f"offset out of bounds (offset={stmt.offset}, "
+            f"max_matches={max_matches})"
+        )
 
     def sel_col(expr: str, alias: str | None) -> Column:
         m = _AGG_RE.match(expr)
@@ -303,8 +344,11 @@ def execute(
         return F.col(expr).alias(alias) if alias else F.col(expr)
 
     if stmt.match is not None and not stmt.group_by and not stmt.order_by:
-        # searchd default sort mode: relevance (weight desc, id asc)
-        base = base.orderBy(F.col("weight").desc(), F.col(docid_col).asc())
+        # searchd default sort mode: relevance (weight desc, id asc —
+        # docids compare unsigned, SphDocID_t is a DWORD64)
+        base = base.orderBy(
+            F.col("weight").desc(), docid_ord(docid_col).asc()
+        )
 
     if stmt.group_by:
         aggs = [
@@ -312,21 +356,44 @@ def execute(
             for e, a in stmt.select
             if _AGG_RE.match(e) or e == "@count"
         ]
+        if not aggs:
+            # Sphinx adds @count to every grouped result implicitly
+            # (and GroupedData.agg() rejects an empty expression list)
+            aggs = [F.count(F.lit(1)).alias("@count")]
         plain = [
             e for e, _ in stmt.select
             if not _AGG_RE.match(e) and e not in ("@count", stmt.group_by, "*")
         ]
         grouped = base.groupBy(stmt.group_by).agg(*aggs)
         if stmt.within_order or plain:
+            # representative-row default: the group sorter keeps the
+            # BEST match per group (weight desc, docid asc — the
+            # api_group_query comparator) when ranked; plain scans
+            # fall back to lowest docid
+            default_order = (
+                [("@weight", False), ("@id", True)]
+                if stmt.match is not None
+                else [(docid_col, True)]
+            )
             order = [
-                F.col(c).asc() if asc else F.col(c).desc()
-                for c, asc in (stmt.within_order or [(docid_col, True)])
+                _order_col(c, docid_col).asc()
+                if asc
+                else _order_col(c, docid_col).desc()
+                for c, asc in (stmt.within_order or default_order)
             ]
             w = Window.partitionBy(stmt.group_by).orderBy(*order)
+            plain_cols = []
+            for e in plain:
+                if e == "@id":
+                    plain_cols.append(F.col(docid_col).alias("id"))
+                elif e == "@weight":
+                    plain_cols.append(F.col("weight"))
+                else:
+                    plain_cols.append(F.col(e))
             best = (
                 base.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
-                .select(stmt.group_by, *plain)
+                .select(stmt.group_by, *plain_cols)
             )
             grouped = grouped.join(best, stmt.group_by)
         out = grouped
@@ -339,13 +406,19 @@ def execute(
     if stmt.order_by:
         out = out.orderBy(
             *[
-                (_cond_col(c, docid_col).asc() if asc else _cond_col(c, docid_col).desc())
+                (
+                    _order_col(c, docid_col).asc()
+                    if asc
+                    else _order_col(c, docid_col).desc()
+                )
                 for c, asc in stmt.order_by
             ]
         )
+    # bounded-queue page window: ranks past max_matches do not exist
+    page_end = min(stmt.offset + stmt.limit, max_matches)
     if stmt.offset:
         out = out.offset(stmt.offset)
-    return out.limit(stmt.limit)
+    return out.limit(page_end - stmt.offset)
 
 
 def sphinxql(
@@ -477,10 +550,17 @@ class SphinxQLSession:
                 self._warnings = [warn]
         if stmt.match is not None and self.index is not None:
             plan, m = self.index.match(stmt.match)
-            # plan is one row per matched docid (compile_node merges
-            # AND/OR per doc), so a plain count IS the distinct count —
-            # no extra shuffle over the matched set
-            total_found = plan.select("docid").count()
+            if stmt.conds:
+                # m_iTotalMatches counts matches that PASSED the attr
+                # filters (they are part of matching, not decoration)
+                total_found = _filtered_base(
+                    stmt, self.df, self.index, self.docid_col
+                ).count()
+            else:
+                # plan is one row per matched docid (compile_node
+                # merges AND/OR per doc), so a plain count IS the
+                # distinct count — no extra shuffle over the match set
+                total_found = plan.select("docid").count()
             # 'total' = m_dMatches.GetLength() (searchd.cpp:5756):
             # bounded by max_matches (OPTION or the 1000 default),
             # NEVER by LIMIT — LIMIT only affects rows returned

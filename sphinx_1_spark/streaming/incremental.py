@@ -110,13 +110,17 @@ class IncrementalIndexer:
         """Wire as a writeStream foreachBatch sink; caller starts it.
 
         stream_df must carry the pages schema (url, warc_ts, html,
-        text, lang)."""
-        return (
+        text, lang).  trigger_kwargs (e.g. processingTime="30 seconds",
+        availableNow=True) forward to DataStreamWriter.trigger."""
+        w = (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option(
                 "checkpointLocation", os.path.join(self.out_dir, "_checkpoint")
             )
         )
+        if trigger_kwargs:
+            w = w.trigger(**trigger_kwargs)
+        return w
 
     # ------------------------------------------------------------------
     def compact(self, spark: SparkSession, dest_dir: str) -> str:
@@ -139,29 +143,37 @@ class IncrementalIndexer:
             post_i = decode_blocks(blocks_i, with_positions=self.with_positions)
             kl = view._killed_for(i)
             if kl is not None:
-                post_i = post_i.join(F.broadcast(kl), "docid", "left_anti")
+                # no broadcast hint: kill-lists are unbounded, AQE picks
+                post_i = post_i.join(kl, "docid", "left_anti")
             parts = post_i if parts is None else parts.unionByName(post_i)
         blocks = encode_blocks(parts, with_positions=self.with_positions)
         os.makedirs(dest_dir, exist_ok=True)
-        path = os.path.join(dest_dir, f"delta={0:010d}")
+        # "compacted=" sorts BEFORE "delta=" so the merged main is the
+        # EARLIEST segment in kill-list order, and — unlike the old
+        # delta=0000000000 name — can never collide with a fresh
+        # stream's batch_id 0: that collision made process_batch skip
+        # the first real micro-batch as already-complete (data loss)
+        path = os.path.join(dest_dir, f"compacted={0:010d}")
         lineage = {
             "mode": "compacted",
             "merged_segments": [os.path.basename(p) for p in view.paths],
         }
-        m = write_segment(spark, path, blocks, live, lineage, self.with_positions)
-        # empty kill-list: a compacted main supersedes nothing
+        # empty kill-list first (a compacted main supersedes nothing);
+        # write_segment's manifest is the atomic completion marker and
+        # everything it covers must exist before it
         live.select("docid").limit(0).write.mode("overwrite").parquet(
             os.path.join(path, "killlist")
         )
-        with open(os.path.join(path, MANIFEST), "w") as f:
-            json.dump(m, f, indent=2)
+        write_segment(spark, path, blocks, live, lineage, self.with_positions)
         return dest_dir
 
     def segment_paths(self) -> list[str]:
+        # sorted() puts "compacted=" before "delta=NNN": the merged
+        # main serves as the earliest segment in the kill-list chain
         return sorted(
             os.path.join(self.out_dir, d)
             for d in os.listdir(self.out_dir)
-            if d.startswith("delta=")
+            if d.startswith(("delta=", "compacted="))
         )
 
     def open_view(self, spark: SparkSession) -> "IncrementalView":
@@ -199,7 +211,7 @@ class IncrementalView:
             df = self.spark.read.parquet(os.path.join(p, "docinfo"))
             kl = self._killed_for(i)
             if kl is not None:
-                df = df.join(F.broadcast(kl), "docid", "left_anti")
+                df = df.join(kl, "docid", "left_anti")
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -207,19 +219,33 @@ class IncrementalView:
         """Kill-list-aware BM25 top-k, searchd-style: each segment is
         searched SEPARATELY with its own collection stats (per-index
         IDF, exactly like multi-index RunSubset src/searchd.cpp:3950),
-        its kill-listed rows dropped, then results merge through one
-        final queue.  Per-segment over-fetch covers its killed rows."""
+        its kill-listed rows excluded INSIDE the per-segment WAND plan
+        (wand_topk's `exclude` — before the top-k cut and the OR theta
+        seed), then results merge through one final queue.
+
+        Exclusion sets are the suffix unions of later kill-lists,
+        built lazily right-to-left: ZERO driver-side count() jobs,
+        each kill-list parquet referenced once per query (not O(S^2)),
+        and no k+n_killed over-fetch — after heavy re-crawling the old
+        over-fetch approached a full-corpus top-k per segment, exactly
+        the WAND-pruning collapse this serving path exists to avoid."""
+        kills: list[DataFrame | None] = [None] * len(self.paths)
+        acc = None
+        for i in range(len(self.paths) - 1, 0, -1):
+            kl = self.spark.read.parquet(
+                os.path.join(self.paths[i], "killlist")
+            )
+            acc = kl if acc is None else acc.unionByName(kl)
+            kills[i - 1] = acc
         merged = None
         for i, p in enumerate(self.paths):
             seg = SegmentSet(self.spark, [p])
-            kl = self._killed_for(i)
-            n_killed = kl.count() if kl is not None else 0
-            res = seg.wand_topk(words, k + n_killed, mode)
-            if kl is not None:
-                res = res.join(F.broadcast(kl), "docid", "left_anti")
+            res = seg.wand_topk(words, k, mode, exclude=kills[i])
             merged = res if merged is None else merged.unionByName(res)
+        from sphinx_1_spark.plans.attrs import docid_ord
+
         return merged.orderBy(
-            F.col("weight").desc(), F.col("docid").asc()
+            F.col("weight").desc(), docid_ord().asc()
         ).limit(k)
 
 

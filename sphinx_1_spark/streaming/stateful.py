@@ -131,8 +131,12 @@ def windowed_crawl_stats(
         .groupBy(F.window("warc_ts", window).alias("win"), "lang")
         .agg(
             F.count(F.lit(1)).alias("n_pages"),
-            F.sum(F.length("text")).cast("long").alias("n_bytes"),
-            F.approx_count_distinct(host).alias("n_hosts"),
+            # octet_length: BYTES as the name promises (F.length counts
+            # characters — ~1/3 undercount on CJK-heavy windows)
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+            # schemeless urls extract '' (not null) — nullif keeps the
+            # phantom empty-string host out of the distinct estimate
+            F.approx_count_distinct(F.nullif(host, F.lit(""))).alias("n_hosts"),
         )
         .select(
             F.col("win.start").alias("win_start"),
