@@ -74,6 +74,13 @@ def main() -> None:
         ngram_chars="" if args.mmseg_dict else "U+4E00..U+9FBF",
         mmseg_dict_path=args.mmseg_dict,
     )
+    from sphinx_1_spark.plans.segment_index import segment_complete
+
+    pre_complete = {
+        os.path.join(args.output, d)
+        for d in (os.listdir(args.output) if os.path.isdir(args.output) else [])
+        if segment_complete(os.path.join(args.output, d))
+    }
     t0 = time.perf_counter()
     paths = build_segments(
         pages,
@@ -85,17 +92,24 @@ def main() -> None:
     )
     wall = time.perf_counter() - t0
     total = {"docs": 0, "hits": 0, "blocks": 0}
+    built_docs = 0  # docs indexed by THIS run (resume skips shards)
     for p in paths:
         m = read_manifest(p)
         total["docs"] += m["n_docs"]
         total["hits"] += m["n_hits"]
         total["blocks"] += m["n_blocks"]
+        if p not in pre_complete:
+            built_docs += m["n_docs"]
     print(
         json.dumps(
             {
                 "segments": len(paths),
+                "resumed_segments": len(pre_complete),
                 "wall_s": round(wall, 2),
-                "docs_per_sec": round(total["docs"] / wall, 2) if wall else None,
+                # throughput over the shards this run actually built —
+                # dividing ALL shards' docs by a resume-only wall
+                # inflated the evidence line ~Nx on an N-1/N resume
+                "docs_per_sec": round(built_docs / wall, 2) if wall else None,
                 **total,
             }
         )

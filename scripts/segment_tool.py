@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _spark():
     from sphinx_1_spark.session import get_spark
 
-    spark = get_spark(cores=8)
+    # cores=None honors SPARK_GRAFT_CPUS / cpu_count like every other
+    # entry point (a hardcoded 8 underuses the bench box and
+    # oversubscribes small ones)
+    spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -49,9 +52,10 @@ def dictionary(paths: list[str], top: int) -> None:
 
     spark = _spark()
     ss = SegmentSet(spark, paths)
+    # ss.dictionary is the ONE merged-dictionary definition (already
+    # summed per (wordid, word) across segments) — don't re-derive it
     d = (
-        ss._union("dictionary")
-        .groupBy("word")
+        ss.dictionary.groupBy("word")
         .agg(F.sum("docs").alias("docs"), F.sum("hits").alias("hits"))
         .orderBy(F.col("docs").desc(), F.col("word").asc())
         .limit(top)
@@ -70,7 +74,11 @@ def main(argv: list[str]) -> int:
     it = iter(argv[2:])
     for a in it:
         if a == "--top":
-            top = int(next(it))
+            operand = next(it, None)
+            if operand is None or not operand.isdigit():
+                print("usage: --top N (positive integer)")
+                return 1
+            top = int(operand)
         else:
             args.append(a)
     if cmd == "describe":

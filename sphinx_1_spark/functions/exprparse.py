@@ -368,14 +368,19 @@ class _P:
                 "float",
             )
         if name == "idiv":
+            # Spark's integral `div` truncates toward zero like C++
+            # int64 division — routing through double lost exactness
+            # above 2^53 (IDIV(9007199254740993, 1) came back off by
+            # one); reference is INT64FIRST / INT64SECOND exact
+            # (sphinxexpr.cpp:242)
             if argt == "float":
                 # (float)(int(FIRST)/int(SECOND)) (sphinxexpr.cpp:242)
                 a = self._cast(args[0], "float").cast("int")
                 b = self._cast(args[1], "float").cast("int")
-                q = F.when(b != 0, (a.cast("double") / b).cast("long"))
+                q = F.when(b != 0, F.call_function("div", a, b))
                 return (q.cast("float"), "float")
             a, b = self._cast(args[0], argt), self._cast(args[1], argt)
-            q = F.when(b != 0, (a.cast("double") / b.cast("double")).cast("long"))
+            q = F.when(b != 0, F.call_function("div", a, b))
             return (q.cast(_SPARK_T[argt]), argt)
         if name == "if":
             cond = self._cast(args[0], argt)
@@ -399,13 +404,22 @@ class _P:
                 return (col.cast("float"), "float")
             return (col.cast(_SPARK_T[argt]), argt)
         if name == "interval":
-            # Expr_Interval (src/sphinxexpr.cpp:1318-1330): compare in
-            # the first arg's type
-            t0 = args[0][1]
-            x = self._cast(args[0], t0)
-            out = F.lit(0)
+            # Expr_Interval (src/sphinxexpr.cpp:1030-1053, dispatch
+            # :1308-1330): compares in the COMBINED (widest) arg type
+            # — INTERVAL(int_attr, 3.5) evaluates 3 < 3.5 as floats —
+            # and the linear scan returns the FIRST i with
+            # val < point_i (else N), so an unsorted point list keeps
+            # the reference's first-match answer
+            x = self._cast(args[0], argt)
+            chain = None
             for i, p in enumerate(args[1:]):
-                out = F.when(x >= self._cast(p, t0), F.lit(i + 1)).otherwise(out)
+                cond = x < self._cast(p, argt)
+                chain = (
+                    F.when(cond, F.lit(i))
+                    if chain is None
+                    else chain.when(cond, F.lit(i))
+                )
+            out = chain.otherwise(F.lit(len(args) - 1))
             return (out.cast("int"), "int")
         if name == "in":
             t0 = args[0][1]

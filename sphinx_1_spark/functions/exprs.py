@@ -28,12 +28,18 @@ def geodist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
 
 
 def interval(x: Column, *points) -> Column:
-    """INTERVAL(x, p1..pn) -> index of the first point > x
-    (bucket id; src/sphinxexpr.cpp function table)."""
-    out = F.lit(0)
+    """INTERVAL(x, p1..pn) -> index of the FIRST point > x (linear
+    scan, Expr_Interval src/sphinxexpr.cpp:1030-1053) — first-match,
+    so an unsorted point list answers like the reference."""
+    chain = None
     for i, p in enumerate(points):
-        out = F.when(x >= F.lit(p), F.lit(i + 1)).otherwise(out)
-    return out
+        cond = x < F.lit(p)
+        chain = (
+            F.when(cond, F.lit(i))
+            if chain is None
+            else chain.when(cond, F.lit(i))
+        )
+    return chain.otherwise(F.lit(len(points)))
 
 
 def if_(cond: Column, then, else_) -> Column:

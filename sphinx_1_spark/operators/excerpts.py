@@ -37,6 +37,8 @@ tokenizer built once per executor process.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from dataclasses import dataclass, replace
 from dataclasses import replace as replace_settings
 
@@ -111,6 +113,12 @@ class _Keyword:
         self.weight = len(text)  # m_iWeight = m_iLengthCP
 
 
+@lru_cache(maxsize=8)
+def _cached_tokenizer(stg: TokenizerSettings) -> Tokenizer:
+    """Per-worker tokenizer cache for the Arrow excerpt UDF."""
+    return Tokenizer(stg)
+
+
 def _parse_keywords(words: str, tokenizer: Tokenizer) -> list[_Keyword]:
     """Query tokenize + star detection (src/sphinxexcerpt.cpp:213-248):
     a star adjacent to the token in the raw string sets front/back."""
@@ -168,8 +176,12 @@ def _scan_tokens(
     toks: list[_Tok] = []
 
     def add_junk(start: int, length: int, boundary: int) -> None:
-        if length <= 0:
-            return
+        # NO length<=0 early-out: the reference's AddJunk always
+        # appends its final (possibly ZERO-length) TOK_SPACE
+        # (src/sphinxexcerpt.cpp:185-191), so adjacent tokens — CJK
+        # ngram specials, duals — are separated by a zero-length
+        # space token that shifts every later token index; skipping
+        # it diverged passage chunk arithmetic on such documents
         chunk = start
         saved = 0
         for i in range(start + 1, start + length):
@@ -192,11 +204,16 @@ def _scan_tokens(
         if tok is None:
             break
         start, end = sc.token_start, sc.token_end
-        add_junk(
-            last_end,
-            start - last_end,
-            sc.boundary_offset if sc.token_boundary else -1,
-        )
+        if start != 0:
+            # the reference calls AddJunk for every token not at the
+            # very buffer start (pTokenStart != pStartPtr,
+            # src/sphinxexcerpt.cpp:260-264), INCLUDING zero-length
+            # gaps between adjacent tokens
+            add_junk(
+                last_end,
+                start - last_end,
+                sc.boundary_offset if sc.token_boundary else -1,
+            )
         norm = tokenizer._normalize(tok)
         if norm in s.stopwords:
             toks.append(_Tok(TOK_SPACE, start, end - start, 0))
@@ -205,11 +222,14 @@ def _scan_tokens(
                 _Tok(TOK_WORD, start, end - start, _match_mask(norm, keywords))
             )
         last_end = end
-    add_junk(
-        last_end,
-        len(text) - last_end,
-        sc.boundary_offset if sc.token_boundary else -1,
-    )
+    if last_end != len(text):
+        # "last space if any" (src/sphinxexcerpt.cpp:315-320): the
+        # tail AddJunk runs only for a NONZERO gap
+        add_junk(
+            last_end,
+            len(text) - last_end,
+            sc.boundary_offset if sc.token_boundary else -1,
+        )
     toks.append(_Tok(TOK_NONE, 0, 0, 0))
     return toks
 
@@ -561,18 +581,9 @@ class _Generator:
         return True
 
 
-def build_excerpt(
-    text: str,
-    words: str,
-    options: ExcerptOptions | None = None,
-    tokenizer: Tokenizer | TokenizerSettings | None = None,
-) -> str:
-    """sphBuildExcerpt (src/sphinxexcerpt.cpp:907) for one document."""
-    q = options or ExcerptOptions()
-    if isinstance(tokenizer, Tokenizer):
-        tk = tokenizer
-    else:
-        tk = Tokenizer(tokenizer)
+def _excerpt_tokenizer(q: "ExcerptOptions", tk: Tokenizer) -> Tokenizer:
+    """Boundary-aware tokenizer upgrade (shared by the one-doc API and
+    the Arrow UDF so both paths parse keywords with the same tk)."""
     if (
         q.use_boundaries
         and q.boundary_chars
@@ -581,10 +592,30 @@ def build_excerpt(
         # convenience: explicit boundary chars build a boundary-aware
         # tokenizer when the index settings carry none
         spec = ", ".join(f"U+{ord(c):04X}" for c in q.boundary_chars)
-        tk = Tokenizer(
-            replace_settings(tk.settings, phrase_boundary=spec)
-        )
-    keywords = _parse_keywords(words, tk)
+        return Tokenizer(replace_settings(tk.settings, phrase_boundary=spec))
+    return tk
+
+
+def build_excerpt(
+    text: str,
+    words: str,
+    options: ExcerptOptions | None = None,
+    tokenizer: Tokenizer | TokenizerSettings | None = None,
+    keywords: "list[_Keyword] | None" = None,
+) -> str:
+    """sphBuildExcerpt (src/sphinxexcerpt.cpp:907) for one document.
+
+    `keywords`: pre-parsed keyword list (from _parse_keywords with
+    THIS tokenizer) — the query string is invariant across documents,
+    so batch callers parse once instead of once per row."""
+    q = options or ExcerptOptions()
+    if isinstance(tokenizer, Tokenizer):
+        tk = tokenizer
+    else:
+        tk = Tokenizer(tokenizer)
+    tk = _excerpt_tokenizer(q, tk)
+    if keywords is None:
+        keywords = _parse_keywords(words, tk)
     toks = _scan_tokens(text, tk, keywords)
     source_codes = sum(t.length for t in toks)
 
@@ -609,7 +640,9 @@ def excerpts(
 ):
     """DataFrame-level BuildExcerpts: adds `out_col` with the
     highlighted snippet of `text_col`.  Arrow-batched; the tokenizer
-    and parsed keyword list are built once per Python worker."""
+    is cached per worker (TokenizerSettings is hashable — an MMSEG
+    config loads its dictionary once, not once per batch) and the
+    keyword list is parsed once per batch, not once per row."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
@@ -618,9 +651,10 @@ def excerpts(
 
     @F.pandas_udf(StringType())
     def _excerpt(texts: pd.Series) -> pd.Series:
-        tk = Tokenizer(stg)
+        tk = _excerpt_tokenizer(opts, _cached_tokenizer(stg))
+        kws = _parse_keywords(words, tk)
         return texts.map(
-            lambda t: build_excerpt(t or "", words, opts, tk)
+            lambda t: build_excerpt(t or "", words, opts, tk, keywords=kws)
         )
 
     return df.withColumn(out_col, _excerpt(F.col(text_col)))

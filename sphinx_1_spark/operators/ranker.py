@@ -194,6 +194,7 @@ def apply_ranker(
     field_weights: list[int],
     score_mode: str = "fast64",
     idf_by_qpos: dict[int, float] | None = None,
+    n_uwords: int | None = None,
 ) -> DataFrame:
     """Add an int `weight` column per the ranker; drops plan columns."""
     if ranker in (
@@ -241,7 +242,15 @@ def apply_ranker(
     elif ranker == "none":
         weight = F.lit(1)
     elif ranker == "matchany":
-        n_qwords = len(idf_by_qpos or {}) or 1
+        # m_uQWords = hQwords.GetLength() (src/sphinx.cpp:13989): the
+        # qwords HASH collapses duplicate query words, so phraseK
+        # scales with UNIQUE words — len(idf_by_qpos) is keyed by
+        # querypos and would count 'zee lord of zee rings' as 5
+        n_qwords = (
+            n_uwords
+            if n_uwords is not None
+            else len(idf_by_qpos or {})
+        ) or 1
         weight = make_matchany_rank(field_weights, n_qwords)(F.col("hits"))
     elif ranker == "wordcount":
         weight = make_wordcount_rank(field_weights)(F.col("hits"))

@@ -16,8 +16,10 @@ Implements the client-visible semantics of HandleCommandSearch
   total_found sums then dupes subtract (:3818), dupes resolve to the
   HIGHEST tag — last-listed index wins (the dupes sweep sorts docid
   asc, tag desc: searchd.cpp:2515,3803) — or to weighted-rank sums
-  under SetIndexWeights (:3775-3800); per the 0.9.9 assignment quirk
-  the reported word stats are the LAST local index's (:4221);
+  under SetIndexWeights (:3775-3800); per-word stats SUM across local
+  indexes (one shared CSphQueryResult accumulates through the local
+  loop, sphinx.cpp:14673-14685; searchd.cpp:4221 copies the
+  accumulated struct);
 * SetLimits cutoff: matching stops after N matches in processing
   (docid) order;
 * SetIDRange, offset/limit paging, max_matches bounding;
@@ -477,8 +479,12 @@ def api_query(
 ) -> tuple[list, dict]:
     """Run one API query over [(name, index, killlist_or_None)] in
     config order.  Returns (rows, meta): meta has total, total_found,
-    words (the last index's stats — 0.9.9 searchd.cpp:4221 assigns,
-    not merges).
+    words — per-word (docs, hits) SUMMED across local indexes: the
+    reference passes ONE shared CSphQueryResult through the local
+    loop and SetupQueryWords accumulates into it (m_iDocs += when the
+    word slot is already filled, sphinx.cpp:14673-14685); the
+    searchd.cpp:4221 assignment then copies that accumulated struct
+    per batched query — it does not reset between indexes.
 
     shared_bases: per-index (ranked, meta) pairs precomputed by
     run_queries' multi-queue path — the batch's one shared match

@@ -473,7 +473,13 @@ class SphinxIndex:
             w.querypos: (0.0 if w.dup else idf.get(w.word, 0.0))
             for w in words
         }
-        meta = {"idf": idf, "stats": stats, "idf_by_qpos": idf_by_qpos}
+        meta = {
+            "idf": idf,
+            "stats": stats,
+            "idf_by_qpos": idf_by_qpos,
+            # unique query words (the reference's m_uQWords hash size)
+            "n_uwords": len({w.word for w in words}),
+        }
         return plan, meta
 
     def search(
@@ -544,7 +550,8 @@ class SphinxIndex:
         weights += [1] * (n_fields - len(weights))
         weights = [max(1, w) for w in weights]
         ranked = apply_ranker(
-            plan, ranker, weights, score_mode, meta["idf_by_qpos"]
+            plan, ranker, weights, score_mode, meta["idf_by_qpos"],
+            n_uwords=meta.get("n_uwords"),
         )
         if filters or with_attrs or self.settings.attrs:
             ranked = ranked.join(self.docinfo, "docid", "inner")

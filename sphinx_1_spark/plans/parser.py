@@ -392,7 +392,17 @@ class QueryParser:
             kind, _ = self._lex.peek()
             if kind in (None, ")", "|"):
                 return left
+            pos = self._lex.i
             right = self._beforelist()
+            if right is None and self._lex.i == pos:
+                # stray operator in atom position ('foo/bar', '$x',
+                # 'hello ~2'): the reference's yacc parser fails with
+                # a syntax error (sphinxquery.cpp yyparse) — and
+                # without consuming anything this loop would never
+                # terminate
+                raise QueryParseError(
+                    f"syntax error near {self._lex.peek()[0]!r}"
+                )
             if left is None:
                 left = right
             elif right is not None:
@@ -583,7 +593,8 @@ class QueryParser:
             return XQNode("term", words=words)
         if op == "quorum":
             if n >= len(words):
-                op, n = "phrase", 0  # ref asserts thresh < nwords; AND-equiv
+                # ref asserts thresh < nwords; degrade to the AND of
+                # the words
                 return XQNode("and", children=[XQNode("term", words=[w]) for w in words])
         return XQNode(op, words=words, max_distance=n)
 

@@ -27,6 +27,7 @@ Content model (FIXTURES.md §1):
 
 from __future__ import annotations
 
+import os
 import random
 from datetime import datetime, timedelta, timezone
 
@@ -164,8 +165,13 @@ def write_mmseg_bench_dict(path: str, seed: int = 42) -> str:
         if w not in seen:
             seen.add(w)
             lines.append(f"{w}\t{f}")
-    with open(path, "w", encoding="utf-8") as fh:
+    # temp + rename: the fixed shared path must never hold a torn
+    # half-written dictionary (a concurrent bench or a kill mid-write
+    # would otherwise silently change segmentation)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
     return path
 
 

@@ -28,8 +28,10 @@ def _inflate(raw: bytes | None, mysql_header: bool) -> bytes | None:
         return data
     if mysql_header:
         if len(data) <= 4:
-            # MySQL COMPRESS() of the empty string is '' (no header)
-            return b"" if not data else None
+            # a nonempty blob shorter than the 4-byte length header is
+            # not a valid COMPRESS() product (COMPRESS('') == '' was
+            # already handled by the empty-input passthrough above)
+            return None
         data = data[4:]
     try:
         return zlib.decompress(data)

@@ -55,14 +55,41 @@ _NS_FIXUP = re.compile(r"<sphinx:docset(\s|>)")
 _NS_DECL = '<sphinx:docset xmlns:sphinx="sphinx"\\1'
 _SPH = "{sphinx}"
 
+_INT_PREFIX = re.compile(r"^\s*[+-]?\d+")
+_FLOAT_PREFIX = re.compile(r"^\s*[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _strtoll(v) -> int:
+    """C strtol semantics: parse the leading integer, 0 on garbage —
+    the reference's attr casters (sphToDword/sphToInt64) never throw,
+    and repeated attr elements ('5 5' via CharactersBuffer concat)
+    resolve to the leading value exactly as strtol stops at the
+    space."""
+    m = _INT_PREFIX.match(v or "")
+    return int(m.group()) if m else 0
+
+
+def _strtod(v) -> float:
+    m = _FLOAT_PREFIX.match(v or "")
+    return float(m.group()) if m else 0.0
+
+
+def _to_docid(v) -> int:
+    """sphToDocid: unsigned 64-bit parse wrapped through the same
+    uint64->int64 sign bijection every other docid entry point uses
+    (ids above 2^63-1 must not overflow LongType/Arrow)."""
+    u = _strtoll(v) & 0xFFFFFFFFFFFFFFFF
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 # xmlpipe2 attr type -> (python caster, Spark type); str2ordinal stays
 # a string (ordinalization is an index-build step, not a parse step)
 _ATTR_TYPES = {
-    "int": (int, LongType()),
-    "timestamp": (int, LongType()),
-    "bigint": (int, LongType()),
-    "bool": (lambda v: bool(int(v)), BooleanType()),
-    "float": (float, DoubleType()),
+    "int": (_strtoll, LongType()),
+    "timestamp": (_strtoll, LongType()),
+    "bigint": (_strtoll, LongType()),
+    "bool": (lambda v: bool(_strtoll(v)), BooleanType()),
+    "float": (_strtod, DoubleType()),
     "str2ordinal": (str, StringType()),
     "string": (str, StringType()),
 }
@@ -80,13 +107,23 @@ def parse_docset(xml_text: str) -> dict:
     reference warns and substitutes defaults); unknown elements inside
     a document are ignored like the reference's unexpected-element
     warning path (src/sphinx.cpp:21647)."""
-    fixed = _NS_FIXUP.sub(_NS_DECL, xml_text, count=1)
+    # inject a namespace decl ONLY when the feed declares none — a
+    # namespace-proper feed already carries xmlns:sphinx and a second
+    # declaration would be an expat duplicate-attribute error
+    if "xmlns:sphinx" in xml_text:
+        fixed = xml_text
+    else:
+        fixed = _NS_FIXUP.sub(_NS_DECL, xml_text, count=1)
     try:
         root = ET.fromstring(fixed)
     except ET.ParseError as e:  # pragma: no cover - message passthrough
         raise XmlPipeError(f"malformed xmlpipe2 source: {e}") from e
-    if root.tag != f"{_SPH}docset":
+    m = re.fullmatch(r"(\{[^}]*\})?docset", root.tag)
+    if m is None:
         raise XmlPipeError("root element must be <sphinx:docset>")
+    # the reference ignores the namespace URI entirely; honor whatever
+    # URI the feed bound to the sphinx prefix
+    sph = m.group(1) or ""
 
     fields: list[str] = []
     attrs: list[tuple[str, str]] = []
@@ -94,12 +131,12 @@ def parse_docset(xml_text: str) -> dict:
     docs: list[dict] = []
     kill: list[int] = []
 
-    schema = root.find(f"{_SPH}schema")
+    schema = root.find(f"{sph}schema")
     if schema is not None:
         for el in schema:
-            if el.tag == f"{_SPH}field":
+            if el.tag == f"{sph}field":
                 fields.append(el.attrib["name"])
-            elif el.tag == f"{_SPH}attr":
+            elif el.tag == f"{sph}attr":
                 typ = el.attrib.get("type", "int")
                 if typ not in _ATTR_TYPES:
                     raise XmlPipeError(f"unknown attr type {typ!r}")
@@ -112,11 +149,16 @@ def parse_docset(xml_text: str) -> dict:
                     )
 
     for el in root:
-        if el.tag == f"{_SPH}document":
+        if el.tag == f"{sph}document":
             if "id" not in el.attrib:
                 # src/sphinx.cpp:21478
                 raise XmlPipeError("attribute 'id' required in <sphinx:document>")
-            doc: dict = {"id": int(el.attrib["id"])}
+            did = _to_docid(el.attrib["id"])
+            if did == 0:
+                # sphToDocid of garbage/zero -> the reference warns
+                # "skipped, docid is 0" and drops the document
+                continue
+            doc: dict = {"id": did}
             # the reference's expat handler accumulates ALL character
             # data of an element (markup-bearing content keeps its
             # text), and repeated field elements concatenate rather
@@ -139,14 +181,14 @@ def parse_docset(xml_text: str) -> dict:
                     else defaults.get(name)
                 )
             docs.append(doc)
-        elif el.tag == f"{_SPH}killlist":
+        elif el.tag == f"{sph}killlist":
             for idel in el:
                 if idel.tag != "id":
                     # src/sphinx.cpp:21501
                     raise XmlPipeError(
                         "only 'id' is allowed inside <sphinx:killlist>"
                     )
-                kill.append(int(idel.text or "0"))
+                kill.append(_to_docid(idel.text or "0"))
 
     return {"fields": fields, "attrs": attrs, "documents": docs, "killlist": kill}
 

@@ -333,3 +333,115 @@ def test_embedding_ops_on_empty_input(spark):
     assert embedding_neardup_bucketed(empty).count() == 0
     with pytest.raises(ValueError, match="empty"):
         build_ann_index(empty, "/tmp/never_written_ann")
+
+
+# -------------------------------------- parser/ranker/expr review fixes
+
+
+def test_stray_operator_tokens_raise_not_hang():
+    """'foo/bar' (and any stray $/~// in atom position) used to spin
+    the parser forever — the reference's yacc parser fails with a
+    syntax error, and so must we."""
+    from sphinx_1_spark.functions.tokenizer import (
+        Tokenizer,
+        TokenizerSettings,
+    )
+    from sphinx_1_spark.plans.parser import QueryParseError, QueryParser
+
+    p = QueryParser(Tokenizer(TokenizerSettings()), ["text"])
+    for q in ["foo/bar", "$100", "hello~", "$", "~", "/", "a | /",
+              "a << /"]:
+        with pytest.raises(QueryParseError, match="syntax error"):
+            p.parse(q)
+    # legitimate operator syntax still parses
+    assert p.parse('"a b"~3').op == "proximity"
+    assert p.parse('"a b c"/2').op == "quorum"
+
+
+def test_matchany_counts_unique_qwords(spark):
+    """m_uQWords = hQwords.GetLength() (src/sphinx.cpp:13989): the
+    qwords hash collapses duplicates, so 'zee lord of zee rings'
+    contributes 4 to phraseK, not 5."""
+    import sphinx_1_spark.plans.engine as eng
+    from sphinx_1_spark.operators import ranker as rk
+
+    df = spark.createDataFrame(
+        [(1, "zee lord of zee rings")], "docid long, text string"
+    )
+    idx = SphinxIndex.build(df, IndexSettings(docid_col="docid"))
+    _plan, meta = idx.match("zee lord of zee rings")
+    assert meta["n_uwords"] == 4
+    assert len(meta["idf_by_qpos"]) == 5
+
+    seen = {}
+    orig = rk.make_matchany_rank
+
+    def spy(field_weights, n_qwords):
+        seen["n"] = n_qwords
+        return orig(field_weights, n_qwords)
+
+    rk.make_matchany_rank, saved = spy, rk.make_matchany_rank
+    try:
+        idx.search("zee lord of zee rings", ranker="matchany").collect()
+    finally:
+        rk.make_matchany_rank = saved
+    assert seen["n"] == 4
+
+
+def test_idiv_exact_above_2_53(spark):
+    """IDIV divides int64 exactly (sphinxexpr.cpp:242); the old
+    double route rounded 2^53+1 down before dividing."""
+    from sphinx_1_spark.functions.exprparse import parse_expression
+
+    big = (1 << 53) + 1
+    df = spark.createDataFrame([(1, big)], "docid long, v long")
+    col, t = parse_expression("IDIV(v, 1)", {"v": "bigint"})
+    assert t == "bigint"
+    assert df.select(col.alias("q")).first().q == big
+    # truncation toward zero like C++ (not floor)
+    df2 = spark.createDataFrame([(1, -7)], "docid long, v long")
+    col2, _ = parse_expression("IDIV(v, 2)", {"v": "bigint"})
+    assert df2.select(col2.alias("q")).first().q == -3
+
+
+def test_interval_reference_semantics(spark):
+    """INTERVAL compares in the WIDEST arg type and returns the FIRST
+    point exceeding the value (sphinxexpr.cpp:1030-1053, type dispatch
+    :1308-1330)."""
+    from sphinx_1_spark.functions.exprparse import parse_expression
+
+    df = spark.createDataFrame([(1, 3)], "docid long, v int")
+    # int attr vs float point: reference compares as float -> 3.0 < 3.5
+    col, _ = parse_expression("INTERVAL(v, 3.5)", {"v": "int"})
+    assert df.select(col.alias("q")).first().q == 0
+    # unsorted points: first-match (5 < 10 -> index 0), not last-match
+    col2, _ = parse_expression("INTERVAL(v, 10, 3)", {"v": "int"})
+    df5 = spark.createDataFrame([(1, 5)], "docid long, v int")
+    assert df5.select(col2.alias("q")).first().q == 0
+    # sorted points unchanged
+    col3, _ = parse_expression("INTERVAL(v, 2, 4, 9)", {"v": "int"})
+    assert df5.select(col3.alias("q")).first().q == 2
+
+
+def test_excerpt_zero_length_junk_between_adjacent_tokens():
+    """The reference's AddJunk appends a zero-length TOK_SPACE between
+    ADJACENT tokens (src/sphinxexcerpt.cpp:260-264 always calls it,
+    :185-191 always appends) — CJK ngram chars are adjacent tokens, so
+    the token stream must interleave the zero-length separators."""
+    from sphinx_1_spark.functions.tokenizer import (
+        Tokenizer,
+        TokenizerSettings,
+    )
+    from sphinx_1_spark.operators.excerpts import (
+        _parse_keywords,
+        _scan_tokens,
+    )
+
+    tk = Tokenizer(TokenizerSettings(ngram_chars="U+4E00..U+9FBF"))
+    kws = _parse_keywords("中", tk)
+    toks = _scan_tokens("中文分", tk, kws)
+    # WORD(1) SPACE(0) WORD(1) SPACE(0) WORD(1) NONE — the reference
+    # token stream for three adjacent ngram chars
+    assert [(t.type, t.length) for t in toks] == [
+        (1, 1), (2, 0), (1, 1), (2, 0), (1, 1), (0, 0),
+    ]
