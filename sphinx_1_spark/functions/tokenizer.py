@@ -390,18 +390,20 @@ class Tokenizer:
             cls[cjk] = 2
             # CJK chars fold through the ngram table's own remaps
             folded = np.where(cjk, self._ngram_fold[cps], folded)
-        # runs of equal nonzero class
+        # runs of equal nonzero class — boundary detection vectorized
+        # (the old per-codepoint while loop scanned every char in
+        # Python; this is O(runs))
         pieces: list[tuple[int, np.ndarray]] = []  # (cls, folded_run)
-        i = 0
         n = cps.size
-        while i < n:
-            c = cls[i]
-            j = i + 1
-            while j < n and cls[j] == c:
-                j += 1
-            if c != 0:
-                pieces.append((int(c), folded[i:j]))
-            i = j
+        if n:
+            starts = np.flatnonzero(
+                np.concatenate(([True], cls[1:] != cls[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [n]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                c = cls[s]
+                if c != 0:
+                    pieces.append((int(c), folded[s:e]))
         # expand CJK runs into 1-char tokens; ngram chars are
         # FLAG_CODEPOINT_SPECIAL (SetNgramChars, src/sphinx.cpp:4927-4929)
         # and a special is returned as a standalone token with NO

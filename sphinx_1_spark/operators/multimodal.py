@@ -97,6 +97,10 @@ def _png_ihdr(payload: bytes) -> tuple[int, int, int, int, int]:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     # first chunk must be IHDR: len(4) type(4) data(13)
+    if len(payload) < 29:
+        # keep the descriptive-ValueError contract for truncated files
+        # (struct.unpack below would raise struct.error otherwise)
+        raise ValueError("corrupt PNG (truncated before IHDR)")
     if payload[12:16] != b"IHDR":
         raise ValueError("not a PNG (missing IHDR)")
     w, h = struct.unpack(">II", payload[16:24])
@@ -431,9 +435,11 @@ def _pyav_frames(payload: bytes, n_frames: int) -> list[bytes]:
     import av
 
     if not payload:
-        # NULL/empty payload: no frames, like the fake path's empty
-        # slices — one missing video must not abort the whole job
-        # with av's raw InvalidDataError from deep inside a task
+        # NULL/empty payload: zero frames — one missing video must not
+        # abort the whole job with av's raw InvalidDataError from deep
+        # inside a task.  (The fake decoder instead emits n_frames
+        # empty slices for an empty payload; the oracle mirrors that,
+        # so the fake contract stays as-is.)
         return []
     try:
         container = av.open(io.BytesIO(payload))
@@ -577,6 +583,10 @@ def _wav_parse(payload: bytes):
         i += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("corrupt WAV (missing fmt/data chunk)")
+    if len(fmt) < 16:
+        # descriptive-ValueError contract: a truncated fmt chunk would
+        # otherwise surface as struct.error from the unpacks below
+        raise ValueError("corrupt WAV (fmt chunk shorter than 16 bytes)")
     audio_fmt, ch, rate = struct.unpack("<HHI", fmt[:8])
     bits = struct.unpack("<H", fmt[14:16])[0]
     if audio_fmt != 1 or bits not in (8, 16):
@@ -584,6 +594,10 @@ def _wav_parse(payload: bytes):
             f"unsupported WAV (format={audio_fmt}, bits={bits}) — "
             "plug torchaudio/ffmpeg into the registry for compressed audio"
         )
+    if rate == 0 or ch == 0:
+        # zero values here turn into ZeroDivisionError in the duration
+        # and per-sample math downstream
+        raise ValueError("corrupt WAV (zero sample rate or channel count)")
     return rate, ch, bits, data
 
 

@@ -588,19 +588,47 @@ def build_checkpoints(dictionary: DataFrame) -> DataFrame:
     Scale shape: a bare Window.orderBy would funnel the entire
     dictionary (∝ distinct terms — easily 10^8+ at web scale) through
     ONE task. Instead entries are bucketed by an order-preserving
-    pure function of wordid (top bits — crc32/FNV wordids are
-    uniform), ranked in parallel within buckets, and each bucket's
-    local ranks are shifted by the prefix sum of bucket counts (one
-    tiny collect). Bucket membership is a pure expression of the row,
-    so the count pass and the rank pass agree without persisting."""
+    pure function of wordid — equal-width cuts over the OBSERVED
+    [min, max] wordid range (one tiny agg), which adapts to both
+    32-bit crc32 ids and full-signed-range FNV id64 ids (a fixed
+    bit-shift would clamp every id64 wordid into the two edge buckets,
+    funneling the rank back into two giant tasks).  Entries are ranked
+    in parallel within buckets and each bucket's local ranks are
+    shifted by the prefix sum of bucket counts (one tiny collect).
+    Bucket membership is a pure expression of the row given the
+    min/max literals, so the count pass and the rank pass agree
+    without persisting.  double(long) is monotonic, so the bucket id
+    is non-decreasing in wordid even where the cast rounds."""
+    import math
+
     from pyspark.sql import Window
 
     n_buckets = 64
+    mm = dictionary.agg(
+        F.min("wordid").alias("lo"), F.max("wordid").alias("hi")
+    ).first()
+    if mm is None or mm["lo"] is None:
+        return dictionary.select(
+            F.lit(0).cast("int").alias("ckpt_id"), "wordid", "word"
+        ).limit(0)
+    lo_f = float(mm["lo"])
+    # strictly-greater upper bound so the max wordid lands inside the
+    # last bucket (width_bucket's range is half-open [min, max))
+    hi_f = math.nextafter(max(float(mm["hi"]), lo_f), math.inf)
     bucket = (
         F.least(
             F.lit(n_buckets - 1),
             F.greatest(
-                F.lit(0), F.shiftright(F.col("wordid").cast("long"), 26)
+                F.lit(0),
+                (
+                    F.width_bucket(
+                        F.col("wordid").cast("double"),
+                        F.lit(lo_f),
+                        F.lit(hi_f),
+                        F.lit(n_buckets),
+                    )
+                    - 1
+                ).cast("int"),
             ),
         )
     ).cast("int")

@@ -52,10 +52,14 @@ def assign_docids(pages: DataFrame, mode: str = "fingerprint") -> DataFrame:
         w = Window.orderBy("url")
         return pages.withColumn("docid", F.dense_rank().over(w).cast("long"))
     if mode == "fingerprint":
-        # 63-bit positive hash; docid 0 remapped (reserved)
+        # 63-bit positive hash; docid 0 remapped (reserved), and <= 0
+        # rather than == 0 because abs(Long.MIN_VALUE) is still
+        # MIN_VALUE under non-ANSI wrap semantics — a 2^-64 per-url
+        # case, but a negative docid would break the sign-bijection
+        # contract everywhere downstream
         h = F.abs(F.xxhash64(F.col("url")))
         return pages.withColumn(
-            "docid", F.when(h == 0, F.lit(1)).otherwise(h).cast("long")
+            "docid", F.when(h <= 0, F.lit(1)).otherwise(h).cast("long")
         )
     raise ValueError(f"unknown docid mode {mode!r}")
 

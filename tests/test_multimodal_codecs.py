@@ -93,6 +93,29 @@ def test_png_meta_and_bad_signature():
         mm._png_decode_meta(b"JFIF not a png")
 
 
+def test_corrupt_containers_raise_valueerror_not_struct_error():
+    # the codecs promise descriptive ValueErrors on bad input; truncated
+    # or zero-field containers must not leak struct.error /
+    # ZeroDivisionError out of an executor task
+    with pytest.raises(ValueError, match="truncated"):
+        mm._png_decode_meta(mm._PNG_SIG + b"\x00\x00\x00\x0dIHD")
+    import struct
+
+    def wav(fmt_body: bytes) -> bytes:
+        chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    with pytest.raises(ValueError, match="fmt chunk"):
+        mm._wav_parse(wav(b"\x01\x00\x01\x00"))  # 4-byte fmt chunk
+    zero_rate = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    with pytest.raises(ValueError, match="zero sample rate"):
+        mm._wav_parse(wav(zero_rate))
+    zero_ch = struct.pack("<HHIIHH", 1, 0, 44100, 88200, 2, 16)
+    with pytest.raises(ValueError, match="zero sample rate or channel"):
+        mm._wav_parse(wav(zero_ch))
+
+
 # -------------------------------------------------------- spark operators
 
 

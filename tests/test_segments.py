@@ -87,6 +87,37 @@ def test_dictionary_and_checkpoints(spark, built_segments):
     assert ck.where(F.col("ckpt_id") == 0).count() == 1
 
 
+def test_checkpoints_id64_full_range(spark):
+    # FNV64 wordids span the full SIGNED int64 range; the checkpoint
+    # bucketing must adapt to the observed range (a fixed bit-shift
+    # clamps every id64 wordid into the two edge buckets, funneling
+    # the whole rank into two tasks) and still reproduce the exact
+    # every-1024th-entry-in-(wordid, word)-order contract.
+    from sphinx_1_spark.functions.wordid import fnv64_word
+    from sphinx_1_spark.operators.segments import (
+        WORDLIST_CHECKPOINT,
+        build_checkpoints,
+    )
+
+    words = [f"w{i:05d}" for i in range(2600)]
+    rows = [(fnv64_word(w) - (1 << 64) if fnv64_word(w) >= (1 << 63) else fnv64_word(w), w) for w in words]
+    d = spark.createDataFrame(rows, "wordid long, word string")
+    got = sorted(
+        (r["ckpt_id"], r["wordid"], r["word"])
+        for r in build_checkpoints(d).collect()
+    )
+    ordered = sorted(rows)
+    want = [
+        (i // WORDLIST_CHECKPOINT, wid, w)
+        for i, (wid, w) in enumerate(ordered)
+        if i % WORDLIST_CHECKPOINT == 0
+    ]
+    assert got == want
+    # ids really do cover both sign halves (the degenerate clamp would
+    # still pass the parity check above on a single-task plan)
+    assert min(r[0] for r in rows) < 0 < max(r[0] for r in rows)
+
+
 def test_manifest_and_resume(spark, built_segments, tmp_path):
     segs, _, _ = built_segments
     from sphinx_1_spark.plans.segment_index import (
