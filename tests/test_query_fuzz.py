@@ -125,3 +125,162 @@ def test_random_query_composition_matches_naive_eval(fuzz_corpus):
         )
     # the generator actually exercised every operator in the grammar
     assert {"term", "phrase", "quorum", "and", "or", "andnot"} <= seen_ops
+
+
+# ------------------------------------------------------------------
+# field-operator composition: @field / @(f1,f2) / @field[N] limits plus
+# ^start / end$ anchors over a TWO-field corpus, composed with the same
+# boolean operators.  The oracle evaluates the parse tree over the
+# exact indexed hit stream (Tokenizer.hits_for_doc), qualifying hits at
+# LEAF nodes with the leaf's own (fields_mask, max_field_pos) — the
+# reference shape: ExtTermPos_c per-hit checks (src/sphinx.cpp:
+# 12115-12143, pos<=N inclusive), with parent specs pushed into
+# spec-less children at parse time (XQNode_t::SetFieldSpec).
+
+FIELDS = ("title", "body")
+
+
+@pytest.fixture(scope="module")
+def field_fuzz_corpus(spark):
+    from sphinx_1_spark.functions.tokenizer import (
+        HIT_FIELD_END,
+        POS_MASK,
+        Tokenizer,
+        TokenizerSettings,
+    )
+
+    rng = random.Random(20260819)
+    rows = [
+        (
+            did,
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(2, 5))),
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(3, 10))),
+        )
+        for did in range(1, 81)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    idx = SphinxIndex.build(
+        docs, IndexSettings(docid_col="doc_id", fields=FIELDS)
+    ).persist()
+    tok = Tokenizer(TokenizerSettings())
+    # (word, field, in_field_pos, at_field_end) per hit — decoded from
+    # the same packed stream the index stores
+    hits = {
+        did: [
+            (w, p >> 24, p & POS_MASK, bool(p & HIT_FIELD_END))
+            for w, p in tok.hits_for_doc([title, body])
+        ]
+        for did, title, body in rows
+    }
+    return idx, hits
+
+
+def _gen_field_query(rng: random.Random, depth: int = 0) -> str:
+    r = rng.random()
+    if depth >= 2 or r < 0.5:
+        a = rng.random()
+        w = rng.choice(VOCAB)
+        if a < 0.30:
+            spec = rng.choice(("@title", "@body", "@(title,body)"))
+            return f"{spec} {w}"
+        if a < 0.42:
+            spec = rng.choice(("@title", "@body"))
+            return f"{spec}[{rng.randint(1, 6)}] {w}"
+        if a < 0.55:
+            return rng.choice((f"^{w}", f"{w}$"))
+        if a < 0.75:
+            k = rng.randint(2, 3)
+            words = " ".join(rng.choice(VOCAB) for _ in range(k))
+            pre = rng.choice(("", "@title ", "@body "))
+            return f'{pre}"{words}"'
+        pre = rng.choice(("", "@(title,body) "))
+        return pre + '"' + " ".join(rng.sample(VOCAB, 3)) + '"/2'
+    if r < 0.7:
+        return f"{_gen_field_query(rng, depth + 1)} {_gen_field_query(rng, depth + 1)}"
+    if r < 0.88:
+        return f"{_gen_field_query(rng, depth + 1)} | {_gen_field_query(rng, depth + 1)}"
+    return f"{_gen_field_query(rng, depth + 1)} -{rng.choice(VOCAB)}"
+
+
+def _leaf_hits(node, hits):
+    mask, maxp = node.fields_mask, node.max_field_pos
+    return [
+        h
+        for h in hits
+        if ((mask >> h[1]) & 1) and (maxp == 0 or h[2] <= maxp)
+    ]
+
+
+def _eval_fields(node, hits) -> bool:
+    op = node.op
+    if op == "term":
+        qw = node.words[0]
+        return any(
+            t == qw.word
+            and (not qw.field_start or p == 1)
+            and (not qw.field_end or at_end)
+            for t, _f, p, at_end in _leaf_hits(node, hits)
+        )
+    if op == "phrase":
+        posmap: dict[str, set[tuple[int, int]]] = {}
+        for t, f, p, _e in _leaf_hits(node, hits):
+            posmap.setdefault(t, set()).add((f, p))
+        qws = node.words
+        base = qws[0].querypos
+        return any(
+            all(
+                (f, p + qw.querypos - base) in posmap.get(qw.word, ())
+                for qw in qws[1:]
+            )
+            for f, p in posmap.get(qws[0].word, ())
+        )
+    if op == "quorum":
+        present = {t for t, _f, _p, _e in _leaf_hits(node, hits)}
+        return (
+            sum(1 for qw in node.words if qw.word in present)
+            >= node.max_distance
+        )
+    if op == "and":
+        return all(_eval_fields(c, hits) for c in node.children)
+    if op == "or":
+        return any(_eval_fields(c, hits) for c in node.children)
+    if op == "andnot":
+        return _eval_fields(node.children[0], hits) and not _eval_fields(
+            node.children[1], hits
+        )
+    if op == "empty":
+        return False
+    raise AssertionError(f"field-fuzz grammar produced unexpected op {op!r}")
+
+
+def test_random_field_ops_match_naive_eval(field_fuzz_corpus):
+    from sphinx_1_spark.plans.parser import ALL_FIELDS
+
+    idx, hits = field_fuzz_corpus
+    rng = random.Random(4242)
+    saw_mask = saw_limit = saw_anchor = False
+    for i in range(120):
+        q = _gen_field_query(rng)
+        tree = idx.parse(q, "extended2")
+
+        def walk(n):
+            nonlocal saw_mask, saw_limit, saw_anchor
+            if n.fields_mask != ALL_FIELDS:
+                saw_mask = True
+            if n.max_field_pos:
+                saw_limit = True
+            if any(w.field_start or w.field_end for w in n.words):
+                saw_anchor = True
+            for c in n.children:
+                walk(c)
+
+        walk(tree)
+        expected = {d for d, hh in hits.items() if _eval_fields(tree, hh)}
+        plan, _meta = idx.match(q)
+        got = {r.docid for r in plan.select("docid").collect()}
+        assert got == expected, (
+            f"query {i}: {q!r}\n"
+            f"engine-only: {sorted(got - expected)[:5]}\n"
+            f"naive-only: {sorted(expected - got)[:5]}"
+        )
+    assert saw_mask and saw_limit and saw_anchor
