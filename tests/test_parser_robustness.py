@@ -116,6 +116,57 @@ def _gen_expr_soup(rng: random.Random) -> str:
     return " ".join(rng.choice(_EXPR_FRAGMENTS) for _ in range(n))
 
 
+_SQL_FRAGMENTS = (
+    ["SELECT", "FROM", "WHERE", "MATCH", "ORDER", "BY", "GROUP",
+     "WITHIN", "LIMIT", "OPTION", "ASC", "DESC", "AND", "BETWEEN",
+     "IN", "AS", "SHOW", "META", "STATUS", "WARNINGS",
+     "documents", "idx", "@id", "@weight", "@count", "*", "a", "b",
+     "1", "10", "3.5", "'table scan'", "'unterminated", "ranker=bm25",
+     "max_matches=50", "count(*)", "sum(a)", "min(", ")"]
+    + list(",()=<>!;")
+)
+
+
+def _gen_sql_soup(rng: random.Random) -> str:
+    if rng.random() < 0.35:
+        # well-formed skeleton with randomized pieces
+        sel = rng.choice(("*", "@id, @weight", "a, count(*)"))
+        tail = rng.choice(
+            (
+                "",
+                " ORDER BY @weight DESC, @id ASC",
+                " GROUP BY a",
+                " LIMIT 5",
+                " LIMIT 2, 8",
+                " OPTION ranker=bm25",
+            )
+        )
+        where = rng.choice(
+            ("", " WHERE MATCH('table')", " WHERE a > 3", " WHERE a IN (1,2)")
+        )
+        return f"SELECT {sel} FROM documents{where}{tail}"
+    n = rng.randint(1, 10)
+    return " ".join(rng.choice(_SQL_FRAGMENTS) for _ in range(n))
+
+
+def test_sphinxql_parser_never_hangs_or_leaks():
+    from sphinx_1_spark.plans.sphinxql import SphinxQLError, parse_select
+
+    rng = random.Random(31337)
+    parsed = errored = 0
+    for i in range(400):
+        sql = _gen_sql_soup(rng)
+        with _Deadline(10.0):
+            try:
+                parse_select(sql)
+                parsed += 1
+            except SphinxQLError:
+                errored += 1
+            except Exception as e:  # pragma: no cover - failure path
+                pytest.fail(f"input {i} {sql!r}: leaked {type(e).__name__}: {e}")
+    assert parsed > 20 and errored > 20, (parsed, errored)
+
+
 def test_expr_parser_never_hangs_or_leaks(spark):
     from sphinx_1_spark.functions.exprparse import (
         ExprParseError,
