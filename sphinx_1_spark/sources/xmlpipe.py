@@ -135,11 +135,18 @@ def parse_docset(xml_text: str) -> dict:
     if schema is not None:
         for el in schema:
             if el.tag == f"{sph}field":
+                if "name" not in el.attrib:
+                    # the reference's schema parse errors on a missing
+                    # name (src/sphinx.cpp:21391+); keep the module's
+                    # typed-error contract instead of a KeyError
+                    raise XmlPipeError("<sphinx:field> requires a 'name'")
                 fields.append(el.attrib["name"])
             elif el.tag == f"{sph}attr":
                 typ = el.attrib.get("type", "int")
                 if typ not in _ATTR_TYPES:
                     raise XmlPipeError(f"unknown attr type {typ!r}")
+                if "name" not in el.attrib:
+                    raise XmlPipeError("<sphinx:attr> requires a 'name'")
                 attrs.append((el.attrib["name"], typ))
                 if "default" in el.attrib:
                     # schema-declared default for absent attr elements

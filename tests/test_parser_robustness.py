@@ -167,6 +167,57 @@ def test_sphinxql_parser_never_hangs_or_leaks():
     assert parsed > 20 and errored > 20, (parsed, errored)
 
 
+_XML_FRAGMENTS = (
+    ['<?xml version="1.0"?>', "<sphinx:docset>", "</sphinx:docset>",
+     "<sphinx:schema>", "</sphinx:schema>",
+     '<sphinx:field name="title"/>', "<sphinx:field/>",
+     '<sphinx:attr name="ts" type="timestamp"/>',
+     '<sphinx:attr type="int"/>', '<sphinx:attr name="x" type="nope"/>',
+     '<sphinx:document id="7">', '<sphinx:document id="abc">',
+     "<sphinx:document>", "</sphinx:document>",
+     "<title>hello</title>", "<title>a<b>nested</b>c</title>",
+     "<sphinx:killlist>", "</sphinx:killlist>", "<id>4</id>",
+     "<nope>5</nope>", "&", "<", ">", "plain text", "<!-- c -->",
+     '<sphinx:document id="18446744073709551615"></sphinx:document>']
+)
+
+
+def _gen_xml_soup(rng: random.Random) -> str:
+    if rng.random() < 0.3:
+        # well-formed docset with randomized schema/doc pieces
+        return (
+            "<sphinx:docset><sphinx:schema>"
+            '<sphinx:field name="title"/>'
+            '<sphinx:attr name="ts" type="timestamp"/>'
+            "</sphinx:schema>"
+            f'<sphinx:document id="{rng.randint(0, 2**64)}">'
+            f"<title>doc {rng.randint(0, 99)}</title><ts>{rng.randint(-5, 10**12)}</ts>"
+            "</sphinx:document>"
+            "<sphinx:killlist><id>4</id></sphinx:killlist>"
+            "</sphinx:docset>"
+        )
+    n = rng.randint(1, 10)
+    return "".join(rng.choice(_XML_FRAGMENTS) for _ in range(n))
+
+
+def test_xmlpipe_parser_never_hangs_or_leaks():
+    from sphinx_1_spark.sources.xmlpipe import XmlPipeError, parse_docset
+
+    rng = random.Random(808)
+    parsed = errored = 0
+    for i in range(400):
+        xml = _gen_xml_soup(rng)
+        with _Deadline(10.0):
+            try:
+                parse_docset(xml)
+                parsed += 1
+            except XmlPipeError:
+                errored += 1
+            except Exception as e:  # pragma: no cover - failure path
+                pytest.fail(f"input {i} {xml!r}: leaked {type(e).__name__}: {e}")
+    assert parsed > 20 and errored > 20, (parsed, errored)
+
+
 def test_expr_parser_never_hangs_or_leaks(spark):
     from sphinx_1_spark.functions.exprparse import (
         ExprParseError,
