@@ -184,7 +184,6 @@ class ChineseTokenizer:
         (getBestWordLength, src/sphinx.cpp:4418-4627)."""
         f32 = np.float32
         d = self.dict
-        n_total = len(data)
         A = d.prefix_search(data, pos, 64)
         chunks: list[tuple[int, tuple, tuple, tuple]] = []  # (nwords, lens, freqs, chars)
         for la, fa in A:

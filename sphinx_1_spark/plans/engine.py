@@ -69,6 +69,17 @@ class IndexSettings:
     prefix_fields: tuple[str, ...] = ()
     infix_fields: tuple[str, ...] = ()
 
+    def __post_init__(self):
+        # SPH_MAX_FIELDS=32 (src/sphinx.h:147), enforced like the
+        # reference's source setup (src/sphinx.cpp:19238-19240) — the
+        # packed hit format (field<<24) and the 32-bit query field
+        # mask (ALL_FIELDS=0xFFFFFFFF) both assume field ids < 32, so
+        # a larger schema must fail loudly, not corrupt masks.
+        if len(self.fields) > 32:
+            raise ValueError(
+                f"too many fields (fields={len(self.fields)}, max=32)"
+            )
+
     def wordparts(self) -> list[str]:
         """Per-field expansion kind (SPH_WORDPART, src/sphinx.h:
         789-792): prefix/infix iff the matching min len is set AND the

@@ -181,3 +181,17 @@ def test_fnv64_index_matches_crc32(spark):
         (F.col("wordid") > F.lit(1 << 32)) | (F.col("wordid") < 0)
     ).count()
     assert wide > 0  # ids occupy the 64-bit space, not CRC32's 32
+
+
+def test_too_many_fields_rejected():
+    # SPH_MAX_FIELDS=32 (src/sphinx.h:147): the reference's source
+    # setup errors (src/sphinx.cpp:19238-19240); field ids >= 32 would
+    # silently escape the 32-bit query field mask and the field<<24
+    # hit packing, so the schema must fail at construction
+    import pytest
+
+    from sphinx_1_spark import IndexSettings
+
+    IndexSettings(fields=tuple(f"f{i}" for i in range(32)))  # at cap: ok
+    with pytest.raises(ValueError, match=r"too many fields \(fields=33, max=32\)"):
+        IndexSettings(fields=tuple(f"f{i}" for i in range(33)))
