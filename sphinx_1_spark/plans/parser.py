@@ -519,8 +519,15 @@ class QueryParser:
             norm, raw, pos, display = val
         if exact:
             # exact-form term: raw (pre-morphology) word id with the
-            # nonstemmed marker (CSphDictExact, src/sphinx.cpp:10780);
-            # no stopword filter on the normalized form here
+            # nonstemmed marker (CSphDictExact, src/sphinx.cpp:10780).
+            # The stopword filter runs on the RAW form, not the
+            # normalized one (GetWordIDNonStemmed checks CRC(raw)
+            # against the stop list, src/sphinx.cpp:17047-17053,
+            # returning wordid 0) — so a stopword exact term sweeps to
+            # a null node at parse time exactly like a plain stopword
+            # ('foo =the' degrades to 'foo', not to match-nothing)
+            if raw in self.tokenizer.settings.stopwords:
+                return None
             word = display = "=" + raw
         elif norm is None:
             return None  # stopword keyword -> null node (SweepNulls)
@@ -545,6 +552,8 @@ class QueryParser:
     def _phrase(self):
         self._lex.next()  # consume opening quote
         words: list[QWord] = []
+        stops = self.tokenizer.settings.stopwords
+        exact_ok = self.tokenizer.settings.index_exact_words
         while True:
             kind, val = self._lex.peek()
             if kind is None:
@@ -552,24 +561,64 @@ class QueryParser:
             if kind == '"':
                 self._lex.next()
                 break
+            # the full keyword rule applies INSIDE phrases (phrasetoken
+            # -> keyword, src/sphinxquery.y:59-60): ^word / word$
+            # anchors attach to individual phrase words, and '=' exact
+            # form works because the reference folds '=' into the query
+            # charset when index_exact_words=1 (SetupExactDict,
+            # src/sphinx.cpp:16062) so '=word' reaches CSphDictExact as
+            # one keyword token wherever it appears
+            exact = False
+            field_start = False
+            if kind == "=":
+                self._lex.next()
+                exact = exact_ok
+                kind, val = self._lex.peek()
+            if kind == "^":
+                self._lex.next()
+                field_start = True
+                kind, val = self._lex.peek()
             if kind == "WORD":
                 self._lex.next()
-                norm, _raw, pos, display = val
-                if norm is not None:
-                    if self.tokenizer.settings.index_exact_words:
-                        # CSphDictExact stems a copy; stats key stays
-                        # the raw form (see _keyword)
-                        display = _raw
-                    words.append(QWord(norm, pos, display=display or norm))
+                norm, raw, pos, display = val
             elif kind == "NUM":
                 self._lex.next()
                 _n, kw = val
-                if kw is not None and kw[0] is not None:
-                    words.append(
-                        QWord(kw[0], kw[2], display=kw[3] or kw[0])
-                    )
+                if kw is None:
+                    continue
+                norm, raw, pos, display = kw
             else:
-                # phrasetoken rules: operators inside quotes are ignored
+                # phrasetoken rules: remaining operators inside quotes
+                # are ignored (src/sphinxquery.y:61-66); a dangling
+                # '='/'^' before one drops with it
+                self._lex.next()
+                continue
+            if exact:
+                # stop check on the RAW form (GetWordIDNonStemmed,
+                # src/sphinx.cpp:17047-17053): a stopword exact term is
+                # wordid 0 — a position gap, like any stopword
+                if raw in stops:
+                    w = None
+                else:
+                    w = QWord("=" + raw, pos, exact=True, display="=" + raw)
+            elif norm is not None:
+                if exact_ok:
+                    # CSphDictExact stems a copy; stats key stays the
+                    # raw form (see _keyword)
+                    display = raw
+                w = QWord(norm, pos, display=display or norm)
+            else:
+                w = None  # stopword keyword -> position gap
+            if w is not None:
+                w.field_start = field_start
+                if self._lex.peek()[0] == "$":
+                    self._lex.next()
+                    w.field_end = True
+                words.append(w)
+            elif self._lex.peek()[0] == "$":
+                # '$' trailing a swept stopword: consumed, attaches
+                # nowhere (the reference's grammar attaches it to the
+                # NULL keyword node, which SweepNulls then drops)
                 self._lex.next()
         # optional ~N (proximity) or /N (quorum); the count is lexed
         # raw (digit pre-scan), never through the tokenizer

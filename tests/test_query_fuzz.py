@@ -210,9 +210,16 @@ def _gen_field_query(rng: random.Random, depth: int = 0) -> str:
             return rng.choice((f"^{w}", f"{w}$"))
         if a < 0.75:
             k = rng.randint(2, 3)
-            words = " ".join(rng.choice(VOCAB) for _ in range(k))
+            ws = [rng.choice(VOCAB) for _ in range(k)]
+            # anchors attach to individual phrase words too
+            # (phrasetoken -> keyword, src/sphinxquery.y:52-66)
+            anchor = rng.random()
+            if anchor < 0.2:
+                ws[0] = "^" + ws[0]
+            elif anchor < 0.4:
+                ws[-1] = ws[-1] + "$"
             pre = rng.choice(("", "@title ", "@body "))
-            return f'{pre}"{words}"'
+            return f'{pre}"{" ".join(ws)}"'
         pre = rng.choice(("", "@(title,body) "))
         return pre + '"' + " ".join(rng.sample(VOCAB, 3)) + '"/2'
     if r < 0.7:
@@ -243,15 +250,26 @@ def _eval_fields(node, hits) -> bool:
         )
     if op == "phrase":
         posmap: dict[str, set[tuple[int, int]]] = {}
-        for t, f, p, _e in _leaf_hits(node, hits):
+        endset: dict[str, set[tuple[int, int]]] = {}
+        for t, f, p, e in _leaf_hits(node, hits):
             posmap.setdefault(t, set()).add((f, p))
+            if e:
+                endset.setdefault(t, set()).add((f, p))
         qws = node.words
         base = qws[0].querypos
+
+        def ok(qw, f, p):
+            if (f, p) not in posmap.get(qw.word, ()):
+                return False
+            if qw.field_start and p != 1:
+                return False
+            if qw.field_end and (f, p) not in endset.get(qw.word, ()):
+                return False
+            return True
+
         return any(
-            all(
-                (f, p + qw.querypos - base) in posmap.get(qw.word, ())
-                for qw in qws[1:]
-            )
+            ok(qws[0], f, p)
+            and all(ok(qw, f, p + qw.querypos - base) for qw in qws[1:])
             for f, p in posmap.get(qws[0].word, ())
         )
     if op == "quorum":
