@@ -1,0 +1,259 @@
+"""Weight-differential fuzz: random boolean queries over a random
+two-field corpus, engine weights vs a pure-Python oracle porting the
+reference scoring model directly.
+
+The fixed-query LCS oracle (test_lcs_oracle.py) pins the scoring loop
+on five single-field queries; the match fuzzes pin SETS only.  Nothing
+fuzzes WEIGHTS compositionally — across nested AND/OR, negation,
+multiple fields, and non-default field weights (the BindWeights
+padding rule, src/sphinx.cpp:14574-14595, regressed once already).
+
+Oracle model (all reference-cited):
+  idf      = log((N-df+1)/df) / (2*q*log(1+N)), q = #distinct query
+             words INCLUDING negated ones (GetQwords walks the whole
+             tree), 0 when df == 0           (src/sphinx.cpp:14662)
+  term     tfidf = tf/(tf+1.2)*idf, tf summed across fields; hits at
+             lcspos = field<<24 | pos (FIELD_END bit dropped, HIT2LCS
+             src/sphinx.cpp:238), spanlen = weight = 1
+  and/or   tfidf summed over MATCHING children (ExtAnd :12410 /
+             ExtOr :12572), hit streams merged by (lcspos, querypos),
+             fieldmask OR'd; andnot takes the left side (:12721)
+  bm25part = int((tfidf + 0.5) * 1000)        (src/sphinx.cpp:13972)
+  proximity_bm25: + 1000 * sum_f lcs_f^2 * w_f over the per-field
+             delta-chain LCS (GetMatches loop, src/sphinx.cpp:14084)
+  bm25:    + 1000 * sum_f matched_f * w_f     (src/sphinx.cpp:14106)
+  order    weight desc, docid asc (MatchRelevanceLt,
+             src/sphinxsort.cpp:1159)
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from sphinx_1_spark import IndexSettings, SphinxIndex
+
+VOCAB = (
+    "spark index query table merge sort scan shuffle join filter "
+    "token stream batch block delta crawl page host rank score "
+    "cache disk "
+).split()
+
+N_DOCS = 80
+N_FIELDS = 2
+
+
+def _make_docs(rng):
+    # Zipf-ish: early vocab words are common, tail words rare — gives
+    # the idf spread and repeated-term tf>1 cases real corpora have
+    weights = [1.0 / (i + 1) for i in range(len(VOCAB))]
+    rows = []
+    for did in range(1, N_DOCS + 1):
+        fields = tuple(
+            " ".join(
+                rng.choices(VOCAB, weights=weights, k=rng.randint(2, 9))
+            )
+            for _ in range(N_FIELDS)
+        )
+        rows.append((did, *fields))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def weight_corpus(spark):
+    rng = random.Random(20260819)
+    rows = _make_docs(rng)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, title string, body string"
+    )
+    idx = SphinxIndex.build(
+        docs,
+        IndexSettings(docid_col="doc_id", fields=("title", "body")),
+    ).persist()
+    # token positions: per doc, per word -> [(field, pos1based), ...]
+    positions = {}
+    for did, *fields in rows:
+        occ: dict[str, list[int]] = {}
+        for f, text in enumerate(fields):
+            for p, tok in enumerate(text.split(), start=1):
+                occ.setdefault(tok, []).append((f << 24) | p)
+        positions[did] = occ
+    return idx, positions
+
+
+# ---------------------------------------------------------------- query gen
+# tree: ("term", word) | ("and"|"or", [children]) | ("andnot", tree, word)
+
+
+def _gen_tree(rng, pool, depth=0):
+    if depth >= 2 or rng.random() < 0.4 or len(pool) < 2:
+        return ("term", pool.pop())
+    n = rng.randint(2, min(3, len(pool)))
+    kids = []
+    for _ in range(n):
+        if not pool:
+            break
+        kids.append(_gen_tree(rng, pool, depth + 1))
+    if len(kids) == 1:
+        return kids[0]
+    return (rng.choice(("and", "or")), kids)
+
+
+def _gen_query(rng):
+    pool = rng.sample(VOCAB, rng.randint(2, 6))
+    tree = _gen_tree(rng, pool)
+    if pool and rng.random() < 0.3:
+        tree = ("andnot", tree, pool.pop())
+    return tree
+
+
+def _to_str(tree):
+    op = tree[0]
+    if op == "term":
+        return tree[1]
+    if op == "andnot":
+        return f"{_to_str(tree[1])} -{tree[2]}"
+    # parenthesize composite children so the string parse is exactly
+    # this tree regardless of the grammar's AND/OR precedence
+    parts = [
+        p if c[0] == "term" else f"({p})"
+        for c, p in ((c, _to_str(c)) for c in tree[1])
+    ]
+    return " ".join(parts) if op == "and" else "(" + " | ".join(parts) + ")"
+
+
+def _words_in_order(tree, out):
+    op = tree[0]
+    if op == "term":
+        out.append(tree[1])
+    elif op == "andnot":
+        _words_in_order(tree[1], out)
+        out.append(tree[2])
+    else:
+        for c in tree[1]:
+            _words_in_order(c, out)
+    return out
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def _eval(tree, occ, qpos_iter, idf):
+    """-> (matched, tfidf, hits[(lcspos, qpos)], fieldmask)."""
+    op = tree[0]
+    if op == "term":
+        w = tree[1]
+        qp = next(qpos_iter)
+        pos = occ.get(w, [])
+        if not pos:
+            return False, 0.0, [], 0
+        tf = len(pos)
+        tfidf = tf / (tf + 1.2) * idf[w]
+        mask = 0
+        for lp in pos:
+            mask |= 1 << (lp >> 24)
+        return True, tfidf, [(lp, qp) for lp in pos], mask
+    if op == "andnot":
+        m, t, h, fm = _eval(tree[1], occ, qpos_iter, idf)
+        neg = tree[2]
+        next(qpos_iter)  # negated word consumes its querypos
+        if occ.get(neg):
+            return False, 0.0, [], 0
+        return m, t, h, fm
+    results = [_eval(c, occ, qpos_iter, idf) for c in tree[1]]
+    if op == "and":
+        ok = all(r[0] for r in results)
+    else:
+        ok = any(r[0] for r in results)
+    if not ok:
+        return False, 0.0, [], 0
+    tfidf = sum(r[1] for r in results)
+    hits = sorted(h for r in results for h in r[2])
+    mask = 0
+    for r in results:
+        mask |= r[3]
+    return True, tfidf, hits, mask
+
+
+def _lcs_rank(hits, wts):
+    lcs = [0] * len(wts)
+    curlcs = 0
+    expdelta = None
+    for lcspos, qpos in hits:
+        delta = lcspos - qpos
+        curlcs = (curlcs + 1) if delta == expdelta else 1
+        f = lcspos >> 24
+        if curlcs > lcs[f]:
+            lcs[f] = curlcs
+        expdelta = delta  # + spanlen(1) - 1
+    return sum(l * l * w for l, w in zip(lcs, wts))
+
+
+def _oracle(tree, positions, ranker, wts):
+    words = _words_in_order(tree, [])
+    distinct = list(dict.fromkeys(words))
+    q = len(distinct)
+    n = N_DOCS
+    df = {
+        w: sum(1 for occ in positions.values() if occ.get(w))
+        for w in distinct
+    }
+    idf = {
+        w: (
+            0.0
+            if df[w] == 0
+            else math.log((n - df[w] + 1) / df[w]) / (2 * q * math.log(1 + n))
+        )
+        for w in distinct
+    }
+    out = []
+    for did, occ in positions.items():
+        matched, tfidf, hits, mask = _eval(tree, occ, iter(range(1, len(words) + 1)), idf)
+        if not matched:
+            continue
+        bm25part = int((tfidf + 0.5) * 1000)
+        if ranker == "proximity_bm25":
+            rank = _lcs_rank(sorted(hits), wts)
+        else:  # bm25
+            rank = sum(w for f, w in enumerate(wts) if mask >> f & 1)
+        out.append((bm25part + 1000 * rank, did))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return out
+
+
+# ---------------------------------------------------------------- the fuzz
+
+
+def test_random_query_weights_match_scoring_oracle(weight_corpus):
+    idx, positions = weight_corpus
+    rng = random.Random(2468)
+    n_nontrivial = 0
+    for i in range(80):
+        tree = _gen_query(rng)
+        qstr = _to_str(tree)
+        ranker = rng.choice(("proximity_bm25", "proximity_bm25", "bm25"))
+        # None exercises the BindWeights default; short lists exercise
+        # the pad-to-1 rule; full lists the plain path
+        wts_arg = rng.choice((None, [rng.randint(1, 5)],
+                              [rng.randint(1, 5), rng.randint(1, 5)]))
+        wts = list(wts_arg or [])[:N_FIELDS]
+        wts += [1] * (N_FIELDS - len(wts))
+        wts = [max(1, w) for w in wts]
+
+        want = _oracle(tree, positions, ranker, wts)
+        got = [
+            (r["weight"], r["docid"])
+            for r in idx.search(
+                qstr, ranker=ranker, limit=1000, field_weights=wts_arg
+            ).collect()
+        ]
+        assert got == want, (
+            f"query {i}: {qstr!r} ranker={ranker} wts={wts_arg}\n"
+            f"engine[:6]: {got[:6]}\noracle[:6]: {want[:6]}"
+        )
+        if len(want) > 2:
+            n_nontrivial += 1
+    # the generator must actually produce discriminating result lists
+    assert n_nontrivial >= 30
