@@ -348,13 +348,22 @@ def _compile_phrase(node: XQNode, ctx: CompileContext) -> DataFrame:
 
 def _compile_quorum(node: XQNode, ctx: CompileContext) -> DataFrame:
     """>= threshold distinct words present (duplicate query words count
-    once: ExtQuorum ctor masks dup wordids, src/sphinx.cpp:13395-13407)."""
-    seen: set[str] = set()
+    once: ExtQuorum ctor masks dup wordids out of the THRESHOLD only,
+    src/sphinx.cpp:13395-13407).  Duplicate children still exist in the
+    reference and still emit their hits (GetHitsChunk walks ALL
+    children, :13524) with their own querypos — '"a a b"/2' on doc
+    'a b' chains (1,q2)->(2,q3) to LCS 2, which a full word dedup would
+    lose (and their tfidf, which is 0 anyway: dup terms carry idf 0,
+    src/sphinx.cpp:11977-11981).  So: one term frame per DISTINCT word
+    for counting/tfidf, one hits projection per ORIGINAL word."""
+    seen: dict[str, int] = {}
     words = []
+    dup_map: list[tuple[int, int]] = []  # (frame index, querypos)
     for w in node.words:
         if w.word not in seen:
-            seen.add(w.word)
+            seen[w.word] = len(words)
             words.append(w)
+        dup_map.append((seen[w.word], w.querypos))
     sub = XQNode(
         "quorum",
         words=words,
@@ -380,9 +389,25 @@ def _compile_quorum(node: XQNode, ctx: CompileContext) -> DataFrame:
         _concat_tfs(n).alias("tfs"),
     ]
     if ctx.need_hits:
+        # per ORIGINAL query word: the distinct frame's positions with
+        # the original word's own querypos (a dup child is the same
+        # term scan, so only querypos differs)
+        def _with_qpos(qp):
+            # single-arg lambda only: a second parameter would make
+            # F.transform pass the ARRAY INDEX into it
+            return lambda h: F.struct(
+                h["lcspos"].alias("lcspos"),
+                F.lit(qp).cast("int").alias("querypos"),
+                h["spanlen"].alias("spanlen"),
+                h["weight"].alias("weight"),
+            )
+
         parts = [
-            F.coalesce(F.col(f"hits_{i}"), F.array().cast(_HIT_STRUCT))
-            for i in range(n)
+            F.transform(
+                F.coalesce(F.col(f"hits_{i}"), F.array().cast(_HIT_STRUCT)),
+                _with_qpos(qp),
+            )
+            for i, qp in dup_map
         ]
         cols.append(F.array_sort(F.concat(*parts)).alias("hits"))
     return j.select(*cols)

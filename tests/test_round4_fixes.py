@@ -459,3 +459,36 @@ def test_positions_needed_raises_clean_error(spark):
     )
     with pytest.raises(ValueError, match="hit positions"):
         idx.search("^alpha").collect()
+
+
+def test_quorum_duplicate_words_emit_dup_hits(spark):
+    """ExtQuorum masks duplicate wordids out of the THRESHOLD only
+    (ctor, src/sphinx.cpp:13395-13407); the dup children still emit
+    their hits with their own querypos (GetHitsChunk walks all
+    children, :13524).  '"a a b"/2' on 'a b': the dup hit (pos 1, qp 2)
+    chains into (pos 2, qp 3) at equal delta -> LCS 2; on 'a x b' no
+    chain survives -> LCS 1.  A full word dedup inverts that ranking
+    (qp 1 + qp 3 make the GAPPED doc the chaining one)."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a x b")], "doc_id long, text string"
+    )
+    idx = SphinxIndex.build(
+        docs, IndexSettings(docid_col="doc_id", fields=("text",))
+    )
+    rows = {
+        r["docid"]: r["weight"]
+        for r in idx.search('"a a b"/2', ranker="proximity_bm25").collect()
+    }
+    assert set(rows) == {1, 2}
+    # same bm25part (identical tf/idf; dup term idf is 0), LCS 2 vs 1
+    assert rows[1] - rows[2] == 3000  # 1000*(2^2) - 1000*(1^2)
+    # threshold still counts DISTINCT words: a doc with only 'a'
+    # (however many times) cannot reach quorum 2
+    docs2 = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b")], "doc_id long, text string"
+    )
+    idx2 = SphinxIndex.build(
+        docs2, IndexSettings(docid_col="doc_id", fields=("text",))
+    )
+    got = {r["docid"] for r in idx2.search('"a a b"/2').collect()}
+    assert got == {2}
