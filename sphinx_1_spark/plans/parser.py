@@ -635,7 +635,13 @@ class QueryParser:
             else:
                 raise QueryParseError(f"expected integer after {kind!r}")
             n = int(num)
-            op = "proximity" if kind == "~" else "quorum"
+            # maxdist 0 is a plain phrase in the reference — the op
+            # distinction is made at ExtNode creation, AFTER the
+            # ==0 check (src/sphinx.cpp:11757-11759), so '"a b"~0'
+            # and '"a b"/0' both mean exact phrase (quorum/0 would
+            # otherwise clamp to threshold 1 == any-word)
+            if n > 0:
+                op = "proximity" if kind == "~" else "quorum"
         if not words:
             return None
         if len(words) == 1:

@@ -132,3 +132,17 @@ def test_field_maxpos(parser):
     t = parser.parse("@title[7] a")
     assert t.fields_mask == 1
     assert t.max_field_pos == 7
+
+
+def test_zero_count_suffix_is_plain_phrase(parser):
+    """maxdist 0 means phrase: the reference branches on
+    m_iMaxDistance==0 BEFORE consulting m_bQuorum
+    (src/sphinx.cpp:11757-11759), so '"a b"/0' and '"a b"~0' are both
+    exact phrases.  A quorum/0 kept as quorum would clamp to
+    threshold 1 == any-word-present, silently widening the match set."""
+    for q in ('"alpha beta"/0', '"alpha beta"~0'):
+        t = parser.parse(q)
+        assert t.op == "phrase", q
+        assert [w.word for w in t.words] == ["alpha", "beta"]
+    assert parser.parse('"alpha beta"/1').op == "quorum"
+    assert parser.parse('"alpha beta"~1').op == "proximity"
