@@ -28,6 +28,7 @@ Oracle model (all reference-cited):
 
 from __future__ import annotations
 
+import itertools
 import math
 import random
 
@@ -85,10 +86,29 @@ def weight_corpus(spark):
 
 # ---------------------------------------------------------------- query gen
 # tree: ("term", word) | ("and"|"or", [children]) | ("andnot", tree, word)
+#     | ("quorum", [words, possibly with dups], thresh)
+
+
+def _gen_quorum(rng, pool):
+    """Quorum atom; ~60% carry a duplicated word — the reference masks
+    dups out of the THRESHOLD only (ExtQuorum ctor,
+    src/sphinx.cpp:13380-13392) while every child still emits hits
+    under its own querypos and its own per-instance idf (0 beyond the
+    first instance).  thresh == len(words) exercises the
+    quorum-threshold-too-high degradation to AND of the ORIGINAL
+    (dup-included) word list (src/sphinx.cpp:11762-11768)."""
+    k = min(rng.randint(2, 3), len(pool))
+    ws = [pool.pop() for _ in range(k)]
+    if rng.random() < 0.6:
+        ws.insert(rng.randint(0, len(ws)), rng.choice(ws))
+    thresh = rng.randint(1, len(ws))
+    return ("quorum", ws, thresh)
 
 
 def _gen_tree(rng, pool, depth=0):
     if depth >= 2 or rng.random() < 0.4 or len(pool) < 2:
+        if len(pool) >= 2 and rng.random() < 0.35:
+            return _gen_quorum(rng, pool)
         return ("term", pool.pop())
     n = rng.randint(2, min(3, len(pool)))
     kids = []
@@ -113,12 +133,15 @@ def _to_str(tree):
     op = tree[0]
     if op == "term":
         return tree[1]
+    if op == "quorum":
+        return '"' + " ".join(tree[1]) + '"/' + str(tree[2])
     if op == "andnot":
         return f"{_to_str(tree[1])} -{tree[2]}"
     # parenthesize composite children so the string parse is exactly
     # this tree regardless of the grammar's AND/OR precedence
+    # (term and quorum strings are already atomic)
     parts = [
-        p if c[0] == "term" else f"({p})"
+        p if c[0] in ("term", "quorum") else f"({p})"
         for c, p in ((c, _to_str(c)) for c in tree[1])
     ]
     return " ".join(parts) if op == "and" else "(" + " | ".join(parts) + ")"
@@ -128,6 +151,8 @@ def _words_in_order(tree, out):
     op = tree[0]
     if op == "term":
         out.append(tree[1])
+    elif op == "quorum":
+        out.extend(tree[1])
     elif op == "andnot":
         _words_in_order(tree[1], out)
         out.append(tree[2])
@@ -140,8 +165,32 @@ def _words_in_order(tree, out):
 # ---------------------------------------------------------------- oracle
 
 
-def _eval(tree, occ, qpos_iter, idf):
-    """-> (matched, tfidf, hits[(lcspos, qpos)], fieldmask)."""
+def _qpos_walk(tree, counter, first_qpos):
+    """Dry-run of _eval's querypos consumption: assigns each word
+    instance its atom position (quorum counts occupy one of their own)
+    and records the FIRST position of each distinct word."""
+    op = tree[0]
+    if op == "term":
+        first_qpos.setdefault(tree[1], next(counter))
+    elif op == "quorum":
+        for w in tree[1]:
+            first_qpos.setdefault(w, next(counter))
+        next(counter)  # the count token's atom position
+    elif op == "andnot":
+        _qpos_walk(tree[1], counter, first_qpos)
+        first_qpos.setdefault(tree[2], next(counter))
+    else:
+        for c in tree[1]:
+            _qpos_walk(c, counter, first_qpos)
+
+
+def _eval(tree, occ, qpos_iter, idf, first_qpos):
+    """-> (matched, tfidf, hits[(lcspos, qpos)], fieldmask).
+
+    idf is PER-INSTANCE: only the first occurrence of a word in
+    whole-tree querypos order carries the word's idf; later instances
+    carry 0 (GetQwords hash-exists early-out, the engine's
+    dup-querypos rule) — first_qpos maps word -> its first querypos."""
     op = tree[0]
     if op == "term":
         w = tree[1]
@@ -150,19 +199,56 @@ def _eval(tree, occ, qpos_iter, idf):
         if not pos:
             return False, 0.0, [], 0
         tf = len(pos)
-        tfidf = tf / (tf + 1.2) * idf[w]
+        tfidf = tf / (tf + 1.2) * (idf[w] if qp == first_qpos[w] else 0.0)
         mask = 0
         for lp in pos:
             mask |= 1 << (lp >> 24)
         return True, tfidf, [(lp, qp) for lp in pos], mask
+    if op == "quorum":
+        # matched = #distinct words present >= thresh (dup instances
+        # masked out of the COUNT only, ExtQuorum ctor
+        # src/sphinx.cpp:13380-13392); tfidf sums over ALL matching
+        # children (:13474 — dups contribute 0 via per-instance idf);
+        # every matching child emits its positions under its own
+        # querypos (GetHitsChunk :13524-13560, ties in child order ==
+        # ascending querypos == the engine's array_sort order).
+        # thresh >= len(words) is the creation-time degradation to AND
+        # of the ORIGINAL word list (src/sphinx.cpp:11762-11768).
+        ws, thresh = tree[1], tree[2]
+        qps = [next(qpos_iter) for _ in ws]
+        # the count number occupies an atom position of its own when
+        # it tokenizes (digit pre-scan m_iAtomPos++,
+        # src/sphinxquery.cpp:340-382) — single digits always do here
+        next(qpos_iter)
+        tfidf, hits, mask, present = 0.0, [], 0, set()
+        for w, qp in zip(ws, qps):
+            pos = occ.get(w, [])
+            if not pos:
+                continue
+            present.add(w)
+            tf = len(pos)
+            tfidf += tf / (tf + 1.2) * (
+                idf[w] if qp == first_qpos[w] else 0.0
+            )
+            for lp in pos:
+                hits.append((lp, qp))
+                mask |= 1 << (lp >> 24)
+        ok = (
+            len(present) >= thresh
+            if thresh < len(ws)
+            else len(present) == len(set(ws))
+        )
+        if not ok:
+            return False, 0.0, [], 0
+        return True, tfidf, sorted(hits), mask
     if op == "andnot":
-        m, t, h, fm = _eval(tree[1], occ, qpos_iter, idf)
+        m, t, h, fm = _eval(tree[1], occ, qpos_iter, idf, first_qpos)
         neg = tree[2]
         next(qpos_iter)  # negated word consumes its querypos
         if occ.get(neg):
             return False, 0.0, [], 0
         return m, t, h, fm
-    results = [_eval(c, occ, qpos_iter, idf) for c in tree[1]]
+    results = [_eval(c, occ, qpos_iter, idf, first_qpos) for c in tree[1]]
     if op == "and":
         ok = all(r[0] for r in results)
     else:
@@ -208,9 +294,13 @@ def _oracle(tree, positions, ranker, wts):
         )
         for w in distinct
     }
+    first_qpos = {}
+    _qpos_walk(tree, itertools.count(1), first_qpos)
     out = []
     for did, occ in positions.items():
-        matched, tfidf, hits, mask = _eval(tree, occ, iter(range(1, len(words) + 1)), idf)
+        matched, tfidf, hits, mask = _eval(
+            tree, occ, itertools.count(1), idf, first_qpos
+        )
         if not matched:
             continue
         bm25part = int((tfidf + 0.5) * 1000)
@@ -230,6 +320,7 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
     idx, positions = weight_corpus
     rng = random.Random(2468)
     n_nontrivial = 0
+    n_quorum = n_dup_quorum = n_degraded = 0
     for i in range(80):
         tree = _gen_query(rng)
         qstr = _to_str(tree)
@@ -255,5 +346,22 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
         )
         if len(want) > 2:
             n_nontrivial += 1
+        stack = [tree]
+        while stack:
+            node = stack.pop()
+            if node[0] == "quorum":
+                n_quorum += 1
+                n_dup_quorum += len(node[1]) != len(set(node[1]))
+                n_degraded += node[2] >= len(node[1])
+            elif node[0] == "andnot":
+                stack.append(node[1])
+            elif node[0] in ("and", "or"):
+                stack.extend(node[1])
     # the generator must actually produce discriminating result lists
+    # and actually exercise the quorum shapes it claims to
     assert n_nontrivial >= 30
+    assert n_quorum >= 15 and n_dup_quorum >= 5 and n_degraded >= 3, (
+        n_quorum,
+        n_dup_quorum,
+        n_degraded,
+    )
