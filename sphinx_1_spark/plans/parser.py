@@ -647,9 +647,11 @@ class QueryParser:
         if len(words) == 1:
             return XQNode("term", words=words)
         if op == "quorum":
-            if n >= len(words):
-                # ref asserts thresh < nwords; degrade to the AND of
-                # the words
+            if n >= len(words) or len(words) > 32:
+                # threshold too high (src/sphinx.cpp:11762-11768) or
+                # more words than the reference's DWORD mask can track
+                # (:11769-11774): both degrade to the AND of the
+                # ORIGINAL (dup-included) word list
                 return XQNode("and", children=[XQNode("term", words=[w]) for w in words])
         return XQNode(op, words=words, max_distance=n)
 

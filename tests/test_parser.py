@@ -146,3 +146,19 @@ def test_zero_count_suffix_is_plain_phrase(parser):
         assert [w.word for w in t.words] == ["alpha", "beta"]
     assert parser.parse('"alpha beta"/1').op == "quorum"
     assert parser.parse('"alpha beta"~1').op == "proximity"
+
+
+def test_oversize_quorum_degrades_to_and(parser):
+    """The reference's quorum tracks children in a DWORD mask, so >32
+    words can't be a quorum node: it degrades to the AND of the word
+    list (src/sphinx.cpp:11769-11783).  A 33-word quorum/2 therefore
+    requires ALL words, not any 2 — keeping it a wide quorum would
+    silently widen the match set vs the reference."""
+    words = [f"w{i:02d}" for i in range(33)]
+    t = parser.parse('"' + " ".join(words) + '"/2')
+    assert t.op == "and"
+    assert len(t.children) == 33
+    assert all(c.op == "term" for c in t.children)
+    # 32 words is still a real quorum
+    t32 = parser.parse('"' + " ".join(words[:32]) + '"/2')
+    assert t32.op == "quorum"

@@ -89,6 +89,17 @@ def weight_corpus(spark):
 #     | ("quorum", [words, possibly with dups], thresh)
 
 
+def _gen_phrase(rng, pool):
+    """Exact-phrase atom; ~40% duplicate a word ('a a b') so the
+    delta-chain requires consecutive positions of the SAME word and
+    the dup instance's idf-0 contribution is pinned."""
+    k = min(rng.randint(2, 3), len(pool))
+    ws = [pool.pop() for _ in range(k)]
+    if rng.random() < 0.4:
+        ws.insert(rng.randint(0, len(ws)), rng.choice(ws))
+    return ("phrase", ws)
+
+
 def _gen_quorum(rng, pool):
     """Quorum atom; ~60% carry a duplicated word — the reference masks
     dups out of the THRESHOLD only (ExtQuorum ctor,
@@ -107,8 +118,11 @@ def _gen_quorum(rng, pool):
 
 def _gen_tree(rng, pool, depth=0):
     if depth >= 2 or rng.random() < 0.4 or len(pool) < 2:
-        if len(pool) >= 2 and rng.random() < 0.35:
+        r = rng.random()
+        if len(pool) >= 2 and r < 0.35:
             return _gen_quorum(rng, pool)
+        if len(pool) >= 2 and r < 0.6:
+            return _gen_phrase(rng, pool)
         return ("term", pool.pop())
     n = rng.randint(2, min(3, len(pool)))
     kids = []
@@ -122,17 +136,28 @@ def _gen_tree(rng, pool, depth=0):
 
 
 def _gen_query(rng):
+    """-> (tree, has_cross_node_dup)."""
     pool = rng.sample(VOCAB, rng.randint(2, 6))
     tree = _gen_tree(rng, pool)
     if pool and rng.random() < 0.3:
         tree = ("andnot", tree, pool.pop())
-    return tree
+    # cross-node duplicate: AND the tree with a word it already uses,
+    # so the per-instance idf rule (first instance in whole-tree
+    # querypos order carries the idf, later ones 0) is exercised
+    # OUTSIDE quorum nodes too — 'a b a' style queries
+    crossdup = rng.random() < 0.25
+    if crossdup:
+        used = _words_in_order(tree, [])
+        tree = ("and", [tree, ("term", rng.choice(used))])
+    return tree, crossdup
 
 
 def _to_str(tree):
     op = tree[0]
     if op == "term":
         return tree[1]
+    if op == "phrase":
+        return '"' + " ".join(tree[1]) + '"'
     if op == "quorum":
         return '"' + " ".join(tree[1]) + '"/' + str(tree[2])
     if op == "andnot":
@@ -141,7 +166,7 @@ def _to_str(tree):
     # this tree regardless of the grammar's AND/OR precedence
     # (term and quorum strings are already atomic)
     parts = [
-        p if c[0] in ("term", "quorum") else f"({p})"
+        p if c[0] in ("term", "quorum", "phrase") else f"({p})"
         for c, p in ((c, _to_str(c)) for c in tree[1])
     ]
     return " ".join(parts) if op == "and" else "(" + " | ".join(parts) + ")"
@@ -151,7 +176,7 @@ def _words_in_order(tree, out):
     op = tree[0]
     if op == "term":
         out.append(tree[1])
-    elif op == "quorum":
+    elif op in ("quorum", "phrase"):
         out.extend(tree[1])
     elif op == "andnot":
         _words_in_order(tree[1], out)
@@ -172,6 +197,9 @@ def _qpos_walk(tree, counter, first_qpos):
     op = tree[0]
     if op == "term":
         first_qpos.setdefault(tree[1], next(counter))
+    elif op == "phrase":
+        for w in tree[1]:
+            first_qpos.setdefault(w, next(counter))
     elif op == "quorum":
         for w in tree[1]:
             first_qpos.setdefault(w, next(counter))
@@ -203,7 +231,39 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
         mask = 0
         for lp in pos:
             mask |= 1 << (lp >> 24)
-        return True, tfidf, [(lp, qp) for lp in pos], mask
+        return True, tfidf, [(lp, qp, 1, 1) for lp in pos], mask
+    if op == "phrase":
+        # all words present + a delta chain at the querypos offsets;
+        # tfidf is the whole-doc per-instance term sum (ExtPhrase
+        # accumulates children like AND); ONE hit per match start:
+        # (start, first qpos, spanlen = qpos span, weight = nwords),
+        # fieldmask = the FIRST match's field bit only
+        # (src/sphinx.cpp:12903-12909, replay-pinned)
+        ws = tree[1]
+        qps = [next(qpos_iter) for _ in ws]
+        if any(not occ.get(w) for w in ws):
+            return False, 0.0, [], 0
+        tfidf = sum(
+            len(occ[w])
+            / (len(occ[w]) + 1.2)
+            * (idf[w] if qp == first_qpos[w] else 0.0)
+            for w, qp in zip(ws, qps)
+        )
+        posmap = {w: set(occ[w]) for w in set(ws)}
+        q0 = qps[0]
+        starts = sorted(
+            p
+            for p in posmap[ws[0]]
+            if all(
+                (p + qp - q0) in posmap[w]
+                for w, qp in zip(ws[1:], qps[1:])
+            )
+        )
+        if not starts:
+            return False, 0.0, [], 0
+        span = qps[-1] - q0 + 1
+        hits = [(p, q0, span, len(ws)) for p in starts]
+        return True, tfidf, hits, 1 << (starts[0] >> 24)
     if op == "quorum":
         # matched = #distinct words present >= thresh (dup instances
         # masked out of the COUNT only, ExtQuorum ctor
@@ -231,7 +291,7 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
                 idf[w] if qp == first_qpos[w] else 0.0
             )
             for lp in pos:
-                hits.append((lp, qp))
+                hits.append((lp, qp, 1, 1))
                 mask |= 1 << (lp >> 24)
         ok = (
             len(present) >= thresh
@@ -264,16 +324,21 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
 
 
 def _lcs_rank(hits, wts):
+    """GetMatches LCS loop (src/sphinx.cpp:14084-14097): delta-chain
+    with per-hit weight increments and spanlen-adjusted expected
+    delta — a phrase hit bumps curlcs by nwords and expects the next
+    chained hit spanlen further along."""
     lcs = [0] * len(wts)
     curlcs = 0
     expdelta = None
-    for lcspos, qpos in hits:
+    for lcspos, qpos, spanlen, weight in hits:
         delta = lcspos - qpos
-        curlcs = (curlcs + 1) if delta == expdelta else 1
+        curlcs = (curlcs + weight) if delta == expdelta else weight
+        curlcs &= 0xFF  # BYTE(m_uWeight) accumulator
         f = lcspos >> 24
         if curlcs > lcs[f]:
             lcs[f] = curlcs
-        expdelta = delta  # + spanlen(1) - 1
+        expdelta = delta + spanlen - 1
     return sum(l * l * w for l, w in zip(lcs, wts))
 
 
@@ -320,9 +385,11 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
     idx, positions = weight_corpus
     rng = random.Random(2468)
     n_nontrivial = 0
-    n_quorum = n_dup_quorum = n_degraded = 0
+    n_quorum = n_dup_quorum = n_degraded = n_crossdup = 0
+    n_phrase = n_dup_phrase = 0
     for i in range(80):
-        tree = _gen_query(rng)
+        tree, crossdup = _gen_query(rng)
+        n_crossdup += crossdup
         qstr = _to_str(tree)
         ranker = rng.choice(("proximity_bm25", "proximity_bm25", "bm25"))
         # None exercises the BindWeights default; short lists exercise
@@ -353,6 +420,9 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
                 n_quorum += 1
                 n_dup_quorum += len(node[1]) != len(set(node[1]))
                 n_degraded += node[2] >= len(node[1])
+            elif node[0] == "phrase":
+                n_phrase += 1
+                n_dup_phrase += len(node[1]) != len(set(node[1]))
             elif node[0] == "andnot":
                 stack.append(node[1])
             elif node[0] in ("and", "or"):
@@ -360,8 +430,11 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
     # the generator must actually produce discriminating result lists
     # and actually exercise the quorum shapes it claims to
     assert n_nontrivial >= 30
-    assert n_quorum >= 15 and n_dup_quorum >= 5 and n_degraded >= 3, (
-        n_quorum,
-        n_dup_quorum,
-        n_degraded,
-    )
+    assert (
+        n_quorum >= 10
+        and n_dup_quorum >= 4
+        and n_degraded >= 3
+        and n_crossdup >= 10
+        and n_phrase >= 10
+        and n_dup_phrase >= 3
+    ), (n_quorum, n_dup_quorum, n_degraded, n_crossdup, n_phrase, n_dup_phrase)
