@@ -87,6 +87,7 @@ def weight_corpus(spark):
 # ---------------------------------------------------------------- query gen
 # tree: ("term", word) | ("and"|"or", [children]) | ("andnot", tree, word)
 #     | ("quorum", [words, possibly with dups], thresh)
+#     | ("phrase", [words]) | ("proximity", [words], maxdist)
 
 
 def _gen_phrase(rng, pool):
@@ -98,6 +99,17 @@ def _gen_phrase(rng, pool):
     if rng.random() < 0.4:
         ws.insert(rng.randint(0, len(ws)), rng.choice(ws))
     return ("phrase", ws)
+
+
+def _gen_proximity(rng, pool):
+    """Proximity atom '"a b"~N'; ~30% duplicate a word so the window
+    loop's per-INSTANCE dProx entries (one per querypos, not per
+    distinct word) are exercised."""
+    k = min(rng.randint(2, 3), len(pool))
+    ws = [pool.pop() for _ in range(k)]
+    if rng.random() < 0.3:
+        ws.insert(rng.randint(0, len(ws)), rng.choice(ws))
+    return ("proximity", ws, rng.randint(1, 4))
 
 
 def _gen_quorum(rng, pool):
@@ -119,10 +131,12 @@ def _gen_quorum(rng, pool):
 def _gen_tree(rng, pool, depth=0):
     if depth >= 2 or rng.random() < 0.4 or len(pool) < 2:
         r = rng.random()
-        if len(pool) >= 2 and r < 0.35:
+        if len(pool) >= 2 and r < 0.3:
             return _gen_quorum(rng, pool)
-        if len(pool) >= 2 and r < 0.6:
+        if len(pool) >= 2 and r < 0.55:
             return _gen_phrase(rng, pool)
+        if len(pool) >= 2 and r < 0.75:
+            return _gen_proximity(rng, pool)
         return ("term", pool.pop())
     n = rng.randint(2, min(3, len(pool)))
     kids = []
@@ -158,6 +172,8 @@ def _to_str(tree):
         return tree[1]
     if op == "phrase":
         return '"' + " ".join(tree[1]) + '"'
+    if op == "proximity":
+        return '"' + " ".join(tree[1]) + '"~' + str(tree[2])
     if op == "quorum":
         return '"' + " ".join(tree[1]) + '"/' + str(tree[2])
     if op == "andnot":
@@ -166,7 +182,9 @@ def _to_str(tree):
     # this tree regardless of the grammar's AND/OR precedence
     # (term and quorum strings are already atomic)
     parts = [
-        p if c[0] in ("term", "quorum", "phrase") else f"({p})"
+        p
+        if c[0] in ("term", "quorum", "phrase", "proximity")
+        else f"({p})"
         for c, p in ((c, _to_str(c)) for c in tree[1])
     ]
     return " ".join(parts) if op == "and" else "(" + " | ".join(parts) + ")"
@@ -176,7 +194,7 @@ def _words_in_order(tree, out):
     op = tree[0]
     if op == "term":
         out.append(tree[1])
-    elif op in ("quorum", "phrase"):
+    elif op in ("quorum", "phrase", "proximity"):
         out.extend(tree[1])
     elif op == "andnot":
         _words_in_order(tree[1], out)
@@ -200,7 +218,7 @@ def _qpos_walk(tree, counter, first_qpos):
     elif op == "phrase":
         for w in tree[1]:
             first_qpos.setdefault(w, next(counter))
-    elif op == "quorum":
+    elif op in ("quorum", "proximity"):
         for w in tree[1]:
             first_qpos.setdefault(w, next(counter))
         next(counter)  # the count token's atom position
@@ -264,6 +282,84 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
         span = qps[-1] - q0 + 1
         hits = [(p, q0, span, len(ws)) for p in starts]
         return True, tfidf, hits, 1 << (starts[0] >> 24)
+    if op == "proximity":
+        # port of the ExtProximity_c::GetDocsChunk window loop
+        # (src/sphinx.cpp:13178-13341): per incoming (pos, entry) hit
+        # in (lcspos, querypos) order, the per-INSTANCE position table
+        # dProx evicts entries at pos <= cur - qspan - maxdist (strict
+        # window); whenever all entries are filled one node hit is
+        # emitted at the window min with spanlen = max-min+1 and
+        # weight = the trailing equal-run of the sorted (pos - entry)
+        # deltas, then the min entry is evicted so overlapping windows
+        # emit again.  tfidf is the underlying AND node's (m_fTFIDF is
+        # copied from pDoc, :13290); the doc's fieldmask is the FIRST
+        # completing hit's field alone (:13287).
+        ws, maxdist = tree[1], tree[2]
+        qps = [next(qpos_iter) for _ in ws]
+        next(qpos_iter)  # the ~N count token's atom position
+        if any(not occ.get(w) for w in ws):
+            return False, 0.0, [], 0
+        tfidf = sum(
+            len(occ[w])
+            / (len(occ[w]) + 1.2)
+            * (idf[w] if qp == first_qpos[w] else 0.0)
+            for w, qp in zip(ws, qps)
+        )
+        n = len(ws)
+        qspan = qps[-1] - qps[0]
+        merged = sorted(
+            (p, e) for e, w in enumerate(ws) for p in occ[w]
+        )
+        INF = 1 << 62
+        dprox = [INF] * n
+        minentry, words, exp_pos = -1, 0, None
+        hits = []
+        for pos, entry in merged:
+            if not (exp_pos is not None and pos < exp_pos) or (
+                entry == minentry
+            ):
+                if exp_pos is None:
+                    dprox = [INF] * n
+                    dprox[entry] = pos
+                    minentry, words = entry, 1
+                else:
+                    if dprox[entry] == INF:
+                        words += 1
+                    dprox[entry] = pos
+                    minentry = entry
+                    min_pos = pos - qspan - maxdist
+                    umin = pos
+                    for i, v in enumerate(dprox):
+                        if v == INF:
+                            continue
+                        if v <= min_pos:
+                            dprox[i] = INF
+                            words -= 1
+                            continue
+                        if v < umin:
+                            minentry, umin = i, v
+                exp_pos = dprox[minentry] + qspan + maxdist
+            else:
+                if dprox[entry] == INF:
+                    words += 1
+                dprox[entry] = pos
+            if words == n:
+                deltas = sorted(dprox[i] - i for i in range(n))
+                weight, last = 0, None
+                for d in deltas:
+                    weight = weight + 1 if d == last else 1
+                    last = d
+                start = dprox[minentry]
+                hits.append(
+                    (start, qps[0], max(dprox) - start + 1, weight)
+                )
+                dprox[minentry] = INF
+                minentry = -1
+                words -= 1
+                exp_pos = 0
+        if not hits:
+            return False, 0.0, [], 0
+        return True, tfidf, hits, 1 << (hits[0][0] >> 24)
     if op == "quorum":
         # matched = #distinct words present >= thresh (dup instances
         # masked out of the COUNT only, ExtQuorum ctor
@@ -386,7 +482,7 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
     rng = random.Random(2468)
     n_nontrivial = 0
     n_quorum = n_dup_quorum = n_degraded = n_crossdup = 0
-    n_phrase = n_dup_phrase = 0
+    n_phrase = n_dup_phrase = n_prox = n_dup_prox = n_prox_matched = 0
     for i in range(80):
         tree, crossdup = _gen_query(rng)
         n_crossdup += crossdup
@@ -413,6 +509,7 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
         )
         if len(want) > 2:
             n_nontrivial += 1
+        has_prox = False
         stack = [tree]
         while stack:
             node = stack.pop()
@@ -423,18 +520,27 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
             elif node[0] == "phrase":
                 n_phrase += 1
                 n_dup_phrase += len(node[1]) != len(set(node[1]))
+            elif node[0] == "proximity":
+                n_prox += 1
+                n_dup_prox += len(node[1]) != len(set(node[1]))
+                has_prox = True
             elif node[0] == "andnot":
                 stack.append(node[1])
             elif node[0] in ("and", "or"):
                 stack.extend(node[1])
+        n_prox_matched += has_prox and len(want) > 0
     # the generator must actually produce discriminating result lists
     # and actually exercise the quorum shapes it claims to
     assert n_nontrivial >= 30
     assert (
-        n_quorum >= 10
+        n_quorum >= 8
         and n_dup_quorum >= 4
         and n_degraded >= 3
         and n_crossdup >= 10
-        and n_phrase >= 10
+        and n_phrase >= 8
         and n_dup_phrase >= 3
-    ), (n_quorum, n_dup_quorum, n_degraded, n_crossdup, n_phrase, n_dup_phrase)
+        and n_prox >= 8
+        and n_dup_prox >= 2
+        and n_prox_matched >= 5
+    ), (n_quorum, n_dup_quorum, n_degraded, n_crossdup,
+        n_phrase, n_dup_phrase, n_prox, n_dup_prox, n_prox_matched)
