@@ -88,6 +88,7 @@ def weight_corpus(spark):
 # tree: ("term", word) | ("and"|"or", [children]) | ("andnot", tree, word)
 #     | ("quorum", [words, possibly with dups], thresh)
 #     | ("phrase", [words]) | ("proximity", [words], maxdist)
+#     | ("before", [atom children])
 
 
 def _gen_phrase(rng, pool):
@@ -110,6 +111,25 @@ def _gen_proximity(rng, pool):
     if rng.random() < 0.3:
         ws.insert(rng.randint(0, len(ws)), rng.choice(ws))
     return ("proximity", ws, rng.randint(1, 4))
+
+
+def _gen_before(rng, pool):
+    """BEFORE ('a << b << c') over 2-3 atom children (terms, with
+    some phrases/proximities so child hits carry spanlen > 1)."""
+    kids = []
+    for _ in range(rng.randint(2, 3)):
+        if not pool:
+            break
+        r = rng.random()
+        if len(pool) >= 2 and r < 0.25:
+            kids.append(_gen_phrase(rng, pool))
+        elif len(pool) >= 2 and r < 0.4:
+            kids.append(_gen_proximity(rng, pool))
+        else:
+            kids.append(("term", pool.pop()))
+    if len(kids) < 2:
+        return kids[0]
+    return ("before", kids)
 
 
 def _gen_quorum(rng, pool):
@@ -137,6 +157,8 @@ def _gen_tree(rng, pool, depth=0):
             return _gen_phrase(rng, pool)
         if len(pool) >= 2 and r < 0.75:
             return _gen_proximity(rng, pool)
+        if len(pool) >= 2 and r < 0.9:
+            return _gen_before(rng, pool)
         return ("term", pool.pop())
     n = rng.randint(2, min(3, len(pool)))
     kids = []
@@ -178,6 +200,9 @@ def _to_str(tree):
         return '"' + " ".join(tree[1]) + '"/' + str(tree[2])
     if op == "andnot":
         return f"{_to_str(tree[1])} -{tree[2]}"
+    if op == "before":
+        # children are atoms, so their strings are unambiguous operands
+        return " << ".join(_to_str(c) for c in tree[1])
     # parenthesize composite children so the string parse is exactly
     # this tree regardless of the grammar's AND/OR precedence
     # (term and quorum strings are already atomic)
@@ -404,6 +429,57 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
         if occ.get(neg):
             return False, 0.0, [], 0
         return m, t, h, fm
+    if op == "before":
+        # port of the ExtOrder_c longest/recent dual tracker
+        # (GetMatchingHits, src/sphinx.cpp:13650-13745): children's
+        # hits merge in (hitpos, child) order; a hit extends the
+        # longest tracker only when it is the NEXT child in order at
+        # pos >= prev pos + prev spanlen; a child-0 hit that doesn't
+        # fit restarts the recent tracker, which swaps in when it
+        # catches up.  Both trackers reset on a field change, and the
+        # tracked field only re-seeds from a child-0 hit.  A full
+        # subsequence flushes the CHILD hits verbatim; the matched doc
+        # is a copy of child 0's ExtDoc (CopyExtDoc of *m_pDocs[0],
+        # :13826), so tfidf/fieldmask are the first child's alone.
+        results = [_eval(c, occ, qpos_iter, idf, first_qpos) for c in tree[1]]
+        if not all(r[0] for r in results):
+            return False, 0.0, [], 0
+        merged = sorted(
+            (h[0], ci, h) for ci, r in enumerate(results) for h in r[2]
+        )
+        nch = len(results)
+        acc_l, acc_r = [], []
+        pos_l = pos_r = 0
+        field = -1
+        flushed = []
+        for full, ci, h in merged:
+            fld, p = full >> 24, full & 0x7FFFFF
+            span = h[2]
+            if fld != field:
+                acc_l, acc_r = [], []
+                if ci == 0:
+                    acc_l = [h]
+                    pos_l = p + span
+                    field = fld
+            elif ci == len(acc_l) and p >= pos_l:
+                acc_l.append(h)
+                pos_l = p + span
+                if len(acc_l) == nch:
+                    flushed.extend(acc_l)
+                    acc_l, acc_r = [], []
+                    pos_r = pos_l
+            elif ci == 0:
+                acc_r = [h]
+                pos_r = p + span
+            elif ci == len(acc_r) and p >= pos_r:
+                acc_r.append(h)
+                pos_r = p + span
+                if len(acc_r) == len(acc_l):
+                    acc_l, acc_r = acc_r, []
+                    pos_l = pos_r
+        if not flushed:
+            return False, 0.0, [], 0
+        return True, results[0][1], flushed, results[0][3]
     results = [_eval(c, occ, qpos_iter, idf, first_qpos) for c in tree[1]]
     if op == "and":
         ok = all(r[0] for r in results)
@@ -483,6 +559,7 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
     n_nontrivial = 0
     n_quorum = n_dup_quorum = n_degraded = n_crossdup = 0
     n_phrase = n_dup_phrase = n_prox = n_dup_prox = n_prox_matched = 0
+    n_before = n_before_matched = 0
     for i in range(80):
         tree, crossdup = _gen_query(rng)
         n_crossdup += crossdup
@@ -509,7 +586,7 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
         )
         if len(want) > 2:
             n_nontrivial += 1
-        has_prox = False
+        has_prox = has_before = False
         stack = [tree]
         while stack:
             node = stack.pop()
@@ -524,11 +601,16 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
                 n_prox += 1
                 n_dup_prox += len(node[1]) != len(set(node[1]))
                 has_prox = True
+            elif node[0] == "before":
+                n_before += 1
+                has_before = True
+                stack.extend(node[1])
             elif node[0] == "andnot":
                 stack.append(node[1])
             elif node[0] in ("and", "or"):
                 stack.extend(node[1])
         n_prox_matched += has_prox and len(want) > 0
+        n_before_matched += has_before and len(want) > 0
     # the generator must actually produce discriminating result lists
     # and actually exercise the quorum shapes it claims to
     assert n_nontrivial >= 30
@@ -542,5 +624,8 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
         and n_prox >= 8
         and n_dup_prox >= 2
         and n_prox_matched >= 5
+        and n_before >= 6
+        and n_before_matched >= 3
     ), (n_quorum, n_dup_quorum, n_degraded, n_crossdup,
-        n_phrase, n_dup_phrase, n_prox, n_dup_prox, n_prox_matched)
+        n_phrase, n_dup_phrase, n_prox, n_dup_prox, n_prox_matched,
+        n_before, n_before_matched)
