@@ -89,6 +89,7 @@ def weight_corpus(spark):
 #     | ("quorum", [words, possibly with dups], thresh)
 #     | ("phrase", [words]) | ("proximity", [words], maxdist)
 #     | ("before", [atom children])
+#     | ("field", "@spec", mask, atom)  — field limit on one atom
 
 
 def _gen_phrase(rng, pool):
@@ -113,6 +114,19 @@ def _gen_proximity(rng, pool):
     return ("proximity", ws, rng.randint(1, 4))
 
 
+_FIELD_SPECS = (("@title", 1), ("@body", 2), ("@(title,body)", 3))
+
+
+def _maybe_field(rng, atom):
+    """~30% wrap an atom in a field limit — the spec binds to exactly
+    the next atom (grammar TOK_FIELDLIMIT orlist), so no parens
+    needed."""
+    if rng.random() < 0.3:
+        spec, mask = rng.choice(_FIELD_SPECS)
+        return ("field", spec, mask, atom)
+    return atom
+
+
 def _gen_before(rng, pool):
     """BEFORE ('a << b << c') over 2-3 atom children (terms, with
     some phrases/proximities so child hits carry spanlen > 1)."""
@@ -122,11 +136,11 @@ def _gen_before(rng, pool):
             break
         r = rng.random()
         if len(pool) >= 2 and r < 0.25:
-            kids.append(_gen_phrase(rng, pool))
+            kids.append(_maybe_field(rng, _gen_phrase(rng, pool)))
         elif len(pool) >= 2 and r < 0.4:
-            kids.append(_gen_proximity(rng, pool))
+            kids.append(_maybe_field(rng, _gen_proximity(rng, pool)))
         else:
-            kids.append(("term", pool.pop()))
+            kids.append(_maybe_field(rng, ("term", pool.pop())))
     if len(kids) < 2:
         return kids[0]
     return ("before", kids)
@@ -152,14 +166,14 @@ def _gen_tree(rng, pool, depth=0):
     if depth >= 2 or rng.random() < 0.4 or len(pool) < 2:
         r = rng.random()
         if len(pool) >= 2 and r < 0.3:
-            return _gen_quorum(rng, pool)
+            return _maybe_field(rng, _gen_quorum(rng, pool))
         if len(pool) >= 2 and r < 0.55:
-            return _gen_phrase(rng, pool)
+            return _maybe_field(rng, _gen_phrase(rng, pool))
         if len(pool) >= 2 and r < 0.75:
-            return _gen_proximity(rng, pool)
+            return _maybe_field(rng, _gen_proximity(rng, pool))
         if len(pool) >= 2 and r < 0.9:
             return _gen_before(rng, pool)
-        return ("term", pool.pop())
+        return _maybe_field(rng, ("term", pool.pop()))
     n = rng.randint(2, min(3, len(pool)))
     kids = []
     for _ in range(n):
@@ -203,6 +217,8 @@ def _to_str(tree):
     if op == "before":
         # children are atoms, so their strings are unambiguous operands
         return " << ".join(_to_str(c) for c in tree[1])
+    if op == "field":
+        return f"{tree[1]} {_to_str(tree[3])}"
     # parenthesize composite children so the string parse is exactly
     # this tree regardless of the grammar's AND/OR precedence
     # (term and quorum strings are already atomic)
@@ -221,6 +237,8 @@ def _words_in_order(tree, out):
         out.append(tree[1])
     elif op in ("quorum", "phrase", "proximity"):
         out.extend(tree[1])
+    elif op == "field":
+        _words_in_order(tree[3], out)
     elif op == "andnot":
         _words_in_order(tree[1], out)
         out.append(tree[2])
@@ -247,6 +265,8 @@ def _qpos_walk(tree, counter, first_qpos):
         for w in tree[1]:
             first_qpos.setdefault(w, next(counter))
         next(counter)  # the count token's atom position
+    elif op == "field":
+        _qpos_walk(tree[3], counter, first_qpos)
     elif op == "andnot":
         _qpos_walk(tree[1], counter, first_qpos)
         first_qpos.setdefault(tree[2], next(counter))
@@ -255,21 +275,33 @@ def _qpos_walk(tree, counter, first_qpos):
             _qpos_walk(c, counter, first_qpos)
 
 
-def _eval(tree, occ, qpos_iter, idf, first_qpos):
+def _eval(tree, occ, qpos_iter, idf, first_qpos, fmask=(1 << N_FIELDS) - 1):
     """-> (matched, tfidf, hits[(lcspos, qpos)], fieldmask).
 
     idf is PER-INSTANCE: only the first occurrence of a word in
     whole-tree querypos order carries the word's idf; later instances
     carry 0 (GetQwords hash-exists early-out, the engine's
-    dup-querypos rule) — first_qpos maps word -> its first querypos."""
+    dup-querypos rule) — first_qpos maps word -> its first querypos.
+
+    fmask is the atom's field limit: hit emission and doc matching
+    filter to allowed fields (ExtTerm_c::GetHitsChunk skips
+    disallowed-field hits, GetDocsChunk gates on the doclist mask &
+    m_uFields, src/sphinx.cpp:11846/11958) but tf in tfidf stays
+    m_uMatchHits — the WHOLE-DOC hit count (:11867)."""
     op = tree[0]
+    if op == "field":
+        return _eval(tree[3], occ, qpos_iter, idf, first_qpos, tree[2])
+
+    def _qual(w):
+        return [p for p in occ.get(w, []) if fmask >> (p >> 24) & 1]
+
     if op == "term":
         w = tree[1]
         qp = next(qpos_iter)
-        pos = occ.get(w, [])
+        pos = _qual(w)
         if not pos:
             return False, 0.0, [], 0
-        tf = len(pos)
+        tf = len(occ[w])  # whole-doc m_uMatchHits, not the qualified subset
         tfidf = tf / (tf + 1.2) * (idf[w] if qp == first_qpos[w] else 0.0)
         mask = 0
         for lp in pos:
@@ -284,7 +316,7 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
         # (src/sphinx.cpp:12903-12909, replay-pinned)
         ws = tree[1]
         qps = [next(qpos_iter) for _ in ws]
-        if any(not occ.get(w) for w in ws):
+        if any(not _qual(w) for w in ws):
             return False, 0.0, [], 0
         tfidf = sum(
             len(occ[w])
@@ -292,7 +324,7 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
             * (idf[w] if qp == first_qpos[w] else 0.0)
             for w, qp in zip(ws, qps)
         )
-        posmap = {w: set(occ[w]) for w in set(ws)}
+        posmap = {w: set(_qual(w)) for w in set(ws)}
         q0 = qps[0]
         starts = sorted(
             p
@@ -322,7 +354,7 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
         ws, maxdist = tree[1], tree[2]
         qps = [next(qpos_iter) for _ in ws]
         next(qpos_iter)  # the ~N count token's atom position
-        if any(not occ.get(w) for w in ws):
+        if any(not _qual(w) for w in ws):
             return False, 0.0, [], 0
         tfidf = sum(
             len(occ[w])
@@ -333,7 +365,7 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
         n = len(ws)
         qspan = qps[-1] - qps[0]
         merged = sorted(
-            (p, e) for e, w in enumerate(ws) for p in occ[w]
+            (p, e) for e, w in enumerate(ws) for p in _qual(w)
         )
         INF = 1 << 62
         dprox = [INF] * n
@@ -403,11 +435,11 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos):
         next(qpos_iter)
         tfidf, hits, mask, present = 0.0, [], 0, set()
         for w, qp in zip(ws, qps):
-            pos = occ.get(w, [])
+            pos = _qual(w)
             if not pos:
                 continue
             present.add(w)
-            tf = len(pos)
+            tf = len(occ[w])  # whole-doc, like the term branch
             tfidf += tf / (tf + 1.2) * (
                 idf[w] if qp == first_qpos[w] else 0.0
             )
@@ -559,7 +591,7 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
     n_nontrivial = 0
     n_quorum = n_dup_quorum = n_degraded = n_crossdup = 0
     n_phrase = n_dup_phrase = n_prox = n_dup_prox = n_prox_matched = 0
-    n_before = n_before_matched = 0
+    n_before = n_before_matched = n_field = n_field_matched = 0
     for i in range(80):
         tree, crossdup = _gen_query(rng)
         n_crossdup += crossdup
@@ -586,7 +618,7 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
         )
         if len(want) > 2:
             n_nontrivial += 1
-        has_prox = has_before = False
+        has_prox = has_before = has_field = False
         stack = [tree]
         while stack:
             node = stack.pop()
@@ -605,12 +637,17 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
                 n_before += 1
                 has_before = True
                 stack.extend(node[1])
+            elif node[0] == "field":
+                n_field += 1
+                has_field = True
+                stack.append(node[3])
             elif node[0] == "andnot":
                 stack.append(node[1])
             elif node[0] in ("and", "or"):
                 stack.extend(node[1])
         n_prox_matched += has_prox and len(want) > 0
         n_before_matched += has_before and len(want) > 0
+        n_field_matched += has_field and len(want) > 0
     # the generator must actually produce discriminating result lists
     # and actually exercise the quorum shapes it claims to
     assert n_nontrivial >= 30
@@ -626,6 +663,8 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
         and n_prox_matched >= 5
         and n_before >= 6
         and n_before_matched >= 3
+        and n_field >= 8
+        and n_field_matched >= 4
     ), (n_quorum, n_dup_quorum, n_degraded, n_crossdup,
         n_phrase, n_dup_phrase, n_prox, n_dup_prox, n_prox_matched,
-        n_before, n_before_matched)
+        n_before, n_before_matched, n_field, n_field_matched)
