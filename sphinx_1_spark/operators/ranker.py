@@ -145,10 +145,13 @@ def make_matchany_rank(field_weights: list[int], n_qwords: int):
                 lcspos = int(h["lcspos"])
                 qpos = int(h["querypos"])
                 delta = lcspos - qpos
+                # uCurLCS is a BYTE (src/sphinx.cpp:14366) — the
+                # accumulator wraps mod 256 exactly like the
+                # proximity ranker's
                 if delta == expdelta:
-                    curlcs += int(h["weight"])
+                    curlcs = (curlcs + int(h["weight"])) & 0xFF
                 else:
-                    curlcs = int(h["weight"])
+                    curlcs = int(h["weight"]) & 0xFF
                 fld = lcspos >> 24
                 if fld < len(w):
                     if curlcs > lcs[fld]:

@@ -22,6 +22,11 @@ Oracle model (all reference-cited):
   proximity_bm25: + 1000 * sum_f lcs_f^2 * w_f over the per-field
              delta-chain LCS (GetMatches loop, src/sphinx.cpp:14084)
   bm25:    + 1000 * sum_f matched_f * w_f     (src/sphinx.cpp:14106)
+  proximity: sum_f lcs_f * w_f, no bm25 part  (src/sphinx.cpp:14295)
+  wordcount: sum over emitted hits of w_field (src/sphinx.cpp:14161)
+  matchany: per-field (bitcount(qpos byte mask) + (lcs-1)*phraseK)*w
+             (src/sphinx.cpp:14356-14476)
+  none = 1; fieldmask = matched-fields mask    (:14150, :14477)
   order    weight desc, docid asc (MatchRelevanceLt,
              src/sphinxsort.cpp:1159)
 """
@@ -527,12 +532,13 @@ def _eval(tree, occ, qpos_iter, idf, first_qpos, fmask=(1 << N_FIELDS) - 1):
     return True, tfidf, hits, mask
 
 
-def _lcs_rank(hits, wts):
+def _lcs_fields(hits, nf):
     """GetMatches LCS loop (src/sphinx.cpp:14084-14097): delta-chain
     with per-hit weight increments and spanlen-adjusted expected
     delta — a phrase hit bumps curlcs by nwords and expects the next
-    chained hit spanlen further along."""
-    lcs = [0] * len(wts)
+    chained hit spanlen further along.  Returns per-field LCS (the
+    BYTE accumulator wraps mod 256)."""
+    lcs = [0] * nf
     curlcs = 0
     expdelta = None
     for lcspos, qpos, spanlen, weight in hits:
@@ -543,7 +549,37 @@ def _lcs_rank(hits, wts):
         if curlcs > lcs[f]:
             lcs[f] = curlcs
         expdelta = delta + spanlen - 1
-    return sum(l * l * w for l, w in zip(lcs, wts))
+    return lcs
+
+
+def _matchany_weight(hits, wts, n_uwords):
+    """ExtRanker_MatchAny_c::GetMatches (src/sphinx.cpp:14356-14476):
+    the LCS delta-chain plus a per-field BYTE match mask of
+    1<<(querypos-1) bits (querypos > 8 wraps out of the byte and
+    contributes nothing); rank = sum over fields WITH a nonzero mask
+    of (bitcount(mask_f) + (lcs_f - 1) * phraseK) * w_f, where
+    phraseK = sum(w) * #UNIQUE query words (m_uQWords is the qwords
+    hash length, :13989)."""
+    nf = len(wts)
+    lcs = [0] * nf
+    maskb = [0] * nf
+    curlcs = 0
+    expdelta = None
+    phrase_k = sum(wts) * n_uwords
+    for lcspos, qpos, spanlen, weight in hits:
+        delta = lcspos - qpos
+        curlcs = (curlcs + weight) if delta == expdelta else weight
+        curlcs &= 0xFF  # BYTE uCurLCS (:14366)
+        f = lcspos >> 24
+        if curlcs > lcs[f]:
+            lcs[f] = curlcs
+        maskb[f] = (maskb[f] | (1 << (qpos - 1))) & 0xFF
+        expdelta = delta + spanlen - 1
+    return sum(
+        (bin(maskb[f]).count("1") + (lcs[f] - 1) * phrase_k) * wts[f]
+        for f in range(nf)
+        if maskb[f]
+    )
 
 
 def _oracle(tree, positions, ranker, wts):
@@ -574,10 +610,30 @@ def _oracle(tree, positions, ranker, wts):
             continue
         bm25part = int((tfidf + 0.5) * 1000)
         if ranker == "proximity_bm25":
-            rank = _lcs_rank(sorted(hits), wts)
-        else:  # bm25
-            rank = sum(w for f, w in enumerate(wts) if mask >> f & 1)
-        out.append((bm25part + 1000 * rank, did))
+            lcs = _lcs_fields(sorted(hits), len(wts))
+            weight = bm25part + 1000 * sum(
+                l * l * w for l, w in zip(lcs, wts)
+            )
+        elif ranker == "bm25":
+            weight = bm25part + 1000 * sum(
+                w for f, w in enumerate(wts) if mask >> f & 1
+            )
+        elif ranker == "proximity":
+            # linear LCS sum, UNSCALED, no bm25 part
+            # (ExtRanker_Proximity_c, src/sphinx.cpp:14295-14305)
+            lcs = _lcs_fields(sorted(hits), len(wts))
+            weight = sum(l * w for l, w in zip(lcs, wts))
+        elif ranker == "wordcount":
+            # w[field] summed per emitted hit
+            # (ExtRanker_Wordcount_c, src/sphinx.cpp:14161-14245)
+            weight = sum(wts[h[0] >> 24] for h in hits)
+        elif ranker == "matchany":
+            weight = _matchany_weight(sorted(hits), wts, q)
+        elif ranker == "none":
+            weight = 1  # src/sphinx.cpp:14150
+        else:  # fieldmask
+            weight = mask  # src/sphinx.cpp:14477
+        out.append((weight, did))
     out.sort(key=lambda t: (-t[0], t[1]))
     return out
 
@@ -596,7 +652,11 @@ def test_random_query_weights_match_scoring_oracle(weight_corpus):
         tree, crossdup = _gen_query(rng)
         n_crossdup += crossdup
         qstr = _to_str(tree)
-        ranker = rng.choice(("proximity_bm25", "proximity_bm25", "bm25"))
+        ranker = rng.choice((
+            "proximity_bm25", "proximity_bm25", "proximity_bm25",
+            "bm25", "bm25", "matchany", "matchany",
+            "wordcount", "proximity", "fieldmask", "none",
+        ))
         # None exercises the BindWeights default; short lists exercise
         # the pad-to-1 rule; full lists the plain path
         wts_arg = rng.choice((None, [rng.randint(1, 5)],
