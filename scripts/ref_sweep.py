@@ -65,7 +65,9 @@ DECLARED = {
     ),
     "test_86": "searchd rotation + persistent-connection daemon machinery",
     "test_42": "searchd persistent-connection daemon machinery",
-    "test_39": "remote distributed-agent attr updates (daemon protocol)",
+    "test_39": "remote distributed-agent attr updates (daemon "
+    "protocol; semantics hand-ported in tests/"
+    "test_custom_php_goldens.py::test_39_distributed_updates)",
 }
 
 

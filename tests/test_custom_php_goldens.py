@@ -153,6 +153,55 @@ def test_32_fullscan_reject_update_ranges(spark):
     assert sorted(r["docid"] for r in rows) == [127, 128]
 
 
+def test_39_distributed_updates(spark):
+    """test_39 'distributed updates': a distributed index dist =
+    local block1 (ids 1-4) + agent block2 (ids 11-14); the custom
+    PHP flow is Query('') over dist, UpdateAttributes('dist',
+    ['group_id'], {11: [123]}) — searchd forwards the update to the
+    local part and every agent and sums the per-part updated counts
+    (src/searchd.cpp UpdateAttributes handler) — then Query('')
+    again.  model.bin: 8 matches at weight 1; 1 row updated; doc 11's
+    group_id now 123.  Our batch analog fans dist out to its local
+    indexes and applies the copy-on-write docinfo patch to each."""
+    from sphinx_1_spark.plans.attrs import update_attributes
+
+    built = {b["name"]: b for b in build_indexes(spark, load_test("test_39"))}
+    # dist resolves to its parts, agent listed after local
+    parts = [built["block1"], built["block2"]]
+    chain = [(b["name"], b["idx"], b["kill"] or None) for b in parts]
+
+    def snapshot():
+        rows, meta = api_query(chain, ApiQuery(query=""))
+        return (
+            sorted((r["docid"], r["weight"], r["group_id"]) for r in rows),
+            meta["total_found"],
+        )
+
+    got, total = snapshot()
+    assert total == 8
+    assert got == [
+        (1, 1, 1), (2, 1, 1), (3, 1, 2), (4, 1, 2),
+        (11, 1, 1), (12, 1, 1), (13, 1, 2), (14, 1, 2),
+    ]
+
+    # UpdateAttributes(dist, [group_id], {11: [123]}): broadcast to
+    # every part; updated count = sum of per-part matched docids
+    upd = spark.createDataFrame([(11, 123)], "docid long, group_id int")
+    n_updated = 0
+    for b in parts:
+        idx = b["idx"]
+        n_updated += idx.docinfo.join(upd, "docid", "left_semi").count()
+        idx.docinfo = update_attributes(idx.docinfo, upd, ["group_id"])
+    assert n_updated == 1
+
+    got, total = snapshot()
+    assert total == 8
+    assert got == [
+        (1, 1, 1), (2, 1, 1), (3, 1, 2), (4, 1, 2),
+        (11, 1, 123), (12, 1, 1), (13, 1, 2), (14, 1, 2),
+    ]
+
+
 def test_60_wide_in_select(spark):
     indexes = _indexes(spark, "test_60")
     idlist = ",".join(str(i) for i in range(10000, 20000))
