@@ -43,6 +43,8 @@ def build_fold_table(spec: str = SPHINX_DEFAULT_UTF8_TABLE) -> np.ndarray:
       X->Y         remap single
       X..Y->A..B   remap range (lengths must match)
       X..Y/2       checkerboard: pairs (X,X+1)->X+1, (X+2,X+3)->X+3, ...
+                   (reference loops `i < iEnd` — an even-span range
+                   leaves Y itself unmapped, src/sphinx.cpp:2800-2807)
     """
     table = np.zeros(_MAX_CP, dtype=np.uint32)
     for raw in spec.split(","):
@@ -51,7 +53,7 @@ def build_fold_table(spec: str = SPHINX_DEFAULT_UTF8_TABLE) -> np.ndarray:
             continue
         if entry.endswith("/2"):
             lo, hi = (_parse_char(p) for p in entry[:-2].split(".."))
-            for a in range(lo, hi + 1, 2):
+            for a in range(lo, hi, 2):
                 table[a] = a + 1
                 table[a + 1] = a + 1
             continue
@@ -85,9 +87,14 @@ def parse_charset_ranges(spec: str) -> list[tuple[int, int, int]]:
         if not entry:
             continue
         if entry.endswith("/2"):
+            # TWO single-cp triples per pair, both folding to the odd
+            # member — one (a, a+1, a+1) triple would remap a+1 to a+2
+            # (src/sphinx.cpp:2800-2807; caught by the charset-spec
+            # differential fuzz)
             lo, hi = (_parse_char(p) for p in entry[:-2].split(".."))
-            for a in range(lo, hi + 1, 2):
-                out.append((a, a + 1, a + 1))
+            for a in range(lo, hi, 2):
+                out.append((a, a, a + 1))
+                out.append((a + 1, a + 1, a + 1))
             continue
         if "->" in entry:
             src, dst = entry.split("->")

@@ -81,6 +81,61 @@ def _mksettings(rng: random.Random, with_cjk: bool) -> TokenizerSettings:
     )
 
 
+def test_random_charset_specs_parse_identically():
+    """The charset_table spec grammar is implemented twice:
+    build_fold_table compiles entries directly into the fold map,
+    the Lowercaser goes through parse_charset_ranges + the
+    CSphLowercaser AddRemaps merge (src/sphinx.cpp:2504-2583).  On
+    any plain spec (no flag remaps) both must produce the same
+    codepoint fold — random specs over every entry form: X, X..Y,
+    X->Y, X..Y->A..B, X..Y/2."""
+    import numpy as np
+
+    from sphinx_1_spark.functions.charset import (
+        MASK_CODEPOINT,
+        Lowercaser,
+        build_fold_table,
+    )
+
+    rng = random.Random(31337)
+    forms = ("single", "range", "remap", "range_remap", "checker")
+    for case in range(300):
+        entries = []
+        for _ in range(rng.randint(1, 8)):
+            form = rng.choice(forms)
+            lo = rng.randint(0x21, 0x2F00)
+            span = rng.randint(0, 40)
+            as_u = lambda cp: (
+                f"U+{cp:X}" if rng.random() < 0.7 or not (0x21 <= cp < 0x7F)
+                or chr(cp) in ",.-/>" else chr(cp)
+            )
+            if form == "single":
+                entries.append(as_u(lo))
+            elif form == "range":
+                entries.append(f"{as_u(lo)}..{as_u(lo + span)}")
+            elif form == "remap":
+                entries.append(f"{as_u(lo)}->{as_u(rng.randint(0x21, 0x2F00))}")
+            elif form == "range_remap":
+                dlo = rng.randint(0x21, 0x2F00)
+                entries.append(
+                    f"{as_u(lo)}..{as_u(lo + span)}->{as_u(dlo)}..{as_u(dlo + span)}"
+                )
+            else:
+                hi = lo + 2 * rng.randint(0, 20) + 1  # odd-length pairs
+                entries.append(f"{as_u(lo)}..{as_u(hi)}/2")
+        spec = ", ".join(entries)
+        build_fold_table.cache_clear()  # random specs would thrash it
+        ft = build_fold_table(spec)
+        lc = Lowercaser(spec).table & np.uint32(MASK_CODEPOINT)
+        if not np.array_equal(ft, lc):
+            bad = np.flatnonzero(ft != lc)[:10]
+            raise AssertionError(
+                f"case {case}: spec={spec!r}\n"
+                f"diff cps {[hex(b) for b in bad]}: "
+                f"fold={ft[bad].tolist()} lowercaser={lc[bad].tolist()}"
+            )
+
+
 @pytest.mark.parametrize("with_cjk", (False, True), ids=("plain", "ngram"))
 def test_fast_path_stream_equals_scanner_stream(with_cjk):
     rng = random.Random(5150 + with_cjk)
