@@ -315,3 +315,54 @@ def test_runs_reduce_carry_across_batches(spark):
         assert docids == [r["docid"] for r in dec]  # stream order == sorted
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_segment_tool_cli(built_segments, capsys):
+    """indextool analog (scripts/segment_tool.py, indextool.cpp:19-157):
+    `describe` prints every segment's manifest header (lineage +
+    metrics), `dictionary` prints top-df entries that must agree with
+    SegmentSet.dictionary — the CLI shares its definition, this pins
+    the wiring."""
+    import pathlib
+    import sys as _sys
+
+    ss, out, _pages = built_segments
+    paths = sorted(
+        str(p) for p in pathlib.Path(out).iterdir() if p.is_dir()
+    )
+    assert len(paths) == 3
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import segment_tool
+
+    assert segment_tool.main(["segment_tool", "describe", *paths]) == 0
+    text = capsys.readouterr().out
+    assert text.count("segment:") == len(paths)
+    for key in ("n_docs", "n_hits", "lineage", "metrics"):
+        assert text.count(f"  {key}:") == len(paths), key
+
+    assert (
+        segment_tool.main(
+            ["segment_tool", "dictionary", *paths, "--top", "5"]
+        )
+        == 0
+    )
+    lines = [
+        ln for ln in capsys.readouterr().out.strip().splitlines() if ln
+    ]
+    assert len(lines) == 5
+    top = (
+        ss.dictionary.groupBy("word")
+        .agg(F.sum("docs").alias("docs"), F.sum("hits").alias("hits"))
+        .orderBy(F.col("docs").desc(), F.col("word").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [ln.split("\t") for ln in lines] == [
+        [r["word"], str(r["docs"]), str(r["hits"])] for r in top
+    ]
+
+    # unknown command / missing args fail cleanly
+    assert segment_tool.main(["segment_tool", "frobnicate", "x"]) == 1
+    assert segment_tool.main(["segment_tool"]) == 1
