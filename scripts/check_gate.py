@@ -65,6 +65,33 @@ def _prepare_scaled(spark) -> str:
     return SCALED_FLAT
 
 
+def compare_frames(spark_cols, spark_rows, duck_cols, duck_rows):
+    """The gate compare: returns a list of mismatch lines, [] if the
+    two results agree on column names (order-insensitive), row count,
+    and column-name-sorted tuple values (order-insensitive).  Python
+    tuple equality intentionally treats 2 == 2.0 — numeric-type-only
+    drift between Spark and DuckDB is not a value difference."""
+    errs = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        errs.append(f"COLUMN MISMATCH spark={spark_cols} duck={duck_cols}")
+        return errs
+    if len(spark_rows) != len(duck_rows):
+        errs.append(
+            f"ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}"
+        )
+        return errs
+    s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_ix = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_vals = sorted(tuple(r[i] for i in s_ix) for r in spark_rows)
+    d_vals = sorted(tuple(r[i] for i in d_ix) for r in duck_rows)
+    if s_vals != d_vals:
+        errs.append("VALUE MISMATCH")
+        for a, b in zip(s_vals, d_vals):
+            if a != b:
+                errs.append(f"   spark={a}  duck={b}")
+    return errs
+
+
 def main() -> int:
     import duckdb
 
@@ -124,29 +151,15 @@ def main() -> int:
             print(f"{name}: ORACLE SQL ERROR: {e}")
             failures += 1
             continue
-        ok = True
-        if sorted(spark_cols) != sorted(duck_cols):
-            print(f"{name}: COLUMN MISMATCH spark={spark_cols} duck={duck_cols}")
-            ok = False
-        if len(spark_rows) != len(duck_rows):
-            print(f"{name}: ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
-            ok = False
-        if ok:
-            # order-insensitive compare on column-name-sorted tuples
-            s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
-            d_ix = [duck_cols.index(c) for c in sorted(duck_cols)]
-            s_vals = sorted(tuple(r[i] for i in s_ix) for r in spark_rows)
-            d_vals = sorted(tuple(r[i] for i in d_ix) for r in duck_rows)
-            if s_vals != d_vals:
-                print(f"{name}: VALUE MISMATCH")
-                for a, b in zip(s_vals, d_vals):
-                    if a != b:
-                        print(f"   spark={a}  duck={b}")
-                ok = False
-        if ok:
-            print(f"{name}: OK ({len(spark_rows)} rows)")
-        else:
+        errs = compare_frames(spark_cols, spark_rows, duck_cols, duck_rows)
+        if errs:
+            head, tail = errs[0], errs[1:]
+            print(f"{name}: {head}")
+            for line in tail:
+                print(line)
             failures += 1
+        else:
+            print(f"{name}: OK ({len(spark_rows)} rows)")
     return failures
 
 
