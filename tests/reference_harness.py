@@ -1486,6 +1486,17 @@ def replay(spark, test_id: str, subtest: int = 0,
     # string 'failed' (e.g. a field marked for both prefix and infix
     # indexing, src/sphinx.cpp:19163-19164)
     golden_failed = model_results in ("failed", ["failed"])
+    if not golden_failed and len(test.queries) != len(model_results):
+        # model.bin carries one entry per query; fewer parsed queries
+        # means the test.xml query parser silently dropped some and a
+        # "zero diffs" result would be vacuously narrow.  (PHP-driven
+        # tests with zero <query> tags never reach replay — the sweep
+        # declares them SKIP.)
+        return [
+            f"[{test_id} st{subtest}] parsed {len(test.queries)} queries "
+            f"but the golden has {len(model_results)} entries — query "
+            "parsing silently dropped some"
+        ]
     try:
         built = apply_indexer_runs(
             spark, test, build_indexes(spark, test)

@@ -17,6 +17,27 @@ import copy
 from tests.reference_harness import _attr_eq, compare_result
 
 
+def test_attempted_tests_parse_every_golden_query():
+    """Every sweep-attempted test must parse exactly one <query> per
+    model.bin entry in every subtest — the count guard in replay()
+    (and this pin) keep a query-parser regression from silently
+    shrinking the compared set to a vacuous 'zero diffs'."""
+    from tests.reference_harness import load_test, subtest_count
+    from tests.test_reference_replay import FAST_TESTS
+
+    for tid in FAST_TESTS:
+        for st in range(subtest_count(tid)):
+            t = load_test(tid, subtest=st)
+            m = t.model[st]
+            if m in ("failed", ["failed"]):
+                continue
+            assert len(t.queries) == len(m), (
+                f"{tid} st{st}: parsed {len(t.queries)} queries, "
+                f"golden has {len(m)} entries"
+            )
+            assert len(t.queries) > 0, f"{tid} st{st}: zero queries parsed"
+
+
 def _want():
     # a model.bin-shaped golden: dict-keyed matches (resarray=0)
     return {
