@@ -38,6 +38,29 @@ def test_attempted_tests_parse_every_golden_query():
             assert len(t.queries) > 0, f"{tid} st{st}: zero queries parsed"
 
 
+def test_subtest_count_matches_golden_everywhere():
+    """model.bin has one top-level entry per config-matrix subtest, so
+    subtest_count (which drives replay_all's loop) must agree with the
+    golden for EVERY reference test dir — an under-count would quietly
+    replay a fraction of the matrix."""
+    import os
+
+    from tests.reference_harness import (
+        REF_TEST_ROOT, load_test, subtest_count,
+    )
+
+    checked = 0
+    for tid in sorted(os.listdir(REF_TEST_ROOT)):
+        # test_28 ships no test.xml in the reference tree
+        if not tid.startswith("test_") or tid == "test_28":
+            continue
+        n_st = subtest_count(tid)
+        n_model = len(load_test(tid, subtest=0).model)
+        assert n_st == n_model, f"{tid}: subtests {n_st} vs golden {n_model}"
+        checked += 1
+    assert checked >= 70
+
+
 def _want():
     # a model.bin-shaped golden: dict-keyed matches (resarray=0)
     return {
