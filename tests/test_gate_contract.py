@@ -46,6 +46,17 @@ def test_every_oracle_key_has_a_query():
     assert set(entry.oracle_sql()) <= set(entry.queries())
 
 
+def test_every_query_is_fully_value_checked():
+    """Every gate currently ships an oracle, so the driver records the
+    strong rows+schema+hash check for all of them.  A queries() entry
+    without an oracle silently downgrades to the weaker rows-only
+    check — adding one must be a conscious decision made here."""
+    missing = set(entry.queries()) - set(entry.oracle_sql())
+    assert not missing, (
+        f"gates without oracles get only the rows-only check: {missing}"
+    )
+
+
 def test_no_unhashable_result_columns(gate_dfs):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
