@@ -175,6 +175,26 @@ def write_mmseg_bench_dict(path: str, seed: int = 42) -> str:
     return path
 
 
+def _row_for(i: int, seed: int) -> tuple:
+    """One deterministic corpus row (url, warc_ts, html, text, lang).
+
+    warc_ts wraps i at 10^9 so the timestamp stays inside datetime's
+    year-9999 range at ANY row id (137 * 10^9 s lands around year
+    6360) — without the wrap, ids past ~1.8e9 overflow datetime and
+    the '10^12-row path is the same code' claim would be false.  Ids
+    below 10^9 (every shipped corpus) are unchanged by the mod, so
+    existing goldens and bench corpora are byte-identical.
+    """
+    html, lang = _html_for(i, seed)
+    return (
+        f"http://site{i % 1000}.example/{lang}/doc{i}",
+        EPOCH + timedelta(seconds=137 * (i % 1_000_000_000)),
+        html.encode("utf-8"),
+        "",
+        lang,
+    )
+
+
 def generate_pages(
     spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:
@@ -184,15 +204,9 @@ def generate_pages(
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-            for i in ids:
-                i = int(i)
-                html, lang = _html_for(i, seed)
-                rows["url"].append(f"http://site{i % 1000}.example/{lang}/doc{i}")
-                rows["warc_ts"].append(EPOCH + timedelta(seconds=137 * i))
-                rows["html"].append(html.encode("utf-8"))
-                rows["text"].append("")
-                rows["lang"].append(lang)
-            yield pd.DataFrame(rows)
+            rows = [_row_for(int(i), seed) for i in ids]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
 
     return rng_free.mapInPandas(gen, PAGES_SCHEMA)

@@ -29,6 +29,26 @@ def test_pages_shape_and_determinism(spark, pages):
     assert langs == {"en", "zh", "zh-mix"}
 
 
+def test_row_for_any_id_and_backcompat():
+    """_row_for must hold at web-scale row ids (the 10^12-row path is
+    the same code) and stay byte-identical for the shipped corpora:
+    warc_ts wraps the id at 10^9 to stay inside datetime's year-9999
+    range, a no-op below the wrap."""
+    from datetime import timedelta
+
+    from sphinx_1_spark.sources.pages import EPOCH, _row_for
+
+    # web-scale ids generate without overflow, deterministically
+    big = _row_for(10**12, seed=42)
+    assert big == _row_for(10**12, seed=42)
+    assert big[1].year < 9999
+    # below the wrap the timestamp is the original 137*i formula
+    for i in (0, 7, 299, 999_999_999):
+        row = _row_for(i, seed=42)
+        assert row[1] == EPOCH + timedelta(seconds=137 * i)
+        assert row[0].endswith(f"/doc{i}")
+
+
 def test_strip_matches_local_oracle(spark, pages):
     """Spark UDF output == direct HtmlStripper (itself golden-verified
     byte-identical vs the compiled reference in test_stripper)."""
