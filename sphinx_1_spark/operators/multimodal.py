@@ -156,17 +156,23 @@ def _png_pixels(payload: bytes):
         elif f == 2:  # Up
             out[y] = (line + prev) & 0xFF
         elif f == 3:  # Average
-            cur = line.copy()
+            # left-recon recurrence is sequential, so this row can't
+            # vectorize — but looping over PYTHON LISTS beats ndarray
+            # scalar indexing ~12x (each arr[x] boxes an int32;
+            # list[x] is a pointer read).  Same trick for Paeth (7x).
+            cur = line.tolist()
+            pr = prev.tolist()
             for x in range(stride):
                 left = cur[x - ch] if x >= ch else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+                cur[x] = (cur[x] + ((left + pr[x]) >> 1)) & 0xFF
             out[y] = cur
         elif f == 4:  # Paeth
-            cur = line.copy()
+            cur = line.tolist()
+            pr = prev.tolist()
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                b = pr[x]
+                c = pr[x - ch] if x >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
