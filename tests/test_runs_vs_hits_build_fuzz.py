@@ -60,6 +60,19 @@ _CONFIGS = [
     ),
     # star-infix expansion (anchored ^*s / s$ namespaces)
     (False, TokenizerSettings(min_infix_len=2)),
+    # multiforms token filter (multi-word contraction changes the
+    # position stream — CSphTokenizer_Filter)
+    (
+        False,
+        TokenizerSettings(
+            multiforms=("lorem ipsum > li", "dolor sit amet > dsa")
+        ),
+    ),
+    # synonyms scanner path (advanced scanner engages, _advanced)
+    (
+        False,
+        TokenizerSettings(synonyms=("lorem ipsum => loremipsum",)),
+    ),
 ]
 
 
@@ -84,7 +97,7 @@ def _canon(spark, paths):
     return postings, dct
 
 
-@pytest.mark.parametrize("trial", range(5))
+@pytest.mark.parametrize("trial", range(7))
 def test_runs_and_hits_paths_agree(spark, tmp_path, trial):
     rng = random.Random(0xC0FFEE + trial)
     n_docs = rng.randrange(80, 300)
