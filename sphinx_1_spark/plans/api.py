@@ -97,6 +97,25 @@ class ApiQueryError(ValueError):
     pass
 
 
+# EscapeString's char set (api/sphinxapi.py:967-968, php:1467-1473 —
+# identical sets; the python regex lists '=' twice, a no-op).  These
+# are the query-syntax specials a client must backslash before
+# embedding user input in a MATCH string; the scanner's escaped mode
+# (Special2Simple, src/sphinx.cpp:3565-3576) then demotes them back
+# to plain chars.
+_ESCAPE_CHARS = '\\()|-!@~"&/^$='
+
+
+def escape_string(s: str) -> str:
+    """SphinxClient::EscapeString: backslash every query-syntax
+    special so arbitrary user input is safe inside a MATCH query.
+    Backslash itself escapes first (it is first in _ESCAPE_CHARS), so
+    the output never re-escapes its own escapes."""
+    for ch in _ESCAPE_CHARS:
+        s = s.replace(ch, "\\" + ch)
+    return s
+
+
 def _attr_types(idx) -> dict[str, str]:
     """Lowercased attr name -> 'int'|'bigint'|'float'|'mva' from the
     docinfo schema."""

@@ -77,11 +77,35 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+)(?=$|\s|[()|"~/\-!^$=@<])
   | (?P<op>[()|"~/\-!^$=])
   | (?P<field>@(?:@relaxed|\*|\(\s*[\w,\s]+\s*\)|\w+)(?:\[\d+\])?)
-  | (?P<word>[^\s()|"~/\-!^$=@]+)
+  | (?P<word>(?:[^\s()|"~/\-!^$=@\\]|\\.)+)
+  | (?P<esc>\\)
   | (?P<ws>\s+)
 """,
     re.VERBOSE,
 )
+
+
+def _escaped_variant(tokenizer: Tokenizer) -> Tokenizer:
+    """Escaped-mode clone for word chunks containing backslashes.
+
+    The reference parses EVERY query through an escaped tokenizer
+    clone (Clone(true), src/sphinxquery.cpp:710), whose GetToken
+    consumes a backslash and demotes the following codepoint per
+    Special2Simple (src/sphinx.cpp:3565-3576, 4280-4292): word-part
+    chars stay in the word ('run\\-ning' -> 'run-ning' when '-' is in
+    the charset), everything else becomes whitespace ('aaa\\!bbb' ->
+    'aaa', 'bbb').  Here the clone serves only chunks that actually
+    contain a backslash, so the backslash-free hot path keeps the
+    vectorized tokenizer (whose equivalence to the scanner path is
+    fuzz-pinned in test_tokenizer_scanner_fuzz)."""
+    var = getattr(tokenizer, "_esc_variant", None)
+    if var is None:
+        import dataclasses
+
+        var = tokenizer._esc_variant = Tokenizer(
+            dataclasses.replace(tokenizer.settings, escaped=True)
+        )
+    return var
 
 
 def _star_core_stream(tokenizer: Tokenizer, core: str, n_stars: int):
@@ -92,6 +116,8 @@ def _star_core_stream(tokenizer: Tokenizer, core: str, n_stars: int):
     (ShortTokenFilter, src/sphinx.cpp:3080-3083) — 'i*' is a live
     keyword even on a min_word_len=3 index.  Emulated by folding the
     bare core through a variant tokenizer with min_word_len=1."""
+    if "\\" in core:
+        tokenizer = _escaped_variant(tokenizer)
     s = tokenizer.settings
     if s.min_word_len <= 1 or n_stars == 0:
         return tokenizer._full_stream(core)
@@ -116,6 +142,8 @@ def _query_stream(tokenizer: Tokenizer, chunk: str):
     world@p+2.  Emulated by folding through a min_word_len=1 variant
     and nulling out tokens shorter than the real min_word_len (query-
     side nulls always step 1; overshort_step is index-only)."""
+    if "\\" in chunk:
+        tokenizer = _escaped_variant(tokenizer)
     s = tokenizer.settings
     if s.min_word_len <= 1 or tokenizer._mmseg is not None:
         # MMSEG dictionary words bypass min_word_len inside GetToken —
@@ -165,6 +193,11 @@ class _Lexer:
                 raise QueryParseError(f"cannot lex query at {text[pos:]!r}")
             pos = m.end()
             if m.lastgroup == "ws":
+                continue
+            if m.lastgroup == "esc":
+                # dangling backslash (nothing to escape): the escaped
+                # tokenizer consumes it and hits EOF/whitespace — a
+                # no-op, not a lex error
                 continue
             if m.lastgroup == "num":
                 # numbers are lexed RAW before the tokenizer sees them
