@@ -156,6 +156,28 @@ def q_dictionary(spark, sf_dir):
     )
 
 
+def q_buildstops(spark, sf_dir):
+    """indexer --buildstops top-N (CSphStopwordBuilderDict,
+    src/indexer.cpp:173-245, wired at :911-932): most-frequent RAW
+    tokenized words.  The settings here deliberately carry stopwords +
+    morphology so the gate pins that dict-level transforms are NOT
+    applied (the builder dict's no-op LoadStopwords/SetMorphology) —
+    'the' must still top the list.  docs = document frequency
+    (port-added observability; the reference file is word [+freq]).
+    Ordered freq DESC, word ASC (deterministic tie-break; reference
+    tie order is hash-iteration, unspecified)."""
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.segment_index import build_stopwords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    settings = TokenizerSettings(
+        stopwords=frozenset({"the"}), morphology=("stem_en",)
+    )
+    return build_stopwords(
+        docs, settings, top_n=20, text_col="text", with_docs=True
+    ).select("word", "docs", F.col("freq").alias("hits"))
+
+
 def q_match_count(spark, sf_dir):
     """total_found semantics (CSphQueryResult.m_iTotalMatches)."""
     idx = _docs_index(spark, sf_dir)
@@ -1373,6 +1395,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_proximity_bm25r": q_proximity_bm25r,
         "q_wordcount": q_wordcount,
         "q_dictionary": q_dictionary,
+        "q_buildstops": q_buildstops,
         "q_match_count": q_match_count,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_jaccard": q_dedup_jaccard,
@@ -1613,6 +1636,14 @@ SELECT word, count(DISTINCT doc_id) AS docs, count(*) AS hits
 FROM hits GROUP BY word
 ORDER BY docs DESC, word ASC LIMIT 20"""
 
+    # --buildstops counts RAW tokens (builder dict's no-op stopwords/
+    # morphology), so the oracle is the plain regex-token counts even
+    # though the Spark side passes stopwords+morphology settings
+    buildstops = t + """
+SELECT word, count(DISTINCT doc_id) AS docs, count(*) AS hits
+FROM hits GROUP BY word
+ORDER BY hits DESC, word ASC LIMIT 20"""
+
     match_count = t + """
 SELECT count(*) AS total_found FROM (
   SELECT DISTINCT doc_id FROM hits WHERE word IN ('table', 'scan'))"""
@@ -1641,6 +1672,7 @@ ORDER BY weight DESC, doc_id ASC LIMIT 100"""
         "q_proximity_bm25r": _topk_sql(prox),
         "q_wordcount": wordcount,
         "q_dictionary": dictionary,
+        "q_buildstops": buildstops,
         "q_match_count": match_count,
     }
     # legacy-mode emulations share the ext-syntax oracles
@@ -2749,7 +2781,7 @@ _MERGES: list[tuple[str, str | None, list[str]]] = [
     ]),
     ("q_wand", "dw", ["q_wand_and", "q_wand_or"]),
     ("q_counts", None, ["q_match_count", "q_wildcard_count", "q_infix_count"]),
-    ("q_dict_stats", None, ["q_dictionary", "q_keywords"]),
+    ("q_dict_stats", None, ["q_dictionary", "q_keywords", "q_buildstops"]),
     ("q_group_period", None, [
         "q_group_day", "q_group_week", "q_group_month", "q_group_year",
     ]),

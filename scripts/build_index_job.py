@@ -38,7 +38,21 @@ def main() -> None:
     ap.add_argument("--docid-mode", default="fingerprint")
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--mmseg-dict", default=None)
+    ap.add_argument(
+        "--buildstops",
+        nargs=2,
+        metavar=("OUTPUT", "N"),
+        help="build a candidate-stopwords list instead of indexing "
+        "(indexer --buildstops <output.txt> <N>, src/indexer.cpp:911)",
+    )
+    ap.add_argument(
+        "--buildfreqs",
+        action="store_true",
+        help="store word frequencies to the output (with --buildstops only)",
+    )
     args = ap.parse_args()
+    if args.buildfreqs and not args.buildstops:
+        ap.error("--buildfreqs is used with --buildstops only")
 
     from pyspark.sql import SparkSession
 
@@ -74,6 +88,31 @@ def main() -> None:
         ngram_chars="" if args.mmseg_dict else "U+4E00..U+9FBF",
         mmseg_dict_path=args.mmseg_dict,
     )
+    if args.buildstops:
+        # like the reference, --buildstops replaces indexing entirely
+        # (DoIndex returns after tDict.Save, src/indexer.cpp:911-934)
+        from sphinx_1_spark.plans.segment_index import (
+            build_stopwords,
+            save_stopwords,
+        )
+
+        out_path, top_n = args.buildstops[0], int(args.buildstops[1])
+        t0 = time.perf_counter()
+        top = build_stopwords(pages, tok, top_n=top_n)
+        n = save_stopwords(top, out_path, with_freqs=args.buildfreqs)
+        print(
+            json.dumps(
+                {
+                    "buildstops": out_path,
+                    "words": n,
+                    "freqs": bool(args.buildfreqs),
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                }
+            )
+        )
+        spark.stop()
+        return
+
     from sphinx_1_spark.plans.segment_index import segment_complete
 
     pre_complete = {

@@ -246,6 +246,147 @@ def build_segments(
     return paths
 
 
+def stopword_builder_settings(settings: TokenizerSettings) -> TokenizerSettings:
+    """The --buildstops tokenization contract: the reference swaps the
+    index dict for CSphStopwordBuilderDict (src/indexer.cpp:173-211,
+    wired at :923-932), whose LoadStopwords/LoadWordforms/SetMorphology
+    are no-ops and GetMultiWordforms returns NULL — so every DICT-level
+    transform is off while TOKENIZER-level behavior (charset folding,
+    min_word_len, synonyms, CJK segmentation, ignore_chars, boundaries)
+    stays the index's own.  index_exact_words is dict-level too (the
+    "=raw" twin hits come from GetWordIDNonStemmed): off."""
+    import dataclasses
+
+    return dataclasses.replace(
+        settings,
+        stopwords=frozenset(),
+        wordforms=(),
+        morphology=(),
+        multiforms=(),
+        index_exact_words=False,
+    )
+
+
+def build_stopwords(
+    pages: DataFrame,
+    settings: TokenizerSettings | None = None,
+    *,
+    top_n: int = 100,
+    text_col: str | None = None,
+    html_col: str = "html",
+    with_docs: bool = False,
+    remove_elements: str = "script, style",
+    index_attrs: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """indexer --buildstops <out> <N> (src/indexer.cpp:911-932): run
+    the source pipeline, count every token the dict would see, return
+    the N most frequent as candidate stopwords.
+
+    Counts are over RAW tokenized words — stopwords/wordforms/
+    morphology/multiforms deliberately NOT applied (the builder dict's
+    no-op overrides, see stopword_builder_settings).  Returns
+    (word, freq[, docs]) ordered freq DESC, word ASC.  The reference
+    sorts by count only (Word_t operator<, src/indexer.cpp:167-170) and
+    breaks ties in hash-iteration order — unspecified; the word ASC
+    tie-break is this port's documented deterministic deviation.
+    `docs` (document frequency) is optional extra observability this
+    port adds for ranking diagnostics; the file writer never emits it.
+
+    Scale shape: one Arrow map stage emits per-batch PARTIAL counts
+    (map-side combine in numpy — the shuffle carries one row per
+    distinct word per batch, not per occurrence), one groupBy("word")
+    sum-shuffle, then TakeOrdered(top_n).  At 10^12 docs the shuffle
+    volume is bounded by batches x vocabulary, and the head term's
+    partials spread across all map tasks — no skewed reduce key ever
+    sees more than one row per map batch."""
+    tok_settings = stopword_builder_settings(
+        settings or TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
+    )
+    if text_col is not None:
+        proj = pages.select(F.col(text_col).alias("payload"))
+        is_html = False
+    else:
+        proj = pages.select(F.col(html_col).alias("payload"))
+        is_html = True
+    attrs_cfg = index_attrs if index_attrs is not None else {"img": ["alt"]}
+    cfg = (remove_elements, tuple(sorted((k, tuple(v)) for k, v in attrs_cfg.items())))
+
+    out_schema = (
+        "word string, freq long, docs long" if with_docs else "word string, freq long"
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sphinx_1_spark.functions.tokenizer import Tokenizer
+
+        stripper = None
+        if is_html:
+            from sphinx_1_spark.functions.stripper import HtmlStripper
+
+            stripper = HtmlStripper(cfg[0], {k: list(v) for k, v in cfg[1]})
+        tok = Tokenizer(tok_settings)
+        for pdf in batches:
+            words: list[str] = []
+            ndoc: list[int] = []  # tokens per doc (with_docs segmenting)
+            for payload in pdf["payload"].tolist():
+                if payload is None:
+                    continue
+                text = (
+                    stripper.strip(bytes(payload)).decode("utf-8", "replace")
+                    if stripper is not None
+                    else payload
+                )
+                toks = tok.tokenize(text)
+                if toks:
+                    words.extend(toks)
+                    ndoc.append(len(toks))
+            if not words:
+                continue
+            w = np.asarray(words, dtype=object)
+            uw, winv = np.unique(w, return_inverse=True)
+            freq = np.bincount(winv, minlength=uw.size)
+            cols = {"word": uw, "freq": freq.astype(np.int64)}
+            if with_docs:
+                # distinct (doc, word) pairs inside the batch: docs are
+                # whole rows, so per-batch doc counts sum globally
+                did = np.repeat(np.arange(len(ndoc), dtype=np.int64), ndoc)
+                pair = did * uw.size + winv
+                uniq_words = np.unique(pair) % uw.size
+                cols["docs"] = np.bincount(
+                    uniq_words, minlength=uw.size
+                ).astype(np.int64)
+            yield pd.DataFrame(cols)
+
+    partials = proj.mapInPandas(gen, schema=out_schema)
+    aggs = [F.sum("freq").alias("freq")]
+    if with_docs:
+        aggs.append(F.sum("docs").alias("docs"))
+    return (
+        partials.groupBy("word")
+        .agg(*aggs)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(int(top_n))
+    )
+
+
+def save_stopwords(df: DataFrame, path: str, with_freqs: bool = False) -> int:
+    """CSphStopwordBuilderDict::Save (src/indexer.cpp:213-245): write
+    the top words one per line; with --buildfreqs each line is
+    "word count".  The input is the (already top_n-limited) frame from
+    build_stopwords — a bounded driver-side collect by construction.
+    Returns the number of lines written.  Same temp+rename protocol as
+    the segment manifest so a kill can't leave a truncated file."""
+    rows = df.select("word", "freq").collect()
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(f"{r['word']} {r['freq']}\n" if with_freqs else f"{r['word']}\n")
+    os.replace(tmp, path)
+    return len(rows)
+
+
 # ----------------------------------------------------------------------
 class SegmentSet:
     """Union of complete segments served as one logical index
