@@ -1,11 +1,26 @@
 #!/usr/bin/env python
-"""Segment describe/dump utility — the `indextool` equivalent
-(src/indextool.cpp:19-157: header dump + dictionary stats, re-expressed
-over the parquet segment store).
+"""Segment describe/dump/query utility — the `indextool` + `search`
+CLI equivalent (src/indextool.cpp:19-157: header dump + dictionary
+stats; src/search.cpp:41-441: the daemon-less query tool), re-expressed
+over the parquet segment store.
 
 Usage:
   python scripts/segment_tool.py describe <segment_dir ...>
   python scripts/segment_tool.py dictionary <segment_dir ...> [--top N]
+  python scripts/segment_tool.py search <segment_dir ...> [OPTIONS] <word ...>
+
+search options (src/search.cpp:46-68):
+  -a|--any  -b|--boolean  -p|--phrase  -e|--ext  -e2|--ext2   match mode
+  -f|--filter <attr> <v>     only match if attr == v (like the
+                             reference, each -f RESETS the list — only
+                             the last -f is in effect, search.cpp:124)
+  -s|--sortby <CLAUSE>       sort_extended clause
+  -S|--sortexpr <EXPR>       sort_expr, EXPR DESC
+  --sort=date | --rsort=date sort by the first timestamp attr
+  --sort=ts                  time-segments sort on that attr
+  -g|--group <attr>          group by attr    -gs|--groupsort <expr>
+  -o|--offset N  -l|--limit N  (defaults 0 / 20)
+  --stdin                    read the query from stdin
 """
 
 from __future__ import annotations
@@ -64,6 +79,182 @@ def dictionary(paths: list[str], top: int) -> None:
         print(f"{r['word']}\t{r['docs']}\t{r['hits']}")
 
 
+def search(paths: list[str], opts: list[str]) -> int:
+    """The `search` CLI (src/search.cpp:41-441): run one query against
+    the segment store and print matches in the reference's format —
+    `N. document=<id>, weight=<w>, attr=<v>...` then per-word stats.
+    Options parse like the reference's hand-rolled loop: non-option
+    args concatenate into the query string (search.cpp:135-141)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.api import ApiQuery, ApiQueryError, api_query
+    from sphinx_1_spark.plans.segment_index import SegmentSet
+
+    mode = "all"
+    sortmode, sortby = "relevance", ""
+    want_date_sort = None  # None | "attr_desc" | "attr_asc" | "time_segments"
+    groupattr = None
+    groupsort = "@group desc"
+    offset, limit = 0, 20
+    filt: tuple[str, int] | None = None
+    use_stdin = False
+    words: list[str] = []
+
+    i = 0
+    while i < len(opts):
+        a = opts[i]
+        if a in ("-a", "--any"):
+            mode = "any"
+        elif a in ("-b", "--boolean"):
+            mode = "boolean"
+        elif a in ("-p", "--phrase"):
+            mode = "phrase"
+        elif a in ("-e", "--ext"):
+            mode = "extended"
+        elif a in ("-e2", "--ext2"):
+            mode = "extended2"
+        elif a == "--sort=date":
+            want_date_sort = "attr_desc"
+        elif a == "--rsort=date":
+            want_date_sort = "attr_asc"
+        elif a == "--sort=ts":
+            want_date_sort = "time_segments"
+        elif a == "--stdin":
+            use_stdin = True
+        elif a in ("-o", "--offset", "-l", "--limit", "-s", "--sortby",
+                   "-S", "--sortexpr", "-g", "--group", "-gs", "--groupsort"):
+            if i + 1 >= len(opts):
+                print(f"ERROR: malformed or unknown option near '{a}'.")
+                return 1
+            v = opts[i + 1]
+            i += 1
+            if a in ("-o", "--offset"):
+                offset = max(int(v), 0)
+            elif a in ("-l", "--limit"):
+                limit = max(int(v), 0)
+            elif a in ("-s", "--sortby"):
+                sortmode, sortby = "extended", v
+            elif a in ("-S", "--sortexpr"):
+                sortmode, sortby = "expr", v
+            elif a in ("-g", "--group"):
+                groupattr = v
+            else:
+                groupsort = v
+        elif a in ("-f", "--filter"):
+            if i + 2 >= len(opts):
+                print(f"ERROR: malformed or unknown option near '{a}'.")
+                return 1
+            # reference quirk kept: m_dFilters.Reset() per -f
+            # (search.cpp:124) — only the LAST -f survives
+            filt = (opts[i + 1], int(opts[i + 2]))
+            i += 2
+        elif a.startswith("-"):
+            print(f"ERROR: malformed or unknown option near '{a}'.")
+            return 1
+        else:
+            words.append(a)
+        i += 1
+
+    query = " ".join(words) + (" " if words else "")
+    if use_stdin:
+        query = sys.stdin.read()
+
+    spark = _spark()
+    ss = SegmentSet(spark, paths)
+    idx = ss.sphinx_index(
+        TokenizerSettings(ngram_chars="U+4E00..U+9FBF"), with_attrs=True
+    )
+
+    if want_date_sort is not None:
+        # "lookup first timestamp if needed" (search.cpp:286-301):
+        # first timestamp-typed attr; none -> relevance + warning
+        ts_attr = next(
+            (
+                f.name
+                for f in idx.docinfo.schema.fields
+                if f.dataType.simpleString() == "timestamp"
+            ),
+            None,
+        )
+        if ts_attr is None:
+            print("no timestamp attributes found, sorting by relevance.")
+        else:
+            sortmode, sortby = (
+                ("time_segments", ts_attr)
+                if want_date_sort == "time_segments"
+                else (want_date_sort, ts_attr)
+            )
+
+    if groupattr is not None:
+        # the reference's group sorter only takes numeric attr keys
+        # (CSphGrouperAttr reads an integer locator,
+        # src/sphinxsort.cpp:239); a string attr would group by
+        # CAST(NULL) — reject like FindGroupByAttr's setup error
+        gt = dict(idx.docinfo.dtypes).get(groupattr)
+        if gt is None or gt == "string":
+            print(
+                f"index 'segments': search error: group-by attribute "
+                f"'{groupattr}' not found or invalid type."
+            )
+            return 1
+
+    filters = None
+    if filt is not None:
+        attr, val = filt
+        dtypes = dict(idx.docinfo.dtypes)
+        if attr not in dtypes:
+            print(f"search error: no such filter attribute '{attr}'.")
+            return 1
+        col = F.col(attr)
+        # the reference's -f parses an unsigned int (strtoul); attrs
+        # here may be string/timestamp — compare in the column's own
+        # domain (timestamp via epoch seconds)
+        cond = (
+            col.cast("long") == val
+            if dtypes[attr].startswith("timestamp")
+            else col == (str(val) if dtypes[attr] == "string" else val)
+        )
+        filters = [cond]
+
+    q = ApiQuery(
+        query=query.strip(),
+        mode=mode,
+        sortmode=sortmode,
+        sortby=sortby,
+        groupattr=groupattr,
+        groupsort=groupsort,
+        filters=filters,
+        offset=offset,
+        limit=limit,
+        max_matches=max(1000, offset + limit),
+    )
+    t0 = _time.perf_counter()
+    try:
+        rows, meta = api_query([("segments", idx, None)], q)
+    except ApiQueryError as e:
+        print(f"index 'segments': search error: {e}.")
+        return 1
+    ms = int((_time.perf_counter() - t0) * 1000)
+    print(
+        f"index 'segments': query '{query}': returned {len(rows)} matches "
+        f"of {meta['total_found']} total in {ms // 1000}.{ms % 1000:03d} sec"
+    )
+    if rows:
+        print("\ndisplaying matches:")
+        attr_names = [k for k in rows[0].asDict() if k not in ("docid", "weight")]
+        for n, r in enumerate(rows, 1 + offset):
+            d = r.asDict()
+            extras = "".join(f", {k}={d[k]}" for k in attr_names)
+            print(f"{n}. document={d['docid']}, weight={d['weight']}{extras}")
+    print("\nwords:")
+    for n, (w, st) in enumerate(meta["words"].items(), 1):
+        print(f"{n}. '{w}': {st['docs']} documents, {st['hits']} hits")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 3:
         print(__doc__)
@@ -85,6 +276,18 @@ def main(argv: list[str]) -> int:
         describe(args)
     elif cmd == "dictionary":
         dictionary(args, top)
+    elif cmd == "search":
+        # leading args that are segment dirs, then options + query
+        # words (the reference takes indexes from sphinx.conf; the
+        # segment store paths play that role here)
+        raw = argv[2:]
+        paths = []
+        while raw and os.path.isdir(raw[0]):
+            paths.append(raw.pop(0))
+        if not paths:
+            print("usage: search <segment_dir ...> [OPTIONS] <word ...>")
+            return 1
+        return search(paths, raw)
     else:
         print(f"unknown command {cmd!r}")
         return 1

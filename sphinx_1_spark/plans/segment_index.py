@@ -430,14 +430,30 @@ class SegmentSet:
         return out
 
     # ------------------------------------------------------------------
-    def sphinx_index(self, tokenizer: TokenizerSettings | None = None) -> SphinxIndex:
+    def sphinx_index(
+        self,
+        tokenizer: TokenizerSettings | None = None,
+        with_attrs: bool = False,
+    ) -> SphinxIndex:
         """Full-fidelity engine over decoded postings: every MATCH
-        operator / ranker works against the compressed store."""
+        operator / ranker works against the compressed store.
+
+        with_attrs=True carries the segment docinfo's attribute
+        columns (url, warc_ts, lang) into the served index so API
+        filters / attr sorts / grouping can reference them — the
+        search-CLI path (src/search.cpp binds the full .spa row).
+        Default False keeps the lean docid-only docinfo for the
+        MATCH/WAND serving paths that never touch attrs."""
         tok = tokenizer or TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
+        docinfo = (
+            self.docinfo
+            if with_attrs
+            else self.docinfo.select(F.col("docid"))
+        )
         settings = IndexSettings(
             docid_col="docid",
             fields=("text",),
-            attrs=(),
+            attrs=tuple(c for c in docinfo.columns if c != "docid"),
             tokenizer=tok,
             tokenizer_impl="arrow",
             with_positions=self.with_positions,
@@ -449,7 +465,7 @@ class SegmentSet:
             settings,
             postings,
             dictionary,
-            self.docinfo.select(F.col("docid")),
+            docinfo,
             self.n_docs,
         )
 

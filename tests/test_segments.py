@@ -366,3 +366,84 @@ def test_segment_tool_cli(built_segments, capsys):
     # unknown command / missing args fail cleanly
     assert segment_tool.main(["segment_tool", "frobnicate", "x"]) == 1
     assert segment_tool.main(["segment_tool"]) == 1
+
+
+def test_segment_tool_search_cli(built_segments, capsys):
+    """search CLI analog (scripts/segment_tool.py search,
+    src/search.cpp:41-441): query the segment store from the command
+    line, print matches in the reference's `N. document=, weight=`
+    format plus per-word stats; --sort=date resolves the first
+    timestamp attr (search.cpp:286-301); a string group attr is
+    rejected like the sorter's setup error."""
+    import pathlib
+    import re as _re
+    import sys as _sys
+
+    ss, out, _pages = built_segments
+    paths = sorted(str(p) for p in pathlib.Path(out).iterdir() if p.is_dir())
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import segment_tool
+
+    # any-mode over the head term: header counts + word stats must
+    # agree with the merged dictionary
+    rc = segment_tool.main(
+        ["segment_tool", "search", *paths, "-a", "-l", "3", "the"]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    df_the = (
+        ss.dictionary.where(F.col("word") == "the")
+        .groupBy("word")
+        .agg(F.sum("docs").alias("docs"), F.sum("hits").alias("hits"))
+        .collect()[0]
+    )
+    m = _re.search(r"returned (\d+) matches of (\d+) total", text)
+    assert m and int(m.group(1)) == 3 and int(m.group(2)) == df_the["docs"]
+    assert (
+        f"1. '{'the'}': {df_the['docs']} documents, {df_the['hits']} hits"
+        in text
+    )
+    body = [ln for ln in text.splitlines() if _re.match(r"\d+\. document=", ln)]
+    assert len(body) == 3
+    assert all(", weight=" in ln and ", url=" in ln for ln in body)
+
+    # --sort=date: warc_ts strictly non-increasing down the page
+    rc = segment_tool.main(
+        ["segment_tool", "search", *paths, "-a", "--sort=date", "-l", "5", "the"]
+    )
+    assert rc == 0
+    stamps = _re.findall(
+        r"warc_ts=([0-9: -]+),", capsys.readouterr().out
+    )
+    assert len(stamps) == 5 and stamps == sorted(stamps, reverse=True)
+    # --rsort=date ascends
+    rc = segment_tool.main(
+        ["segment_tool", "search", *paths, "-a", "--rsort=date", "-l", "5", "the"]
+    )
+    assert rc == 0
+    up = _re.findall(r"warc_ts=([0-9: -]+),", capsys.readouterr().out)
+    assert len(up) == 5 and up == sorted(up)
+
+    # -f on a string attr compares in the string domain: no lang == '5'
+    rc = segment_tool.main(
+        ["segment_tool", "search", *paths, "-a", "-f", "lang", "5", "the"]
+    )
+    assert rc == 0
+    assert "returned 0 matches of 0 total" in capsys.readouterr().out
+
+    # string group attr -> reference-style setup error
+    rc = segment_tool.main(
+        ["segment_tool", "search", *paths, "-a", "-g", "lang", "the"]
+    )
+    assert rc == 1
+    assert "not found or invalid type" in capsys.readouterr().out
+
+    # unknown option -> reference-style malformed-option error
+    rc = segment_tool.main(
+        ["segment_tool", "search", *paths, "--frobnicate", "the"]
+    )
+    assert rc == 1
+    assert "malformed or unknown option" in capsys.readouterr().out
+
+    # no segment dirs -> usage
+    assert segment_tool.main(["segment_tool", "search", "-a", "the"]) == 1
