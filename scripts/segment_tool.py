@@ -93,6 +93,14 @@ def search(paths: list[str], opts: list[str]) -> int:
     from sphinx_1_spark.plans.api import ApiQuery, ApiQueryError, api_query
     from sphinx_1_spark.plans.segment_index import SegmentSet
 
+    def _atoi(s: str) -> int:
+        """C atoi/strtoul semantics (search.cpp:112-124): parse the
+        leading [sign+]digits, 0 on junk — never a traceback."""
+        import re as _re
+
+        m = _re.match(r"\s*([+-]?\d+)", s)
+        return int(m.group(1)) if m else 0
+
     mode = "all"
     sortmode, sortby = "relevance", ""
     want_date_sort = None  # None | "attr_desc" | "attr_asc" | "time_segments"
@@ -132,9 +140,9 @@ def search(paths: list[str], opts: list[str]) -> int:
             v = opts[i + 1]
             i += 1
             if a in ("-o", "--offset"):
-                offset = max(int(v), 0)
+                offset = max(_atoi(v), 0)
             elif a in ("-l", "--limit"):
-                limit = max(int(v), 0)
+                limit = max(_atoi(v), 0)
             elif a in ("-s", "--sortby"):
                 sortmode, sortby = "extended", v
             elif a in ("-S", "--sortexpr"):
@@ -149,7 +157,7 @@ def search(paths: list[str], opts: list[str]) -> int:
                 return 1
             # reference quirk kept: m_dFilters.Reset() per -f
             # (search.cpp:124) — only the LAST -f survives
-            filt = (opts[i + 1], int(opts[i + 2]))
+            filt = (opts[i + 1], _atoi(opts[i + 2]))
             i += 2
         elif a.startswith("-"):
             print(f"ERROR: malformed or unknown option near '{a}'.")
