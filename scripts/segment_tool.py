@@ -7,6 +7,8 @@ over the parquet segment store.
 Usage:
   python scripts/segment_tool.py describe <segment_dir ...>
   python scripts/segment_tool.py dictionary <segment_dir ...> [--top N]
+  python scripts/segment_tool.py dumpdocids <segment_dir ...>
+  python scripts/segment_tool.py dumphitlist <segment_dir ...> <keyword>
   python scripts/segment_tool.py search <segment_dir ...> [OPTIONS] <word ...>
 
 search options (src/search.cpp:46-68):
@@ -77,6 +79,94 @@ def dictionary(paths: list[str], top: int) -> None:
     )
     for r in d.collect():
         print(f"{r['word']}\t{r['docs']}\t{r['hits']}")
+
+
+def dumpdocids(paths: list[str]) -> int:
+    """indextool --dumpdocids (indextool.cpp:67 → DebugDumpDocids,
+    src/sphinx.cpp:15209-15231): a three-line docinfo header, then one
+    `N. id=<docid>` line per docinfo row in docid order.
+
+    The reference reads fixed-stride DWORD rows off the mmapped .spa;
+    our docinfo is columnar parquet, so the header's analogs are the
+    on-disk parquet byte size and the column count.  Rows stream to
+    the driver via toLocalIterator — one partition in flight, never
+    the whole corpus (the reference's loop is likewise a single scan)."""
+    from sphinx_1_spark.plans.segment_index import SegmentSet
+
+    spark = _spark()
+    ss = SegmentSet(spark, paths)
+    nbytes = 0
+    for p in paths:
+        d = os.path.join(p, "docinfo")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                nbytes += os.path.getsize(os.path.join(d, f))
+    print(f"docinfo-bytes: {nbytes}")
+    print(f"docinfo-stride: {len(ss.docinfo.columns)}")
+    print(f"docinfo-rows: {ss.n_docs}")
+    n = 0
+    for r in ss.docinfo.select("docid").sort("docid").toLocalIterator():
+        n += 1
+        print(f"{n}. id={r['docid']}")
+    return 0
+
+
+def dumphitlist(paths: list[str], keyword: str, settings=None) -> int:
+    """indextool --dumphitlist (indextool.cpp:70 → DebugDumpHitlist,
+    src/sphinx.cpp:15233-15288): tokenize the keyword through the
+    index tokenizer, resolve its wordid through the dictionary, then
+    print every hit as `doc=<docid>, hit=0x%08x` — including, per doc,
+    the terminating `hit=0x00000000` entry (the reference's do/while
+    prints the sentinel GetHitlistEntry before breaking).
+
+    Hits print in (docid, packed-hitpos) order — the .spd/.spp stream
+    order.  The decode touches only the keyword's blocks (wordid
+    pushdown onto the wordid-sorted parquet) and streams them through
+    toLocalIterator, so the tool is usable on a web-scale store.
+    Error texts mirror sphDie's: `FATAL: keyword=.., no token (too
+    short?)` / `no wordid (stopped?)`."""
+    from pyspark.sql import functions as F
+
+    from sphinx_1_spark.functions.tokenizer import Tokenizer, TokenizerSettings
+    from sphinx_1_spark.functions.wordid import crc32_word
+    from sphinx_1_spark.operators.segments import decode_blocks
+    from sphinx_1_spark.plans.segment_index import SegmentSet
+
+    settings = settings or TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
+    stream = Tokenizer(settings).tokenize_with_raw(keyword)
+    if not stream:
+        print(f"FATAL: keyword={keyword}, no token (too short?)")
+        return 1
+    # the reference prints the raw GetToken output; the wordid is the
+    # dict's (normalized = wordforms/morphology applied, None for a
+    # stopword — GetWordID returning 0, src/sphinx.cpp:17023-17027)
+    norm, raw = stream[0]
+    if norm is None:
+        print(f"FATAL: keyword={keyword}, tok={raw}, no wordid (stopped?)")
+        return 1
+
+    spark = _spark()
+    ss = SegmentSet(spark, paths)
+    hit = ss.dictionary.filter(F.col("word") == norm).select("wordid").collect()
+    # absent words still print the header with the dict-computed id
+    # (crc32, the segment build's GetWordID) and dump nothing — the
+    # reference only dies when the wordlist *setup* fails, not when
+    # the doclist is empty
+    wordid = int(hit[0]["wordid"]) if hit else crc32_word(norm)
+    print(f"keyword={keyword}, tok={raw}, wordid={wordid}")
+
+    decoded = decode_blocks(
+        ss.blocks.filter(F.col("wordid") == wordid),
+        with_positions=ss.with_positions,
+    ).sort("docid")
+    for r in decoded.toLocalIterator():
+        doc = r["docid"]
+        if ss.with_positions:
+            for pos in r["positions"]:
+                print(f"doc={doc}, hit=0x{pos & 0xFFFFFFFF:08x}")
+        # the zero sentinel the reference's do/while emits per doc
+        print(f"doc={doc}, hit=0x00000000")
+    return 0
 
 
 def search(paths: list[str], opts: list[str]) -> int:
@@ -284,6 +374,15 @@ def main(argv: list[str]) -> int:
         describe(args)
     elif cmd == "dictionary":
         dictionary(args, top)
+    elif cmd == "dumpdocids":
+        return dumpdocids(args)
+    elif cmd == "dumphitlist":
+        # last arg is the keyword, everything before it segment dirs
+        # (indextool takes <INDEXNAME> <KEYWORD>, indextool.cpp:70)
+        if len(args) < 2:
+            print("usage: dumphitlist <segment_dir ...> <keyword>")
+            return 1
+        return dumphitlist(args[:-1], args[-1])
     elif cmd == "search":
         # leading args that are segment dirs, then options + query
         # words (the reference takes indexes from sphinx.conf; the

@@ -368,6 +368,114 @@ def test_segment_tool_cli(built_segments, capsys):
     assert segment_tool.main(["segment_tool"]) == 1
 
 
+def test_segment_tool_dumpdocids(built_segments, capsys):
+    """indextool --dumpdocids analog (DebugDumpDocids,
+    src/sphinx.cpp:15209-15231): three header lines then `N. id=<docid>`
+    per docinfo row, docid-ascending, numbering from 1 — checked
+    against the docinfo table itself."""
+    import pathlib
+    import sys as _sys
+
+    ss, out, _ = built_segments
+    paths = sorted(str(p) for p in pathlib.Path(out).iterdir() if p.is_dir())
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import segment_tool
+
+    assert segment_tool.main(["segment_tool", "dumpdocids", *paths]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].startswith("docinfo-bytes: ")
+    assert int(lines[0].split(": ")[1]) > 0
+    assert lines[1] == f"docinfo-stride: {len(ss.docinfo.columns)}"
+    want_ids = sorted(r["docid"] for r in ss.docinfo.select("docid").collect())
+    assert lines[2] == f"docinfo-rows: {len(want_ids)}"
+    assert lines[3:] == [
+        f"{n}. id={d}" for n, d in enumerate(want_ids, 1)
+    ]
+
+
+def test_segment_tool_dumphitlist(built_segments, capsys):
+    """indextool --dumphitlist analog (DebugDumpHitlist,
+    src/sphinx.cpp:15233-15288): header `keyword=, tok=, wordid=`, then
+    `doc=, hit=0x%08x` per packed hit in (docid, hitpos) stream order,
+    each doc closed by the reference do/while's `hit=0x00000000`
+    sentinel line.  Values checked against decode_blocks directly."""
+    import pathlib
+    import re
+    import sys as _sys
+
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.operators.segments import decode_blocks
+
+    ss, out, _ = built_segments
+    paths = sorted(str(p) for p in pathlib.Path(out).iterdir() if p.is_dir())
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import segment_tool
+
+    # pick the highest-df dictionary word so the dump spans many docs
+    word_row = (
+        ss.dictionary.orderBy(F.col("docs").desc(), F.col("word").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    word, wordid = word_row["word"], int(word_row["wordid"])
+
+    assert segment_tool.main(["segment_tool", "dumphitlist", *paths, word]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == f"keyword={word}, tok={word}, wordid={wordid}"
+
+    postings = sorted(
+        (
+            (r["docid"], list(r["positions"]))
+            for r in decode_blocks(
+                ss.blocks.filter(F.col("wordid") == wordid), with_positions=True
+            ).collect()
+        ),
+    )
+    want = []
+    for docid, positions in postings:
+        want += [f"doc={docid}, hit=0x{p:08x}" for p in positions]
+        want.append(f"doc={docid}, hit=0x00000000")  # do/while sentinel
+    assert lines[1:] == want
+    # every non-sentinel hit is a packed (field<<24 | pos) DWORD
+    for ln in lines[1:]:
+        m = re.fullmatch(r"doc=\d+, hit=0x([0-9a-f]{8})", ln)
+        assert m, ln
+
+    # absent word: header with the dict-computed crc32 id, no hits
+    from sphinx_1_spark.functions.wordid import crc32_word
+
+    assert (
+        segment_tool.main(
+            ["segment_tool", "dumphitlist", *paths, "zzzunindexedzzz"]
+        )
+        == 0
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines == [
+        "keyword=zzzunindexedzzz, tok=zzzunindexedzzz, "
+        f"wordid={crc32_word('zzzunindexedzzz')}"
+    ]
+
+    # sphDie analogs: no token (specials only) / stopword -> wordid 0
+    assert segment_tool.main(["segment_tool", "dumphitlist", *paths, "!!"]) == 1
+    assert (
+        capsys.readouterr().out.strip()
+        == "FATAL: keyword=!!, no token (too short?)"
+    )
+    assert (
+        segment_tool.dumphitlist(
+            paths, "the", settings=TokenizerSettings(stopwords=frozenset({"the"}))
+        )
+        == 1
+    )
+    assert (
+        capsys.readouterr().out.strip()
+        == "FATAL: keyword=the, tok=the, no wordid (stopped?)"
+    )
+    # missing keyword arg
+    assert segment_tool.main(["segment_tool", "dumphitlist", paths[0]]) == 1
+
+
 def test_segment_tool_search_cli(built_segments, capsys):
     """search CLI analog (scripts/segment_tool.py search,
     src/search.cpp:41-441): query the segment store from the command
