@@ -563,3 +563,140 @@ def embedding_neardup_bucketed(
         .applyInPandas(per_bucket, schema)
         .select("a", "b", "cos")
     )
+
+
+# ----------------------------------------------------------------------
+# connected components / cluster-level dedup
+#
+# The pair finders above answer "which docs are near-duplicates of
+# each other"; a training pipeline needs the transitive answer: the
+# CLUSTER each doc belongs to and one canonical survivor per cluster
+# (A~B and B~C must collapse to one kept doc even when A~C was never
+# emitted).  Alternating large-star / small-star (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) is the
+# standard shuffle-parallel algorithm: O(log n) rounds, each round two
+# groupBy shuffles over the edge set, no driver-side graph state —
+# the shape that survives 10^12 edges where label propagation would
+# need diameter rounds (a re-crawl chain u1~u2~...~uk is exactly the
+# worst case) and GraphX/driver union-find would not fit at all.
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge: (u,v) + (v,u)."""
+    return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _edges_signature(edges: DataFrame) -> tuple:
+    """Cheap convergence fingerprint: (count, sum of row hashes).
+    Driver-side scalars only — never the edge set itself."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("u", "v").cast("long")).alias("h"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`, where
+    `component` is the smallest node id in its connected component
+    (so the component id doubles as the canonical-survivor id).
+
+    Alternating large-star/small-star over the undirected edge set:
+
+      large-star: every node links its LARGER neighbors to
+        min(N(u) + {u});
+      small-star: every node links its smaller-or-equal neighbors
+        (and itself) to their minimum.
+
+    Each round is two groupBy("u") shuffles; the edge set only
+    shrinks toward a star forest rooted at component minima, reached
+    in O(log n) rounds.  Per round the edge lineage is truncated with
+    localCheckpoint (on a cluster with a checkpoint dir configured,
+    `df.checkpoint()` is the durable equivalent) — without it the
+    plan doubles every iteration and the optimizer, not the shuffle,
+    becomes the bottleneck.  Skewed hub nodes are safe: a hub's
+    neighbor list reduces to ONE min per groupBy (partial agg
+    map-side), never a cross product.
+
+    Self-loops are dropped, duplicate/reversed pairs collapse via
+    distinct.  Nodes with no surviving pair (singletons) are not in
+    the output — callers keep them via left_anti (see neardup_dedup).
+    Raises RuntimeError if max_iter rounds do not converge (cannot
+    happen for max_iter >= ~2*log2(n); the guard exists so a bug
+    surfaces as an error, not an infinite job)."""
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star
+        und = _sym(edges)
+        mins = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        edges = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: for each u, its strictly-smaller neighbors
+        # v (m = their min, <= every v < u) — link each v != m and u
+        # itself to m
+        smaller = _sym(edges).where(F.col("v") < F.col("u"))
+        mins2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        via_nbr = (
+            smaller.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        via_self = mins2.select(F.col("u"), F.col("m").alias("v"))
+        edges = via_nbr.union(via_self).distinct().localCheckpoint(eager=True)
+        sig = _edges_signature(edges)
+        if sig == prev_sig:
+            # star forest reached: edges are (child, root), root = min
+            roots = edges.select(F.col("v")).distinct()
+            return edges.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            ).union(
+                roots.select(
+                    F.col("v").alias("node"), F.col("v").alias("component")
+                )
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep one canonical doc (the smallest id) per near-duplicate
+    component, plus every doc not in any pair.  The transitive closure
+    of any pair finder above: pass it ngram_jaccard_pairs /
+    minhash_lsh_pairs / simhash_neardup_pairs / embedding pairs output.
+
+    One anti-join against the non-canonical members — the same
+    kill-list shape the serving layer uses, so AQE picks broadcast vs
+    shuffle by the loser set's actual size."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
