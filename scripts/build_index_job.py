@@ -39,6 +39,17 @@ def main() -> None:
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--mmseg-dict", default=None)
     ap.add_argument(
+        "--rotate",
+        action="store_true",
+        help="atomic rotation (indexer --rotate, src/indexer.cpp:1160+ "
+        "sending SIGHUP after the .new build): treat --output as the "
+        "serving ROOT, build into a fresh generation directory under "
+        "it, then atomically promote the generation via the CURRENT "
+        "pointer — readers on open_current_view() never see a partial "
+        "index, and a killed run resumes the same unpromoted "
+        "generation",
+    )
+    ap.add_argument(
         "--buildstops",
         nargs=2,
         metavar=("OUTPUT", "N"),
@@ -115,15 +126,26 @@ def main() -> None:
 
     from sphinx_1_spark.plans.segment_index import segment_complete
 
+    out_dir = args.output
+    generation = None
+    if args.rotate:
+        from sphinx_1_spark.streaming.incremental import read_current
+
+        ptr = read_current(args.output)
+        # deterministic name: the NEXT epoch — a killed, unpromoted
+        # run recomputes the same name and resumes its own shards
+        generation = f"gen-{(ptr['epoch'] + 1) if ptr else 0:010d}"
+        out_dir = os.path.join(args.output, generation)
+
     pre_complete = {
-        os.path.join(args.output, d)
-        for d in (os.listdir(args.output) if os.path.isdir(args.output) else [])
-        if segment_complete(os.path.join(args.output, d))
+        os.path.join(out_dir, d)
+        for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if segment_complete(os.path.join(out_dir, d))
     }
     t0 = time.perf_counter()
     paths = build_segments(
         pages,
-        args.output,
+        out_dir,
         n_shards=args.shards,
         tokenizer=tok,
         with_positions=not args.no_positions,
@@ -139,9 +161,18 @@ def main() -> None:
         total["blocks"] += m["n_blocks"]
         if p not in pre_complete:
             built_docs += m["n_docs"]
+    rotation = {}
+    if args.rotate:
+        from sphinx_1_spark.streaming.incremental import promote
+
+        ptr = promote(
+            args.output, generation, meta={"built_docs": built_docs}
+        )
+        rotation = {"rotated": generation, "epoch": ptr["epoch"]}
     print(
         json.dumps(
             {
+                **rotation,
                 "segments": len(paths),
                 "resumed_segments": len(pre_complete),
                 "wall_s": round(wall, 2),

@@ -196,9 +196,16 @@ class IncrementalView:
         later = self.paths[i + 1 :]
         if not later:
             return None
+        # a full-build shard segment has no killlist table (disjoint
+        # docid spaces by shard hashing — nothing to supersede); treat
+        # it as an empty kill-list so promoted full builds serve too
         dfs = [
-            self.spark.read.parquet(os.path.join(p, "killlist")) for p in later
+            self.spark.read.parquet(os.path.join(p, "killlist"))
+            for p in later
+            if os.path.isdir(os.path.join(p, "killlist"))
         ]
+        if not dfs:
+            return None
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -232,10 +239,12 @@ class IncrementalView:
         kills: list[DataFrame | None] = [None] * len(self.paths)
         acc = None
         for i in range(len(self.paths) - 1, 0, -1):
-            kl = self.spark.read.parquet(
-                os.path.join(self.paths[i], "killlist")
-            )
-            acc = kl if acc is None else acc.unionByName(kl)
+            kl_path = os.path.join(self.paths[i], "killlist")
+            if os.path.isdir(kl_path):
+                # full-build shard= segments carry no killlist table
+                # (disjoint docid spaces) — skip, don't crash
+                kl = self.spark.read.parquet(kl_path)
+                acc = kl if acc is None else acc.unionByName(kl)
             kills[i - 1] = acc
         merged = None
         for i, p in enumerate(self.paths):
@@ -274,9 +283,11 @@ def read_current(root: str) -> dict | None:
 
 def promote(root: str, generation: str, meta: dict | None = None) -> dict:
     """Atomically point `root` at `generation` (a directory under root
-    holding complete delta segments).  Write-temp-then-rename: readers
-    resolve either the old pointer or the new one — a kill between the
-    temp write and the rename leaves the old generation live.
+    holding a complete segment set — incremental `delta=` segments or
+    a full build's `shard=` segments, the `indexer --rotate` analog).
+    Write-temp-then-rename: readers resolve either the old pointer or
+    the new one — a kill between the temp write and the rename leaves
+    the old generation live.
 
     The superseded generation's files are NOT touched (a reader may
     still be serving them); reclaim with vacuum()."""
@@ -284,7 +295,7 @@ def promote(root: str, generation: str, meta: dict | None = None) -> dict:
     segs = [
         os.path.join(gen_dir, d)
         for d in sorted(os.listdir(gen_dir))
-        if d.startswith("delta=")
+        if d.startswith(("delta=", "shard="))
     ]
     if not segs or not all(segment_complete(s) for s in segs):
         raise ValueError(

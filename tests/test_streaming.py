@@ -335,3 +335,66 @@ def test_vacuum_spares_inflight_generation(spark, two_batches, tmp_path):
     assert open_current_view(spark, root).docinfo().count() == 300
     # idempotent: a second vacuum has nothing left to reclaim
     assert vacuum(root) == []
+
+
+def test_rotate_full_build_cli(spark, tmp_path):
+    """indexer --rotate analog (scripts/build_index_job.py --rotate):
+    a full build lands in a fresh generation under the serving root
+    and is atomically promoted; a second rotate build supersedes the
+    first; vacuum reclaims it; open_current_view serves shard=
+    segments (empty kill-lists by construction)."""
+    import json
+    import subprocess
+    import sys
+
+    from sphinx_1_spark.streaming.incremental import (
+        open_current_view,
+        read_current,
+        vacuum,
+    )
+
+    root = str(tmp_path / "serving")
+
+    def run_build(n_docs):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "scripts/build_index_job.py",
+                "--synthetic",
+                str(n_docs),
+                "--shards",
+                "2",
+                "--output",
+                root,
+                "--rotate",
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    stat = run_build(250)
+    assert stat["rotated"] == "gen-0000000000" and stat["epoch"] == 0
+    ptr = read_current(root)
+    assert ptr["generation"] == "gen-0000000000"
+    assert ptr["segments"] == ["shard=00000", "shard=00001"]
+    assert ptr["superseded"] == []
+    view = open_current_view(spark, root)
+    assert view.docinfo().count() == 250
+    # BM25 serving over the promoted generation works end to end
+    assert view.search_topk(["the"], k=5).count() == 5
+
+    # second build: new generation, old one superseded then vacuumed
+    stat2 = run_build(300)
+    assert stat2["rotated"] == "gen-0000000001" and stat2["epoch"] == 1
+    ptr2 = read_current(root)
+    assert ptr2["generation"] == "gen-0000000001"
+    assert ptr2["superseded"] == ["gen-0000000000"]
+    # the old reader's segments are untouched until vacuum
+    assert view.docinfo().count() == 250
+    assert vacuum(root) == ["gen-0000000000"]
+    assert not os.path.exists(os.path.join(root, "gen-0000000000"))
+    assert open_current_view(spark, root).docinfo().count() == 300
