@@ -13,6 +13,12 @@ Usage (local smoke, synthetic corpus):
     python scripts/build_index_job.py --synthetic 50000 \\
         --output /tmp/segs --shards 4
 
+Atomic rotation (indexer --rotate analog): --output becomes the
+serving ROOT; the build lands in ROOT/gen-<epoch>/ and is promoted
+via the CURRENT pointer only when complete:
+    python scripts/build_index_job.py --synthetic 50000 \\
+        --output /srv/index --shards 64 --rotate
+
 The job is resumable: rerunning with the same arguments skips shards
 whose _MANIFEST.json exists (kill -9 mid-build, rerun, identical
 output — see tests/test_segments.py::test_manifest_and_resume).
