@@ -45,6 +45,20 @@ def main() -> None:
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--mmseg-dict", default=None)
     ap.add_argument(
+        "--config",
+        default=None,
+        metavar="SPHINX_CONF",
+        help="sphinx.conf to read tokenizer/dictionary/index settings "
+        "from (CSphConfigParser grammar incl. inheritance; "
+        "sphinx_1_spark/sources/config.py); use with --index",
+    )
+    ap.add_argument(
+        "--index",
+        default=None,
+        metavar="NAME",
+        help="index section name inside --config (indexer <NAME>)",
+    )
+    ap.add_argument(
         "--rotate",
         action="store_true",
         help="atomic rotation (indexer --rotate, src/indexer.cpp:1160+ "
@@ -70,6 +84,11 @@ def main() -> None:
     args = ap.parse_args()
     if args.buildfreqs and not args.buildstops:
         ap.error("--buildfreqs is used with --buildstops only")
+    if bool(args.config) != bool(args.index):
+        ap.error("--config and --index are used together")
+    if args.config and args.mmseg_dict:
+        ap.error("--mmseg-dict conflicts with --config (set "
+                 "chinese_dictionary in the config instead)")
 
     from pyspark.sql import SparkSession
 
@@ -101,10 +120,31 @@ def main() -> None:
     else:
         ap.error("need --input or --synthetic")
 
-    tok = TokenizerSettings(
-        ngram_chars="" if args.mmseg_dict else "U+4E00..U+9FBF",
-        mmseg_dict_path=args.mmseg_dict,
-    )
+    if args.config:
+        # sphLoadConfig analog (sphinxutils.cpp:863-905)
+        from sphinx_1_spark.sources.config import index_config, parse_config
+
+        from sphinx_1_spark.sources.config import ConfigError
+
+        print(f"using config file '{args.config}'...")
+        try:
+            conf = parse_config(args.config)
+            if "index" not in conf.sections:
+                raise ConfigError(
+                    f"no indexes found in config file '{args.config}'"
+                )
+            icfg = index_config(conf, args.index)
+        except (ConfigError, OSError) as e:
+            print(f"FATAL: {e}")
+            sys.exit(1)
+        for w in conf.warnings:
+            print(w)
+        tok = icfg.tokenizer
+    else:
+        tok = TokenizerSettings(
+            ngram_chars="" if args.mmseg_dict else "U+4E00..U+9FBF",
+            mmseg_dict_path=args.mmseg_dict,
+        )
     if args.buildstops:
         # like the reference, --buildstops replaces indexing entirely
         # (DoIndex returns after tDict.Save, src/indexer.cpp:911-934)
