@@ -23,6 +23,10 @@ search options (src/search.cpp:46-68):
   -g|--group <attr>          group by attr    -gs|--groupsort <expr>
   -o|--offset N  -l|--limit N  (defaults 0 / 20)
   --stdin                    read the query from stdin
+  -c|--config <sphinx.conf>  query-side tokenizer settings from the
+                             config's index section (search.cpp:80)
+  -i|--index <NAME>          which index section inside -c (defaults
+                             to the first one)
 """
 
 from __future__ import annotations
@@ -199,6 +203,8 @@ def search(paths: list[str], opts: list[str]) -> int:
     offset, limit = 0, 20
     filt: tuple[str, int] | None = None
     use_stdin = False
+    config_path: str | None = None  # -c (search.cpp:80): sphinx.conf
+    index_name: str | None = None  # -i: index section inside -c
     words: list[str] = []
 
     i = 0
@@ -222,6 +228,12 @@ def search(paths: list[str], opts: list[str]) -> int:
             want_date_sort = "time_segments"
         elif a == "--stdin":
             use_stdin = True
+        elif a in ("-c", "--config") and i + 1 < len(opts):
+            config_path = opts[i + 1]
+            i += 1
+        elif a in ("-i", "--index") and i + 1 < len(opts):
+            index_name = opts[i + 1]
+            i += 1
         elif a in ("-o", "--offset", "-l", "--limit", "-s", "--sortby",
                    "-S", "--sortexpr", "-g", "--group", "-gs", "--groupsort"):
             if i + 1 >= len(opts):
@@ -260,11 +272,35 @@ def search(paths: list[str], opts: list[str]) -> int:
     if use_stdin:
         query = sys.stdin.read()
 
+    # -c sphinx.conf: query-side tokenizer settings come from the
+    # named index section (the reference binds the config's tokenizer
+    # to the loaded index, search.cpp via sphFixupIndexSettings);
+    # without -c, the build job's default CJK settings apply
+    tok_settings = TokenizerSettings(ngram_chars="U+4E00..U+9FBF")
+    if config_path is not None:
+        from sphinx_1_spark.sources.config import (
+            ConfigError,
+            index_config,
+            parse_config,
+        )
+
+        try:
+            conf = parse_config(config_path)
+            name = index_name or next(
+                iter(conf.sections.get("index", {})), None
+            )
+            if name is None:
+                raise ConfigError(
+                    f"no indexes found in config file '{config_path}'"
+                )
+            tok_settings = index_config(conf, name).tokenizer
+        except (ConfigError, OSError) as e:
+            print(f"FATAL: {e}")
+            return 1
+
     spark = _spark()
     ss = SegmentSet(spark, paths)
-    idx = ss.sphinx_index(
-        TokenizerSettings(ngram_chars="U+4E00..U+9FBF"), with_attrs=True
-    )
+    idx = ss.sphinx_index(tok_settings, with_attrs=True)
 
     if want_date_sort is not None:
         # "lookup first timestamp if needed" (search.cpp:286-301):

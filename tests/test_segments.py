@@ -555,3 +555,66 @@ def test_segment_tool_search_cli(built_segments, capsys):
 
     # no segment dirs -> usage
     assert segment_tool.main(["segment_tool", "search", "-a", "the"]) == 1
+
+
+def test_segment_tool_search_config_option(built_segments, capsys, tmp_path):
+    """search -c sphinx.conf [-i NAME] (search.cpp:80): query-side
+    tokenizer settings come from the config's index section; a config
+    equivalent to the build defaults answers identically, and a bad
+    config dies with FATAL."""
+    import pathlib
+    import sys as _sys
+
+    _, out, _ = built_segments
+    paths = sorted(str(p) for p in pathlib.Path(out).iterdir() if p.is_dir())
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import segment_tool
+
+    conf = tmp_path / "s.conf"
+    conf.write_text(
+        "index other {\n    charset_type = utf-8\n"
+        "    min_word_len = 100\n}\n"  # absurd: would drop every word
+        "index web {\n    charset_type = utf-8\n"
+        "    ngram_chars = U+4E00..U+9FBF\n}\n"
+    )
+
+    assert segment_tool.main(["segment_tool", "search", *paths, "the"]) == 0
+    base = capsys.readouterr().out
+    assert (
+        segment_tool.main(
+            [
+                "segment_tool", "search", *paths,
+                "-c", str(conf), "-i", "web", "the",
+            ]
+        )
+        == 0
+    )
+    with_conf = capsys.readouterr().out
+    # identical matches/stats modulo the query-time line
+    strip = lambda t: [  # noqa: E731
+        ln for ln in t.splitlines() if not ln.startswith("index 'segments'")
+    ]
+    assert strip(with_conf) == strip(base)
+
+    # -i defaulting to the FIRST index section picks 'other', whose
+    # min_word_len=100 drops the query word entirely -> zero matches
+    assert (
+        segment_tool.main(
+            ["segment_tool", "search", *paths, "-c", str(conf), "the"]
+        )
+        == 0
+    )
+    first = capsys.readouterr().out
+    assert "returned 0 matches of 0 total" in first
+
+    # bad config file -> FATAL, exit 1
+    assert (
+        segment_tool.main(
+            [
+                "segment_tool", "search", *paths,
+                "-c", str(tmp_path / "nope.conf"), "the",
+            ]
+        )
+        == 1
+    )
+    assert "FATAL:" in capsys.readouterr().out
