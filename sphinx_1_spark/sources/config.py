@@ -229,7 +229,7 @@ class SphinxConfigParser:
 
     @staticmethod
     def _add_key(sec: Section, key: str, value: str):
-        value = value.strip()
+        value = value.strip(_CSPACE)  # the reference's trim() is C isspace
         if key in sec.values:
             if key in sec.tags:
                 # first override of an inherited value replaces the
