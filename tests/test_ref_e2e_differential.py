@@ -1,0 +1,237 @@
+"""LIVE end-to-end differential: the REAL indexer + search binaries
+vs our engine, on RANDOM corpora and queries.
+
+The reference-replay harness (tests/test_reference_replay.py) proves
+value-parity on the reference's own canned test suite via model.bin
+goldens; this module goes further — it generates fresh random corpora,
+indexes them with the compiled reference indexer (xmlpipe2 source),
+queries them through the compiled `search` CLI, and requires our
+SphinxIndex + api_query to produce the SAME totals, the SAME
+(docid, weight, gid) match lists in the SAME order, and the SAME
+per-word docs/hits statistics, across the five match modes.
+
+Skipped automatically when the reference build is unavailable
+(scripts/build_reference.sh builds it on demand).
+"""
+
+import os
+import random
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from test_ref_differential import _ensure_build, ref_bin, run_ref  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not _ensure_build(),
+    reason="reference build unavailable (no /root/reference or no g++)",
+)
+
+# both sides use this spec EXPLICITLY so neither depends on its
+# built-in default table
+CHARSET = "0..9, A..Z->a..z, _, a..z, U+410..U+42F->U+430..U+44F, U+430..U+44F"
+
+
+def _xml_escape(s):
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _write_setup(tmp_path, docs):
+    """xmlpipe2 corpus + sphinx.conf for the real indexer/search."""
+    xml = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        "<sphinx:docset>",
+        "<sphinx:schema>",
+        '<sphinx:field name="title"/>',
+        '<sphinx:field name="content"/>',
+        '<sphinx:attr name="gid" type="int" bits="32"/>',
+        "</sphinx:schema>",
+    ]
+    for did, gid, title, content in docs:
+        xml.append(f'<sphinx:document id="{did}">')
+        xml.append(f"<title>{_xml_escape(title)}</title>")
+        xml.append(f"<content>{_xml_escape(content)}</content>")
+        xml.append(f"<gid>{gid}</gid>")
+        xml.append("</sphinx:document>")
+    xml.append("</sphinx:docset>")
+    (tmp_path / "docs.xml").write_text("\n".join(xml), encoding="utf-8")
+    (tmp_path / "sphinx.conf").write_text(
+        f"""
+source src1 {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/docs.xml
+}}
+index main {{
+    source = src1
+    path = {tmp_path}/idx
+    charset_type = utf-8
+    charset_table = {CHARSET}
+}}
+"""
+    )
+    r = run_ref(
+        [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"), "--all"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout.decode()[-1500:]
+
+
+_MATCH_RE = re.compile(
+    r"^\d+\. document=(\d+), weight=(\d+), gid=(\d+)", re.M
+)
+_HEADER_RE = re.compile(r"returned (\d+) matches of (\d+) total")
+_WORD_RE = re.compile(r"^\d+\. '(.+?)': (\d+) documents, (\d+) hits", re.M)
+
+
+def _real_search(tmp_path, words, flags=()):
+    # the query goes as ONE argument: the CLI's option loop treats any
+    # '-'-prefixed arg as an option, so a boolean '-word' term must
+    # ride inside a concatenated query string (search.cpp:135-141)
+    r = run_ref(
+        [
+            ref_bin("search"),
+            "--config",
+            str(tmp_path / "sphinx.conf"),
+            *flags,
+            " ".join(words),
+        ],
+        str(tmp_path),
+    )
+    out = r.stdout.decode()
+    assert r.returncode == 0, out[-1500:]
+    hm = _HEADER_RE.search(out)
+    assert hm, out[-1500:]
+    matches = [
+        (int(d), int(w), int(g)) for d, w, g in _MATCH_RE.findall(out)
+    ]
+    stats = {w: (int(d), int(h)) for w, d, h in _WORD_RE.findall(out)}
+    return int(hm.group(1)), int(hm.group(2)), matches, stats
+
+
+def _our_index(spark, docs):
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+
+    df = spark.createDataFrame(
+        [tuple(d) for d in docs], "docid long, gid long, title string, content string"
+    )
+    return SphinxIndex.build(
+        df,
+        IndexSettings(
+            docid_col="docid",
+            fields=("title", "content"),
+            attrs=("gid",),
+            tokenizer=TokenizerSettings(charset_table=CHARSET),
+            tokenizer_impl="arrow",
+            enable_star=False,  # sphinx.conf defaults enable_star=0
+        ),
+        persist=True,
+    )
+
+
+def _our_search(idx, query, mode):
+    from sphinx_1_spark.plans.api import ApiQuery, api_query
+
+    rows, meta = api_query(
+        [("main", idx, None)], ApiQuery(query=query, mode=mode)
+    )
+    matches = [
+        (r["docid"], r["weight"], r["gid"]) for r in rows
+    ]
+    stats = {
+        w: (st["docs"], st["hits"]) for w, st in meta["words"].items()
+    }
+    # the CLI's header 'returned N' is the FULL match pool
+    # (m_dMatches.GetLength(), search.cpp:320) == API 'total';
+    # it PRINTS only rows iStart..iStart+iLimit == our paged rows
+    return meta["total"], meta["total_found"], matches, stats
+
+
+VOCAB = [f"w{i}" for i in range(14)]
+MODE_FLAGS = {
+    "all": (),
+    "any": ("-a",),
+    "boolean": ("-b",),
+    "phrase": ("-p",),
+    "extended2": ("-e2",),
+}
+
+
+def _rand_docs(rng, n):
+    docs = []
+    for did in range(1, n + 1):
+        title = " ".join(rng.choices(VOCAB, k=rng.randint(1, 4)))
+        content = " ".join(
+            rng.choices(VOCAB, k=rng.randint(4, 25))
+        )
+        docs.append((did, rng.randint(1, 4), title, content))
+    return docs
+
+
+def _rand_queries(rng):
+    qs = []
+    w = lambda: rng.choice(VOCAB)  # noqa: E731
+    qs.append(("all", [w()]))
+    qs.append(("all", [w(), w()]))
+    qs.append(("any", [w(), w(), w()]))
+    qs.append(("phrase", [w(), w()]))
+    qs.append(("boolean", [w(), f"-{w()}"]))
+    qs.append(("boolean", [w(), "|", w()]))
+    qs.append(("extended2", [w(), "|", w()]))
+    qs.append(("extended2", [f'"{w()} {w()}"']))
+    qs.append(("extended2", [f"@title {w()}"]))
+    qs.append(("all", ["nosuchword"]))
+    return qs
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_live_e2e_random_corpus(spark, tmp_path, seed):
+    rng = random.Random(5000 + seed)
+    docs = _rand_docs(rng, rng.randint(25, 60))
+    _write_setup(tmp_path, docs)
+    idx = _our_index(spark, docs)
+
+    for mode, words in _rand_queries(rng):
+        got = _our_search(idx, " ".join(words), mode)
+        want = _real_search(tmp_path, words, MODE_FLAGS[mode])
+        assert got == want, (
+            f"mode={mode} query={words!r}\nours: {got}\nref:  {want}"
+        )
+
+
+def test_live_e2e_filter_and_paging(spark, tmp_path):
+    """-f gid filtering and -o/-l paging against the real CLI."""
+    from sphinx_1_spark.plans.api import ApiQuery, api_query
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    docs = _rand_docs(rng, 40)
+    _write_setup(tmp_path, docs)
+    idx = _our_index(spark, docs)
+
+    n, total, matches, _ = _real_search(
+        tmp_path, ["w1"], ("-f", "gid", "2")
+    )
+    rows, meta = api_query(
+        [("main", idx, None)],
+        ApiQuery(query="w1", mode="all", filters=[F.col("gid") == 2]),
+    )
+    assert [(r["docid"], r["weight"], r["gid"]) for r in rows] == matches
+    assert (meta["total"], meta["total_found"]) == (n, total)
+
+    n2, total2, matches2, _ = _real_search(
+        tmp_path, ["w2"], ("-o", "3", "-l", "4")
+    )
+    rows2, meta2 = api_query(
+        [("main", idx, None)],
+        ApiQuery(query="w2", mode="all", offset=3, limit=4),
+    )
+    assert [(r["docid"], r["weight"], r["gid"]) for r in rows2] == matches2
+    assert (meta2["total"], meta2["total_found"]) == (n2, total2)
