@@ -409,7 +409,20 @@ class SphinxIndex:
         if mode == "boolean":
             return self._parser.parse(match)
         if mode == "any":
-            toks = self._tokenizer.tokenize(match)
+            # RAW folded tokens, not normalized ones: the parser
+            # re-normalizes internally (identical matching), but the
+            # raw form must reach it for the word-stats display quirk
+            # — with index_exact_words, CSphDictExact::GetWordID stems
+            # a COPY, so m_sDictWord (the stats key) stays the raw
+            # pre-morphology word (src/sphinx.cpp:10789-10798); the
+            # reference's ANY emulation likewise wraps the raw query
+            # text (PrepareQueryEmulation, src/sphinx.cpp:16197-16209).
+            # Stopword raws pass through too — the parser drops them
+            # like the reference's quorum parse does.
+            toks = [
+                raw
+                for _norm, raw in self._tokenizer.tokenize_with_raw(match)
+            ]
             if len(toks) > 1:
                 return self._parser.parse(
                     '"' + " ".join(toks) + '"/1'

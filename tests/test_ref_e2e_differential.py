@@ -235,3 +235,294 @@ def test_live_e2e_filter_and_paging(spark, tmp_path):
     )
     assert [(r["docid"], r["weight"], r["gid"]) for r in rows2] == matches2
     assert (meta2["total"], meta2["total_found"]) == (n2, total2)
+
+
+# ------------------------------------------------ sort / group modes
+def _write_setup_ts(tmp_path, docs):
+    """Corpus variant with a timestamp attr for the date-sort modes."""
+    xml = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        "<sphinx:docset>",
+        "<sphinx:schema>",
+        '<sphinx:field name="title"/>',
+        '<sphinx:field name="content"/>',
+        '<sphinx:attr name="gid" type="int" bits="32"/>',
+        '<sphinx:attr name="ts" type="timestamp"/>',
+        "</sphinx:schema>",
+    ]
+    for did, gid, ts, title, content in docs:
+        xml.append(f'<sphinx:document id="{did}">')
+        xml.append(f"<title>{_xml_escape(title)}</title>")
+        xml.append(f"<content>{_xml_escape(content)}</content>")
+        xml.append(f"<gid>{gid}</gid><ts>{ts}</ts>")
+        xml.append("</sphinx:document>")
+    xml.append("</sphinx:docset>")
+    (tmp_path / "docs.xml").write_text("\n".join(xml), encoding="utf-8")
+    (tmp_path / "sphinx.conf").write_text(
+        f"""
+source src1 {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/docs.xml
+}}
+index main {{
+    source = src1
+    path = {tmp_path}/idx
+    charset_type = utf-8
+    charset_table = {CHARSET}
+}}
+"""
+    )
+    r = run_ref(
+        [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"), "--all"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout.decode()[-1500:]
+
+
+def test_live_e2e_sort_and_group(spark, tmp_path):
+    """--sort=date / --rsort=date / -s sort_extended / -g group-by
+    against the real CLI (search.cpp:230-312 option handling)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.api import ApiQuery, api_query
+    from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+
+    rng = random.Random(77)
+    docs = []
+    for did in range(1, 41):
+        docs.append(
+            (
+                did,
+                rng.randint(1, 4),
+                1_500_000_000 + rng.randrange(10_000_000),
+                " ".join(rng.choices(VOCAB, k=rng.randint(1, 4))),
+                " ".join(rng.choices(VOCAB, k=rng.randint(4, 20))),
+            )
+        )
+    _write_setup_ts(tmp_path, docs)
+    df = spark.createDataFrame(
+        [tuple(d) for d in docs],
+        "docid long, gid long, ts long, title string, content string",
+    )
+    idx = SphinxIndex.build(
+        df.withColumn("ts", F.timestamp_seconds(F.col("ts"))),
+        IndexSettings(
+            docid_col="docid",
+            fields=("title", "content"),
+            attrs=("gid", "ts"),
+            tokenizer=TokenizerSettings(charset_table=CHARSET),
+            tokenizer_impl="arrow",
+            enable_star=False,
+        ),
+        persist=True,
+    )
+
+    def ours(**kw):
+        rows, meta = api_query(
+            [("main", idx, None)], ApiQuery(query="w1", mode="all", **kw)
+        )
+        return (
+            meta["total"],
+            meta["total_found"],
+            [(r["docid"], r["weight"], r["gid"]) for r in rows],
+        )
+
+    for flags, kw in [
+        (("--sort=date",), dict(sortmode="attr_desc", sortby="ts")),
+        (("--rsort=date",), dict(sortmode="attr_asc", sortby="ts")),
+        (
+            ("-s", "gid ASC, @id DESC"),
+            dict(sortmode="extended", sortby="gid ASC, @id DESC"),
+        ),
+        (
+            ("-g", "gid"),
+            dict(groupattr="gid", groupfunc="attr"),
+        ),
+    ]:
+        n, total, matches, _ = _real_search(tmp_path, ["w1"], flags)
+        got = ours(**kw)
+        assert got == (n, total, matches), f"flags={flags}\n{got}\nvs\n{(n, total, matches)}"
+
+
+# ------------------------------------------- morphology + exact form
+EN_VOCAB = [
+    "running", "runs", "jumped", "jumping", "quickly", "foxes",
+    "fox", "dogs", "lazy", "make", "making", "cats",
+]
+
+
+def test_live_e2e_morphology_exact(spark, tmp_path):
+    """morphology=stem_en + index_exact_words through the REAL
+    indexer: stemmed matching, =exact-form queries, phrases, and
+    proximity/quorum/BEFORE operators must answer identically."""
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+
+    rng = random.Random(42)
+    docs = []
+    for did in range(1, 41):
+        docs.append(
+            (
+                did,
+                rng.randint(1, 3),
+                " ".join(rng.choices(EN_VOCAB, k=rng.randint(1, 3))),
+                " ".join(rng.choices(EN_VOCAB, k=rng.randint(4, 18))),
+            )
+        )
+    # same xml writer, but a conf with morphology + exact words
+    _write_setup(tmp_path, docs)
+    (tmp_path / "sphinx.conf").write_text(
+        f"""
+source src1 {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/docs.xml
+}}
+index main {{
+    source = src1
+    path = {tmp_path}/idx
+    charset_type = utf-8
+    charset_table = {CHARSET}
+    morphology = stem_en
+    index_exact_words = 1
+}}
+"""
+    )
+    r = run_ref(
+        [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"), "--all"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout.decode()[-1500:]
+
+    df = spark.createDataFrame(
+        [tuple(d) for d in docs],
+        "docid long, gid long, title string, content string",
+    )
+    idx = SphinxIndex.build(
+        df,
+        IndexSettings(
+            docid_col="docid",
+            fields=("title", "content"),
+            attrs=("gid",),
+            tokenizer=TokenizerSettings(
+                charset_table=CHARSET,
+                morphology=("stem_en",),
+                index_exact_words=True,
+            ),
+            tokenizer_impl="arrow",
+            enable_star=False,
+        ),
+        persist=True,
+    )
+
+    queries = [
+        ("all", "running"),  # stems to run: matches runs/running
+        ("all", "fox"),  # also matches foxes (stem fox)
+        ("extended2", "=running"),  # exact form only
+        ("extended2", "=fox"),
+        ("extended2", '"lazy dogs"'),
+        ("extended2", '"running quickly"~3'),
+        ("extended2", '"fox dogs lazy"/2'),
+        ("extended2", "making << cats"),
+        ("extended2", "running -jumping"),
+        ("any", "foxes jumping"),
+    ]
+    for mode, q in queries:
+        got = _our_search(idx, q, mode)
+        want = _real_search(tmp_path, [q], MODE_FLAGS[mode])
+        assert got == want, f"mode={mode} q={q!r}\nours: {got}\nref:  {want}"
+
+
+# -------------------------------------------- indextool dumphitlist
+def test_live_dumphitlist_differential(spark, tmp_path):
+    """The REAL indextool --dumphitlist stream (wordid + packed hit
+    DWORDs, DebugDumpHitlist src/sphinx.cpp:15233) must equal our
+    postings' packed positions for the same corpus — direct live
+    validation of crc32 wordids and (field<<24 | pos | FIELD_END)
+    hit packing."""
+    from sphinx_1_spark.functions.wordid import crc32_word
+
+    rng = random.Random(11)
+    docs = _rand_docs(rng, 30)
+    _write_setup(tmp_path, docs)
+    idx = _our_index(spark, docs)
+
+    for word in ("w1", "w5", "w9"):
+        r = run_ref(
+            [
+                ref_bin("indextool"),
+                "--config",
+                str(tmp_path / "sphinx.conf"),
+                "--dumphitlist",
+                "main",
+                word,
+            ],
+            str(tmp_path),
+        )
+        out = r.stdout.decode()
+        assert r.returncode == 0, out[-800:]
+        m = re.search(r"keyword=(\S+), tok=(\S+), wordid=(\d+)", out)
+        assert m and m.group(3) == str(crc32_word(word)), out[:400]
+        ref_hits = re.findall(r"doc=(\d+), hit=0x([0-9a-f]{8})", out)
+
+        ours = []
+        for row in (
+            idx.postings.where(F.col("word") == word)
+            .orderBy("docid")
+            .collect()
+        ):
+            for pos in row["positions"]:
+                ours.append((str(row["docid"]), f"{pos:08x}"))
+            ours.append((str(row["docid"]), "00000000"))  # do/while sentinel
+        assert ref_hits == ours, f"word={word}"
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+# ---------------------------------------------- indexer --buildstops
+def test_live_buildstops_differential(spark, tmp_path):
+    """REAL indexer --buildstops --buildfreqs vs our build_stopwords
+    on the same corpus: identical (word, freq) sets.  N covers the
+    whole vocabulary because the reference breaks count ties in
+    hash-iteration order (our port's documented deviation is word-ASC
+    ties) — the SET must still agree exactly."""
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.segment_index import build_stopwords
+
+    rng = random.Random(13)
+    docs = _rand_docs(rng, 35)
+    _write_setup(tmp_path, docs)
+
+    r = run_ref(
+        [
+            ref_bin("indexer"),
+            "--config",
+            str(tmp_path / "sphinx.conf"),
+            "--buildstops",
+            str(tmp_path / "stops.txt"),
+            "500",
+            "--buildfreqs",
+            "main",
+        ],
+        str(tmp_path),
+    )
+    # --buildstops replaces indexing, so the indexer's "did I index
+    # anything" exit status is nonzero — the artifact is the file
+    assert (tmp_path / "stops.txt").exists(), r.stdout.decode()[-1200:]
+    ref_pairs = set()
+    for ln in (tmp_path / "stops.txt").read_text().splitlines():
+        w, f = ln.split()
+        ref_pairs.add((w, int(f)))
+
+    df = spark.createDataFrame(
+        [(d, f"{t} {c}") for d, _g, t, c in docs], "docid long, text string"
+    )
+    top = build_stopwords(
+        df,
+        TokenizerSettings(charset_table=CHARSET),
+        top_n=500,
+        text_col="text",
+    )
+    our_pairs = {(r["word"], r["freq"]) for r in top.collect()}
+    assert our_pairs == ref_pairs
