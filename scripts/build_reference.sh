@@ -9,17 +9,30 @@
 set -e
 REF="${1:-/root/reference}"
 OUT="${2:-/tmp/refbuild}"
-if [ -x "$OUT/src/spelldump" ] && [ -x "$OUT/src/confdump" ]; then
+SCRIPTS="$(cd "$(dirname "$0")" && pwd)"  # absolute: we cd into $OUT later
+
+build_harnesses() {
+    # tiny differential harnesses linked against the real libsphinx:
+    # confdump parses a sphinx.conf through CSphConfigParser and dumps
+    # SECTION/KEY chain lines; tokdump tokenizes stdin through the
+    # real ISphTokenizer and prints one token per line
+    for h in confdump tokdump; do
+        g++ -O1 -std=gnu++98 -fpermissive -w -DHAVE_CONFIG_H \
+            -I"$OUT/src" -I"$OUT/config" \
+            "$SCRIPTS/$h.cpp" "$OUT/src/libsphinx.a" \
+            -lm -lz -lexpat -lrt -lpthread -o "$OUT/src/$h"
+    done
+}
+
+if [ -x "$OUT/src/spelldump" ] && [ -x "$OUT/src/confdump" ] \
+    && [ -x "$OUT/src/tokdump" ]; then
     echo "already built: $OUT"
     exit 0
 fi
 if [ -x "$OUT/src/spelldump" ]; then
-    # binaries exist but the confdump harness doesn't: build just it
-    g++ -O1 -std=gnu++98 -fpermissive -w -DHAVE_CONFIG_H \
-        -I"$OUT/src" -I"$OUT/config" \
-        "$(dirname "$0")/confdump.cpp" "$OUT/src/libsphinx.a" \
-        -lm -lz -lexpat -lrt -lpthread -o "$OUT/src/confdump"
-    echo "already built: $OUT (confdump added)"
+    # binaries exist but a harness doesn't: build just those
+    build_harnesses
+    echo "already built: $OUT (harnesses added)"
     exit 0
 fi
 rm -rf "$OUT"
@@ -29,14 +42,7 @@ cd "$OUT"
     CXXFLAGS="-O1 -std=gnu++98 -fpermissive -w" CFLAGS="-O1 -w" \
     > configure.log 2>&1
 make -j"$(nproc)" > make.log 2>&1
-# confdump: tiny harness for the config-parser differential tests —
-# parses a sphinx.conf through the REAL CSphConfigParser and dumps
-# SECTION/KEY lines (value chains in order) plus its ERROR/WARNING
-# stdout verbatim
-g++ -O1 -std=gnu++98 -fpermissive -w -DHAVE_CONFIG_H \
-    -I"$OUT/src" -I"$OUT/config" \
-    "$(dirname "$0")/confdump.cpp" "$OUT/src/libsphinx.a" \
-    -lm -lz -lexpat -lrt -lpthread -o "$OUT/src/confdump"
+build_harnesses
 ls src/indexer src/search src/indextool src/mkdict src/spelldump \
-   src/wordseg src/confdump
+   src/wordseg src/confdump src/tokdump
 echo "built: $OUT"

@@ -569,3 +569,117 @@ def _rand_config(rng):
 def test_config_random_differential(tmp_path, seed):
     rng = random.Random(4000 + seed)
     _assert_conf_agree(tmp_path, _rand_config(rng))
+
+
+# -------------------------------------------------- tokenizer (live)
+def _tokdump(spec, text, min_word_len=1, ngram=None):
+    """Tokenize through the REAL ISphTokenizer (tokdump harness)."""
+    r = run_ref(
+        [
+            ref_bin("tokdump"),
+            spec or "-",
+            str(min_word_len),
+            ngram or "-",
+        ],
+        "/tmp",
+        input=text.encode("utf-8"),
+    )
+    out = r.stdout.decode("utf-8")
+    assert r.returncode == 0, out[:400]
+    return [ln for ln in out.splitlines() if ln]
+
+
+def _our_tokens(spec, text, min_word_len=1, ngram=None):
+    from sphinx_1_spark.functions.tokenizer import (
+        Tokenizer,
+        TokenizerSettings,
+    )
+    import dataclasses as dc
+
+    kw = dict(min_word_len=min_word_len, ngram_chars=ngram or "")
+    if spec:
+        kw["charset_table"] = spec
+    return Tokenizer(TokenizerSettings(**kw)).tokenize(text)
+
+
+_TEXT_POOL = [
+    "Hello WORLD", "a ab abc abcd abcde", "MiXeD-case_words 123 x2",
+    "Привет МИР да", "  spaced\tout\n lines ", "!!!", "",
+    "word" * 40,  # 160 chars: the 64-codepoint truncation path
+    "a.b,c;d:e", "under_score-dash", "0x1f 017 9 99 999",
+]
+
+
+def test_tokenizer_live_default_table():
+    """Our SPHINX_DEFAULT_UTF8_TABLE must BE the reference's built-in
+    UTF-8 default: token streams equal with no charset_table set."""
+    for text in _TEXT_POOL:
+        assert _our_tokens(None, text) == _tokdump(None, text), text
+
+
+@pytest.mark.parametrize("mwl", [1, 2, 3, 5])
+def test_tokenizer_live_min_word_len(mwl):
+    for text in _TEXT_POOL:
+        assert _our_tokens(None, text, mwl) == _tokdump(None, text, mwl), (
+            text,
+            mwl,
+        )
+
+
+def test_tokenizer_live_ngram():
+    ng = "U+4E00..U+9FBF"
+    for text in ("abc中文def", "中 文 漢字test", "漢" * 70):
+        assert _our_tokens(None, text, 1, ng) == _tokdump(None, text, 1, ng)
+
+
+def _rand_spec(rng):
+    """Random charset_table over DISJOINT slots (overlap resolution
+    is AddRemaps merge order — deliberately out of scope here)."""
+    entries = []
+    slots = list(range(0x21, 0x2FF0, 0x60))
+    rng.shuffle(slots)
+    for slot in slots[: rng.randint(2, 6)]:
+        span = rng.randint(0, 30)
+        form = rng.random()
+        if form < 0.3:
+            entries.append(f"U+{slot:X}..U+{slot + span:X}")
+        elif form < 0.6:
+            dst = slots.pop() if slots else slot + 0x3000
+            entries.append(
+                f"U+{slot:X}..U+{slot + span:X}->U+{dst:X}..U+{dst + span:X}"
+            )
+        elif form < 0.8:
+            entries.append(f"U+{slot:X}")
+        else:
+            hi = slot + 2 * rng.randint(0, 10) + 1
+            entries.append(f"U+{slot:X}..U+{hi:X}/2")
+    return ", ".join(entries)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_tokenizer_live_random_charsets(seed):
+    """Random charset_table specs (all entry forms incl. the /2
+    checkerboard) + random texts: the REAL tokenizer and ours must
+    emit identical token streams — live validation of the spec
+    parser, the fold table, and the UTF-8 scanner together."""
+    rng = random.Random(6000 + seed)
+    spec = _rand_spec(rng)
+    # texts biased to codepoints the spec touches (else all separators)
+    cps = []
+    for m in re.finditer(r"U\+([0-9A-F]+)", spec):
+        base = int(m.group(1), 16)
+        cps.extend(base + d for d in (0, 1, 2, 7, 15))
+    cps = [c for c in cps if 0x20 < c < 0x10000]
+    for _ in range(10):
+        text = "".join(
+            rng.choice(
+                [chr(rng.choice(cps)), " ", "a", "Z", "\t", chr(rng.randrange(0x21, 0x2000))]
+            )
+            for _ in range(rng.randint(0, 60))
+        )
+        got = _our_tokens(spec, text)
+        want = _tokdump(spec, text)
+        assert got == want, f"spec={spec!r}\ntext={text!r}"
+
+
+import re  # noqa: E402
