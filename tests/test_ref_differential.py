@@ -25,7 +25,15 @@ BUILD = os.environ.get("SPHINX_REF_BUILD", "/tmp/refbuild")
 def _ensure_build():
     if all(
         os.access(os.path.join(BUILD, "src", b), os.X_OK)
-        for b in ("spelldump", "mkdict", "wordseg", "confdump")
+        for b in (
+            "spelldump",
+            "mkdict",
+            "wordseg",
+            "confdump",
+            "tokdump",
+            "stripdump",
+            "snipdump",
+        )
     ):
         return True
     if not os.path.isdir(REF) or shutil.which("g++") is None:
@@ -683,3 +691,168 @@ def test_tokenizer_live_random_charsets(seed):
 
 
 import re  # noqa: E402
+
+
+# ------------------------------------------------- HTML stripper live
+_STRIP_CONFIGS = [
+    ("-", "-"),
+    ("-", "script, style"),
+    ("a=title", "script"),
+    ("img=alt,title; a=title", "style, div"),
+]
+
+
+def _strip_both(html, attrs, remove):
+    from sphinx_1_spark.functions.stripper import HtmlStripper
+
+    r = run_ref([ref_bin("stripdump"), attrs, remove], "/tmp",
+                input=html.encode("utf-8"))
+    assert r.returncode == 0, r.stdout.decode()[:300]
+    attrs_d = {}
+    if attrs != "-":
+        for part in attrs.split(";"):
+            tag, a = part.split("=", 1)
+            attrs_d[tag.strip()] = [x.strip() for x in a.split(",")]
+    ours = HtmlStripper(
+        remove_elements="" if remove == "-" else remove,
+        index_attrs=attrs_d,
+    ).strip(html.encode("utf-8"))
+    return r.stdout, ours
+
+
+_TAGS = ["p", "b", "a", "div", "span", "img", "script", "style", "em", "custom"]
+_ENTS = ["&amp;", "&lt;", "&gt;", "&nbsp;", "&#228;", "&#x1F600;", "&bogus;", "&", "&#", "&#zz;"]
+
+
+def _rand_html(rng):
+    parts = []
+    for _ in range(rng.randint(3, 25)):
+        k = rng.random()
+        if k < 0.35:
+            parts.append(
+                " ".join(
+                    rng.choices(
+                        ["hello", "World", "x1", "foo.bar", "a,b"], 
+                        k=rng.randint(1, 4),
+                    )
+                )
+            )
+        elif k < 0.6:
+            t = rng.choice(_TAGS)
+            attrs = ""
+            if rng.random() < 0.5:
+                val = rng.choice(
+                    ['"Link Title"', "'single'", "bare", '"with &amp; ent"']
+                )
+                attrs = f' {rng.choice(["title", "alt", "href", "x"])}={val}'
+            parts.append(f"<{t}{attrs}>")
+        elif k < 0.75:
+            parts.append(f"</{rng.choice(_TAGS)}>")
+        elif k < 0.85:
+            parts.append(rng.choice(_ENTS))
+        else:
+            parts.append(
+                rng.choice(
+                    [
+                        "<!-- comment -->",
+                        "<!-- unterminated",
+                        "<?php x ?>",
+                        "<",
+                        ">",
+                        "< notatag",
+                        "<br/>",
+                        "<a",
+                    ]
+                )
+            )
+    return " ".join(parts)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_stripper_live_random_html(seed):
+    """Random (and deliberately broken) HTML through the REAL
+    CSphHTMLStripper vs ours — byte-identical output across
+    remove_elements / html_index_attrs configs.  Extends the 500+
+    canned goldens to adversarial markup."""
+    rng = random.Random(7000 + seed)
+    for _ in range(8):
+        html = _rand_html(rng)
+        attrs, remove = rng.choice(_STRIP_CONFIGS)
+        ref, ours = _strip_both(html, attrs, remove)
+        assert ref == ours, f"attrs={attrs!r} remove={remove!r}\nhtml={html!r}"
+
+
+# ---------------------------------------------------- excerpts (live)
+def _snip_both(text, words, opts):
+    from sphinx_1_spark.operators.excerpts import (
+        ExcerptOptions,
+        build_excerpt,
+    )
+
+    flags = ",".join(
+        [f for f in ("exact", "single", "weight", "spaces") if opts.get(f)]
+    ) or "none"
+    r = run_ref(
+        [
+            ref_bin("snipdump"),
+            words,
+            opts.get("before", "<b>"),
+            opts.get("after", "</b>"),
+            opts.get("sep", " ... "),
+            str(opts.get("limit", 256)),
+            str(opts.get("around", 5)),
+            flags,
+        ],
+        "/tmp",
+        input=text.encode("utf-8"),
+    )
+    assert r.returncode == 0, r.stdout.decode()[:300]
+    ours = build_excerpt(
+        text,
+        words,
+        ExcerptOptions(
+            before_match=opts.get("before", "<b>"),
+            after_match=opts.get("after", "</b>"),
+            chunk_separator=opts.get("sep", " ... "),
+            limit=opts.get("limit", 256),
+            around=opts.get("around", 5),
+            exact_phrase=bool(opts.get("exact")),
+            single_passage=bool(opts.get("single")),
+            weight_order=bool(opts.get("weight")),
+        ),
+    )
+    return r.stdout.decode("utf-8"), ours
+
+
+_SNIP_VOCAB = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+    "and", "then", "some", "more", "words", "here", "again", "sphinx",
+    "search", "engine", "index", "query",
+]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_excerpts_live_random(seed):
+    """Random source texts + query words + option mixes through the
+    REAL sphBuildExcerpt vs our generator — byte-identical excerpts.
+    Extends the canned byte-goldens (test_excerpts.py) to random
+    passages/limits/weight-order/exact-phrase combinations."""
+    rng = random.Random(8000 + seed)
+    for _ in range(6):
+        text = " ".join(
+            rng.choices(_SNIP_VOCAB, k=rng.randint(10, 120))
+        ) + rng.choice(["", ".", "! done"])
+        nw = rng.randint(1, 3)
+        words = " ".join(rng.sample(_SNIP_VOCAB, nw))
+        opts = {
+            "limit": rng.choice([0, 20, 40, 64, 120, 256]),
+            "around": rng.randint(1, 5),
+            "exact": rng.random() < 0.3 and nw > 1,
+            "single": rng.random() < 0.3,
+            "weight": rng.random() < 0.3,
+            "before": rng.choice(["<b>", "[", "**"]),
+            "after": rng.choice(["</b>", "]", "**"]),
+            "sep": rng.choice([" ... ", " | "]),
+        }
+        ref, ours = _snip_both(text, words, opts)
+        assert ref == ours, f"words={words!r} opts={opts}\ntext={text!r}"
