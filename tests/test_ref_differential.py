@@ -33,6 +33,7 @@ def _ensure_build():
             "tokdump",
             "stripdump",
             "snipdump",
+            "stemdump",
         )
     ):
         return True
@@ -856,3 +857,74 @@ def test_excerpts_live_random(seed):
         }
         ref, ours = _snip_both(text, words, opts)
         assert ref == ours, f"words={words!r} opts={opts}\ntext={text!r}"
+
+
+# -------------------------------------------------- morphology (live)
+_MORPHS = [
+    ("stem_en", 1),
+    ("stem_en", 4),
+    ("stem_ru", 1),
+    ("stem_cz", 1),
+    ("soundex", 1),
+    ("metaphone", 1),
+    ("stem_enru", 1),
+    ("none", 1),
+    ("stem_en, soundex", 1),
+]
+
+_EN_SUFFIXED = [
+    "running", "foxes", "cats", "making", "happily", "nationalization",
+    "flies", "dogs", "caresses", "ponies", "ties", "agreed", "plastered",
+    "motoring", "sing", "conflated", "troubling", "sized", "hopping",
+    "tanned", "falling", "hissing", "fizzed", "failing", "filing",
+]
+_RU_WORDS = ["привет", "бегущий", "книгами", "красивая", "стол", "окно"]
+
+
+def _stem_both(morph, min_len, words):
+    from sphinx_1_spark.functions.morphology import (
+        apply_morphology,
+        resolve_chain,
+    )
+
+    r = run_ref(
+        [ref_bin("stemdump"), morph, str(min_len)],
+        "/tmp",
+        input=("\n".join(words) + "\n").encode("utf-8"),
+    )
+    assert r.returncode == 0, r.stdout.decode()[:300]
+    ref = r.stdout.decode("utf-8").splitlines()
+    chain = resolve_chain(
+        [m for m in re.split(r"[\s,]+", morph) if m]
+    )
+    ours = [apply_morphology(w, chain, min_len) for w in words]
+    return ref, ours
+
+
+@pytest.mark.parametrize("morph,min_len", _MORPHS)
+def test_morphology_live_fixed(morph, min_len):
+    words = _EN_SUFFIXED + _RU_WORDS + ["a", "ab", "x1y2", "12345"]
+    ref, ours = _stem_both(morph, min_len, words)
+    assert ref == ours, morph
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_morphology_live_random(seed):
+    """Random lowercase words (with suffix-ish tails biased in)
+    through the REAL dict morphology vs our ports — supplements the
+    9.5k offline golden pairs with live random coverage, incl. the
+    min_stemming_len guard and chained processors."""
+    rng = random.Random(9000 + seed)
+    suffixes = ["ing", "ed", "es", "s", "ies", "ly", "ational", "izer",
+                "fulness", "iveness", "ement", "ion", ""]
+    words = []
+    for _ in range(60):
+        stem = "".join(
+            rng.choices(string.ascii_lowercase, k=rng.randint(1, 9))
+        )
+        words.append(stem + rng.choice(suffixes))
+    for morph, min_len in (("stem_en", 1), ("stem_en", 3),
+                           ("soundex", 1), ("metaphone", 1),
+                           ("stem_cz", 1), ("stem_en, soundex", 1)):
+        ref, ours = _stem_both(morph, min_len, words)
+        assert ref == ours, f"morph={morph} min={min_len}"
