@@ -16,7 +16,7 @@ build_harnesses() {
     # confdump parses a sphinx.conf through CSphConfigParser and dumps
     # SECTION/KEY chain lines; tokdump tokenizes stdin through the
     # real ISphTokenizer and prints one token per line
-    for h in confdump tokdump stripdump snipdump stemdump; do
+    for h in confdump tokdump stripdump snipdump stemdump exprdump; do
         g++ -O1 -std=gnu++98 -fpermissive -w -DHAVE_CONFIG_H \
             -I"$OUT/src" -I"$OUT/config" \
             "$SCRIPTS/$h.cpp" "$OUT/src/libsphinx.a" \
@@ -26,7 +26,8 @@ build_harnesses() {
 
 if [ -x "$OUT/src/spelldump" ] && [ -x "$OUT/src/confdump" ] \
     && [ -x "$OUT/src/tokdump" ] && [ -x "$OUT/src/stripdump" ] \
-    && [ -x "$OUT/src/snipdump" ] && [ -x "$OUT/src/stemdump" ]; then
+    && [ -x "$OUT/src/snipdump" ] && [ -x "$OUT/src/stemdump" ] \
+    && [ -x "$OUT/src/exprdump" ]; then
     echo "already built: $OUT"
     exit 0
 fi
@@ -45,5 +46,5 @@ cd "$OUT"
 make -j"$(nproc)" > make.log 2>&1
 build_harnesses
 ls src/indexer src/search src/indextool src/mkdict src/spelldump \
-   src/wordseg src/confdump src/tokdump src/stripdump src/snipdump src/stemdump
+   src/wordseg src/confdump src/tokdump src/stripdump src/snipdump src/stemdump src/exprdump
 echo "built: $OUT"

@@ -310,8 +310,34 @@ class _P:
     def func(self, name):
         args = []
         if not self.accept_op(")"):
-            args.append(self.expr_andor())
+            if name == "in":
+                # the grammar's IN first arg is a BARE attr / @id /
+                # MVA attr, never a general expression or constant
+                # (sphinxexpr.y:93-105: TOK_FUNC_IN '(' attr ...)
+                k, v = self.peek()
+                if k != "ident" or v in _FUNCS:
+                    raise ExprParseError(
+                        "syntax error in IN(): first argument must be "
+                        f"an attribute (got {v!r})"
+                    )
+                self.next()
+                args.append(self.attr(v))
+            else:
+                args.append(self.expr_andor())
             while self.accept_op(","):
+                if name == "in":
+                    # IN()'s list is a constlist in the reference
+                    # grammar: each member must be a BARE unsigned
+                    # numeric literal — attrs, parens, even '-3' are
+                    # syntax errors (sphinxexpr.y:83-88,93-105:
+                    # "expecting TOK_CONST_INT or TOK_CONST_FLOAT")
+                    k, v = self.peek()
+                    if k != "num":
+                        raise ExprParseError(
+                            "syntax error, expecting TOK_CONST_INT or "
+                            f"TOK_CONST_FLOAT near {v!r} (IN() list "
+                            "members must be numeric constants)"
+                        )
                 args.append(self.expr_andor())
             if not self.accept_op(")"):
                 raise ExprParseError(f"expected ')' after {name}()")
@@ -427,8 +453,22 @@ class _P:
                 vals = F.array(*[self._cast(a, "bigint") for a in args[1:]])
                 cond = F.arrays_overlap(args[0][0], vals)
             else:
-                cond = self._cast(args[0], t0).isin(
-                    *[self._cast(a, t0) for a in args[1:]]
+                # the comparison domain is the CONSTLIST's type, not
+                # the arg's (Expr_In_c<T> dispatches on
+                # pConst->m_uRetType, src/sphinxexpr.cpp:1353-1359):
+                # any float member makes it float (sticky,
+                # ConstList_c::Add :389-399); otherwise the int type
+                # is GetIntType of the LAST int added (:378-381
+                # overwrites per member — '3000000000, 5' is an INT
+                # list that wraps the big const, '5, 3000000000' is
+                # BIGINT).  The arg then evaluates in that domain
+                # (IntEval truncates floats / wraps int64, C casts).
+                member_ts = [a[1] for a in args[1:]]
+                list_t = (
+                    "float" if "float" in member_ts else member_ts[-1]
+                )
+                cond = self._cast(args[0], list_t).isin(
+                    *[self._cast(a, list_t) for a in args[1:]]
                 )
             return (F.when(cond, 1).otherwise(0).cast("int"), "int")
         if name == "geodist":

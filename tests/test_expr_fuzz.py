@@ -146,8 +146,24 @@ def gen(rng, depth=0, int_only=False):
             gen(rng, depth + 1, int_only) for _ in range(rng.randint(1, 3))
         ]
     elif name == "in":
-        args = [gen(rng, depth + 1)] + [
-            gen(rng, depth + 1) for _ in range(rng.randint(1, 3))
+        # IN()'s list is a constlist: each member must be a BARE
+        # unsigned numeric literal (sphinxexpr.y:83-88 — attrs,
+        # parens, even '-3' are syntax errors)
+        def const(rng):
+            if rng.random() < 0.25:
+                return ("num", repr(rng.randint(0, 1280) / 8.0), "float")
+            v = rng.choice(
+                (0, 1, 2, 3, 7, rng.randint(0, 30), 3_000_000_000)
+            )
+            return (
+                "num", str(v), "int" if v < 2**31 else "bigint"
+            )
+
+        # ...and the first arg is a BARE attr (sphinxexpr.y:93:
+        # TOK_FUNC_IN '(' attr ',' constlist ')')
+        first = rng.choice(tuple(ATTRS))
+        args = [("attr", first, ATTRS[first])] + [
+            const(rng) for _ in range(rng.randint(1, 3))
         ]
     else:
         args = [gen(rng, depth + 1, int_only) for _ in range(nargs)]
@@ -341,19 +357,26 @@ def ev(n, row):
                     return i, "int"
             return len(pts), "int"
         if name == "in":
-            t0 = vals[0][1]
-            if t0 == "float":
+            # comparison domain = the CONSTLIST's type (Expr_In_c<T>
+            # on pConst->m_uRetType, sphinxexpr.cpp:1353-1359): float
+            # member -> float (sticky), else GetIntType of the LAST
+            # int member (ConstList_c::Add overwrites per member)
+            member_ts = [t for _, t in vals[1:]]
+            list_t = "float" if "float" in member_ts else member_ts[-1]
+            if list_t == "float":
                 x = f32(vals[0][0])
                 cands = [f32(v) for v, _ in vals[1:]]
             else:
-                # engine casts every arg to t0: float->int truncates
+                lim = I32 if list_t == "int" else I64
+
                 def toi(v, t):
                     if t == "float":
                         fv = f32(v)
-                        if not (-I64 <= fv < I64):
-                            raise Poison
-                        return int(fv)
-                    return int(v)
+                        if not (-lim <= fv < lim):
+                            raise Poison  # C cast overflow is UB
+                        return _wrap(int(fv), list_t)
+                    return _wrap(int(v), list_t)
+
                 x = toi(*vals[0])
                 cands = [toi(v, t) for v, t in vals[1:]]
             return (1 if x in cands else 0), "int"
@@ -403,8 +426,13 @@ def test_random_expressions_match_typed_oracle(spark, expr_df):
     seeds = [
         ("func", "bigint", [("bin", "*", _ai, _bi)]),
         ("func", "bigint", [_df]),  # float passthrough (cpp:1615)
-        ("func", "in", [_ai, ("num", "3", "int"), _df]),
-        ("func", "in", [_df, _cb, ("num", "1.5", "float")]),
+        # IN list members are bare numeric constants (constlist)
+        ("func", "in", [_ai, ("num", "3", "int"), ("num", "1.5", "float")]),
+        ("func", "in", [_df, ("num", "3000000000", "bigint"),
+                        ("num", "1.5", "float")]),
+        # the last-int-wins quirk: big const then small -> INT list
+        ("func", "in", [_cb, ("num", "3000000000", "bigint"),
+                        ("num", "5", "int")]),
         ("func", "interval", [_df, ("num", "3", "int"), ("num", "0", "int")]),
         ("func", "interval", [_ai, ("num", "3.5", "float")]),
         ("func", "idiv", [_cb, _ai]),

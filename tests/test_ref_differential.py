@@ -34,6 +34,7 @@ def _ensure_build():
             "stripdump",
             "snipdump",
             "stemdump",
+            "exprdump",
         )
     ):
         return True
@@ -928,3 +929,91 @@ def test_morphology_live_random(seed):
                            ("stem_cz", 1), ("stem_en, soundex", 1)):
         ref, ours = _stem_both(morph, min_len, words)
         assert ref == ours, f"morph={morph} min={min_len}"
+
+
+# ------------------------------------------------- expressions (live)
+def test_expressions_live_random(spark):
+    """Random typed expressions through the REAL sphinxexpr engine
+    (exprdump harness, fixed ai/bi/cb/df schema) vs our
+    parse_expression -> Catalyst evaluation: result TYPE identical,
+    int/bigint values exact, floats within 1 ulp of float32.  Reuses
+    test_expr_fuzz's generator and its pure-Python oracle as the
+    Poison filter (zero-div / saturation cases would SIGFPE or
+    diverge per C UB — same exclusions as the offline fuzz)."""
+    import numpy as np
+
+    import test_expr_fuzz as EF
+    from sphinx_1_spark.functions.exprparse import parse_expression
+
+    # int attrs stay NON-NEGATIVE here: SPH_ATTR_INTEGER is an
+    # unsigned DWORD (SURVEY 1.2; a real source can't store -6, and
+    # the reference promotes the raw DWORD — Int64Eval of "-6" would
+    # be 4294967290).  Values 0..2^31-1 are identical under both
+    # conventions; signed int attrs are this engine's documented
+    # extension, covered by the offline fuzz.
+    rng0 = random.Random(777)
+    rows = []
+    for i in range(48):
+        rows.append(
+            (
+                i + 1,
+                rng0.randint(0, 50),  # ai
+                rng0.choice((0, 1, 2, rng0.randint(0, 9))),  # bi
+                rng0.choice(
+                    (rng0.randint(-50, 50), 3_000_000_000 + i, -3_000_000_000)
+                ),  # cb: bigint IS signed in the reference (test_50)
+                rng0.randint(-320, 320) / 8.0,  # df
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "docid long, ai int, bi int, cb long, df float"
+    ).cache()
+    row_dicts = [
+        dict(zip(("docid", "ai", "bi", "cb", "df"), r)) for r in rows
+    ]
+    stdin_rows = "".join(
+        f"{r[0]} 0 {r[1]} {r[2]} {r[3]} {r[4]!r}\n" for r in rows
+    ).encode()
+
+    rng = random.Random(314159)
+    cases = []
+    attempts = 0
+    while len(cases) < 40 and attempts < 1200:
+        attempts += 1
+        ast = EF.gen(rng)
+        s = EF.render(ast)
+        try:
+            for rd in row_dicts:
+                EF.ev(ast, rd)
+        except EF.Poison:
+            continue
+        cases.append((s, EF.node_type(ast)))
+    assert len(cases) >= 35
+
+    # our side: one batched Spark evaluation
+    cols = []
+    for j, (s, t) in enumerate(cases):
+        col, got_t = parse_expression(s, EF.ATTRS, docid_col="docid")
+        assert got_t == t, (s, got_t, t)
+        cols.append(col.alias(f"v{j}"))
+    out = df.orderBy("docid").select(*cols).collect()
+
+    for j, (s, t) in enumerate(cases):
+        r = run_ref([ref_bin("exprdump"), s], "/tmp", input=stdin_rows)
+        ref_out = r.stdout.decode().splitlines()
+        assert r.returncode == 0, f"{s!r}: {ref_out[:2]}"
+        assert ref_out[0].split()[1] == t, (s, ref_out[0], t)
+        vals = ref_out[1:]
+        assert len(vals) == len(rows), s
+        for rowi, (line, spark_row) in enumerate(zip(vals, out)):
+            g = spark_row[f"v{j}"]
+            if t == "float":
+                e = float(line)
+                ok = (
+                    g == e
+                    or abs(np.float32(g) - np.float32(e))
+                    <= abs(np.spacing(np.float32(e)))
+                )
+            else:
+                ok = int(line) == g
+            assert ok, f"{s!r} (type {t}) row {rowi}: ref {line} ours {g!r}"
