@@ -409,32 +409,30 @@ class SphinxIndex:
         if mode == "boolean":
             return self._parser.parse(match)
         if mode == "any":
-            # RAW folded tokens, not normalized ones: the parser
-            # re-normalizes internally (identical matching), but the
-            # raw form must reach it for the word-stats display quirk
-            # — with index_exact_words, CSphDictExact::GetWordID stems
-            # a COPY, so m_sDictWord (the stats key) stays the raw
-            # pre-morphology word (src/sphinx.cpp:10789-10798); the
-            # reference's ANY emulation likewise wraps the raw query
-            # text (PrepareQueryEmulation, src/sphinx.cpp:16197-16209).
-            # Stopword raws pass through too — the parser drops them
-            # like the reference's quorum parse does.
-            toks = [
-                raw
-                for _norm, raw in self._tokenizer.tokenize_with_raw(match)
-            ]
-            if len(toks) > 1:
-                return self._parser.parse(
-                    '"' + " ".join(toks) + '"/1'
-                )
-            return self._parser.parse(self._escape(match))
+            # '"<escaped>"/1' — the reference ALWAYS wraps, even for
+            # one word or an empty query (the quorum of one degrades
+            # to the plain term, the empty phrase to match-nothing)
+            return self._parser.parse('"' + self._escape(match) + '"/1')
         raise ValueError(f"unknown match mode {mode!r}")
 
     @staticmethod
     def _escape(q: str) -> str:
-        for ch in '()|-!@~"/^$=<':
-            q = q.replace(ch, " ")
-        return q
+        r"""PrepareQueryEmulation's escape (src/sphinx.cpp:16196-16204):
+        a BACKSLASH before each of ()|-!@~"&/<\ — the escaped-query
+        tokenizer then demotes each per Special2Simple, so a word-part
+        char stays IN the word ('run-ning' remains one token when '-'
+        is in the charset; a space-replacement would split it).  The
+        set deliberately EXCLUDES ^, $ and = — field-start/end anchors
+        and exact-form markers stay LIVE operators in emulated legacy
+        queries ('^fast' in ALL mode anchors, verified against the
+        compiled reference), and also excludes '*' so star expansion
+        stays live on star dicts."""
+        out = []
+        for c in q:
+            if c in '()|-!@~"&/<\\':
+                out.append("\\")
+            out.append(c)
+        return "".join(out)
 
     @staticmethod
     def default_ranker(mode: str, ranker: str | None) -> str:

@@ -526,3 +526,76 @@ def test_live_buildstops_differential(spark, tmp_path):
     )
     our_pairs = {(r["word"], r["freq"]) for r in top.collect()}
     assert our_pairs == ref_pairs
+
+
+def test_live_e2e_legacy_emulation_quirks(spark, tmp_path):
+    """PrepareQueryEmulation parity (src/sphinx.cpp:16196-16209),
+    verified against the real binary: with '-' as a charset word
+    char, legacy ALL/ANY/PHRASE on 'run-ning' must match ONLY the
+    dashed-token doc (the emulation BACKSLASH-escapes, so the dash
+    stays in the word — a space-split would match the two-token doc);
+    and ^/$/= are NOT in the escape set, so field anchors and
+    exact-form markers stay live operators in emulated queries."""
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+
+    charset = "0..9, A..Z->a..z, _, a..z, -"
+    docs = [
+        (1, 1, "intro", "run-ning fast"),
+        (2, 1, "intro", "run ning slow"),
+        (3, 1, "intro", "running other"),
+        (4, 1, "tail fast", "x y"),
+    ]
+    _write_setup(tmp_path, docs)
+    (tmp_path / "sphinx.conf").write_text(
+        f"""
+source src1 {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/docs.xml
+}}
+index main {{
+    source = src1
+    path = {tmp_path}/idx
+    charset_type = utf-8
+    charset_table = {charset}
+}}
+"""
+    )
+    r = run_ref(
+        [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"), "--all"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout.decode()[-1200:]
+
+    df = spark.createDataFrame(
+        [tuple(d) for d in docs],
+        "docid long, gid long, title string, content string",
+    )
+    idx = SphinxIndex.build(
+        df,
+        IndexSettings(
+            docid_col="docid",
+            fields=("title", "content"),
+            attrs=("gid",),
+            tokenizer=TokenizerSettings(charset_table=charset),
+            tokenizer_impl="arrow",
+            enable_star=False,
+        ),
+        persist=True,
+    )
+
+    for mode, q in [
+        ("all", "run-ning"),  # dash stays in the word via the escape
+        ("any", "run-ning"),
+        ("phrase", "run-ning"),
+        ("all", "run-ning fast"),
+        ("any", "run ning"),
+        ("all", "^fast"),  # '^' is LIVE in the emulation (not escaped)
+        ("all", "^running"),
+        ("all", "=running"),  # '=' too
+        ("any", "^tail"),
+        ("all", "(fast"),  # '(' IS escaped: acts as a plain separator
+    ]:
+        got = _our_search(idx, q, mode)
+        want = _real_search(tmp_path, [q], MODE_FLAGS[mode])
+        assert got == want, f"mode={mode} q={q!r}\nours: {got}\nref:  {want}"
