@@ -39,6 +39,7 @@ the per-url text invariant:
 from __future__ import annotations
 
 import html.entities
+import re
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -67,6 +68,11 @@ _TAGCHAR = frozenset(
 _ALPHA = frozenset(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 # GetCharIndex accepts a-z A-Z _ : as a first tag-name byte
 _TAGSTART = frozenset(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_:")
+
+# next '>' or quote, for the attribute-list skip: one C-level regex
+# scan instead of a per-byte Python loop (semantics identical to
+# "advance until '>', entering SkipQuoted at any quote")
+_GT_OR_QUOTE = re.compile(rb"[>'\"]")
 
 
 def _utf8_encode_sphinx(code: int) -> bytes:
@@ -127,17 +133,23 @@ class HtmlStripper:
         # while _match_tag (called once per '<' in the corpus) touches
         # ~1-3 candidates instead of all ~20.
         self._sorted = sorted(self._tags.values(), key=lambda t: t.name)
+        # bucketed under BOTH cases of the first byte so _match_tag
+        # needs no .lower() on the probe byte (names are lowercase;
+        # candidate order within a bucket is unchanged either way)
         self._by_first: dict[bytes, list[Tag]] = {}
         for tag in self._sorted:
-            self._by_first.setdefault(tag.name[:1], []).append(tag)
+            lo = tag.name[:1]
+            self._by_first.setdefault(lo, []).append(tag)
+            up = lo.upper()
+            if up != lo:
+                self._by_first.setdefault(up, []).append(tag)
 
     # ------------------------------------------------------------------
     def _match_tag(self, data: bytes, i: int) -> tuple[Tag | None, int]:
         """Find a known tag whose name prefixes data[i:] with a non-tag
         char following (sorted candidate scan, src/sphinx.cpp:18205-18225);
         returns (tag, end-of-name index) or (None, i)."""
-        first = data[i : i + 1].lower()
-        for tag in self._by_first.get(first, ()):
+        for tag in self._by_first.get(data[i : i + 1], ()):
             n = len(tag.name)
             if data[i : i + n].lower() != tag.name:
                 continue
@@ -166,7 +178,11 @@ class HtmlStripper:
             # copy until eof, '<', or '&'
             lt = data.find(b"<", s)
             amp = data.find(b"&", s)
-            stop = min(x for x in (lt, amp, n) if x >= 0)
+            if lt < 0:
+                lt = n
+            if amp < 0:
+                amp = n
+            stop = lt if lt < amp else amp
             out += data[s:stop]
             s = stop
             if s >= n:
@@ -240,12 +256,17 @@ class HtmlStripper:
                 s = after
 
             if tag is None or not tag.index_attrs:
-                # scan to '>' with quote awareness
-                while s < n and data[s] != 0x3E:
-                    if data[s] in (0x27, 0x22):
-                        s = self._skip_quoted(data, s)
-                    else:
-                        s += 1
+                # scan to '>' with quote awareness — one regex hop per
+                # '>' / quote instead of a per-byte loop
+                while True:
+                    m = _GT_OR_QUOTE.search(data, s)
+                    if m is None:
+                        s = n
+                        break
+                    s = m.start()
+                    if data[s] == 0x3E:
+                        break
+                    s = self._skip_quoted(data, s)
                 if s < n:
                     s += 1
                 if tag is None:

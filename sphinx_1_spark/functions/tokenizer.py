@@ -466,7 +466,15 @@ class Tokenizer:
                 folded = np.insert(folded, idx, np.uint32(32))
         np.place(folded, folded == 0, 32)
         toks = codepoints_to_text(folded).split()
-        return [t if len(t) <= MAX_WORD_LEN else t[:MAX_WORD_LEN] for t in toks]
+        # 64-codepoint truncation: over-long tokens are rare, so probe
+        # with one C-speed max(map(len, ...)) pass before paying the
+        # per-token conditional rebuild
+        if toks and max(map(len, toks)) > MAX_WORD_LEN:
+            return [
+                t if len(t) <= MAX_WORD_LEN else t[:MAX_WORD_LEN]
+                for t in toks
+            ]
+        return toks
 
     @property
     def fast_array_path_ok(self) -> bool:
