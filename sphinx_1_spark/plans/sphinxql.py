@@ -73,6 +73,21 @@ class SelectStmt:
     options: dict = field(default_factory=dict)
 
 
+# AddOption's closed sets (src/searchd.cpp:4700-4750).  max_query_time
+# parses like the reference's but raises the declared permanent N/A at
+# execute when nonzero (same contract as ApiQuery.max_query_time);
+# retry_count/retry_delay are agent knobs the reference ignores for
+# local indexes — parsed and carried, not acted on.
+_RANKERS = frozenset(
+    ("proximity_bm25", "bm25", "none", "wordcount", "proximity",
+     "matchany", "fieldmask")
+)
+_OPTIONS = frozenset(
+    ("ranker", "max_matches", "cutoff", "max_query_time",
+     "retry_count", "retry_delay")
+)
+
+
 class Parser:
     def __init__(self, toks: list[str]):
         self.toks = toks
@@ -130,7 +145,18 @@ class Parser:
                 name = self.next().lower()
                 self.expect("=")
                 val = self.next()
-                stmt.options[name] = int(val) if val.isdigit() else val
+                # SqlParser_t::AddOption (src/searchd.cpp:4700-4750):
+                # name and value are lowercased, the option-name set is
+                # closed, and ranker values are validated at parse time
+                if name == "ranker":
+                    v = val.lower()
+                    if v not in _RANKERS:
+                        raise SphinxQLError(f"unknown ranker '{v}'")
+                    stmt.options[name] = v
+                elif name in _OPTIONS:
+                    stmt.options[name] = int(val) if val.isdigit() else val
+                else:
+                    raise SphinxQLError(f"unknown option '{name}'")
                 if not self.accept(","):
                     break
         if self.peek() is not None:
@@ -169,6 +195,9 @@ class Parser:
         while True:
             t = self.next()
             if t.upper() == "MATCH":
+                if stmt.match is not None:
+                    # reference text, sphinxql.y where_item MATCH rule
+                    raise SphinxQLError("too many MATCH() clauses")
                 self.expect("(")
                 q = self.next()
                 if not (q.startswith("'") and q.endswith("'")):
@@ -177,13 +206,22 @@ class Parser:
                 self.expect(")")
             else:
                 op = self.next()
-                if op.upper() == "IN":
+                if op.upper() in ("IN", "NOT"):
+                    neg = op.upper() == "NOT"
+                    if neg:
+                        self.expect("IN")
                     self.expect("(")
                     vals = [self._value(self.next())]
                     while self.accept(","):
                         vals.append(self._value(self.next()))
                     self.expect(")")
-                    stmt.conds.append((t, "in", vals))
+                    # deliberate deviation: the reference's NOT IN rule
+                    # copies the values from the wrong bison slot ($4 is
+                    # the '(' token, src/sphinxql.y:189-196), producing
+                    # an EMPTY exclude filter that matches NOTHING (live
+                    # differential pins the daemon bug); we serve the
+                    # correct complement
+                    stmt.conds.append((t, "not_in" if neg else "in", vals))
                 elif op.upper() == "BETWEEN":
                     lo = self._value(self.next())
                     self.expect("AND")
@@ -278,6 +316,8 @@ def _filtered_base(
         c = _cond_col(name, docid_col)
         if op == "in":
             base = base.where(c.isin(val))
+        elif op == "not_in":
+            base = base.where(~c.isin(val))
         elif op == "between":
             base = base.where(c.between(val[0], val[1]))
         elif op == "=":
@@ -292,6 +332,15 @@ def _filtered_base(
             base = base.where(c <= val)
         elif op == ">=":
             base = base.where(c >= val)
+    cutoff = int(stmt.options.get("cutoff", 0) or 0)
+    if cutoff > 0:
+        # OPTION cutoff (AddOption src/searchd.cpp:4727-4729 ->
+        # SetLimits cutoff): matching stops after N matches accepted
+        # PAST all filters, in docid processing order — the same
+        # deterministic analog as ApiQuery.cutoff (plans/api.py:402)
+        from sphinx_1_spark.plans.attrs import docid_ord
+
+        base = base.orderBy(docid_ord(docid_col).asc()).limit(cutoff)
     return base
 
 
@@ -315,6 +364,20 @@ def execute(
     queue."""
     from sphinx_1_spark.plans.attrs import docid_ord
 
+    if int(stmt.options.get("max_query_time", 0) or 0):
+        # parses like the reference (AddOption src/searchd.cpp:4731)
+        # but serving it is the documented permanent N/A — same
+        # contract and reasoning as ApiQuery.max_query_time
+        # (plans/api.py:293): the reference truncates to a
+        # timing-dependent partial match set no declarative plan can
+        # reproduce
+        raise SphinxQLError(
+            "max_query_time is a documented permanent N/A: the "
+            "reference truncates to a timing-dependent partial match "
+            "set (src/sphinx.cpp:11841-11847), which a declarative "
+            "batch plan cannot reproduce; bound job wall-clock with "
+            "spark.sparkContext.cancelJobGroup instead"
+        )
     base = _filtered_base(stmt, df, index, docid_col)
     max_matches = int(stmt.options.get("max_matches", 1000))
     if stmt.offset >= max_matches:
@@ -550,9 +613,12 @@ class SphinxQLSession:
                 self._warnings = [warn]
         if stmt.match is not None and self.index is not None:
             plan, m = self.index.match(stmt.match)
-            if stmt.conds:
+            if stmt.conds or stmt.options.get("cutoff"):
                 # m_iTotalMatches counts matches that PASSED the attr
                 # filters (they are part of matching, not decoration)
+                # and stops at cutoff (matching stopped there, so the
+                # daemon reports total == total_found == cutoff — live
+                # differential test_option_cutoff)
                 total_found = _filtered_base(
                     stmt, self.df, self.index, self.docid_col
                 ).count()
