@@ -2211,9 +2211,12 @@ SELECT event_id,
   CAST(trunc(user_id / 7) AS BIGINT) AS user_div7,
   value * 2.0 + 1.0 AS v2p1,
   round(6384000.0 * 2 * asin(least(1.0, sqrt(
-      pow(sin((radians(37.0 + user_id % 10) - radians(37.5)) / 2), 2)
-      + cos(radians(37.0 + user_id % 10)) * cos(radians(37.5))
-        * pow(sin((radians(-122.0 + fmod(value, 5)) - radians(-122.5)) / 2), 2)
+      pow(sin(CAST(CAST(radians(37.0 + user_id % 10) AS REAL)
+              - CAST(radians(37.5) AS REAL) AS REAL) / 2), 2)
+      + CAST(CAST(cos(CAST(radians(37.0 + user_id % 10) AS REAL)) AS REAL)
+             * CAST(cos(CAST(radians(37.5) AS REAL)) AS REAL) AS REAL)
+        * pow(sin(CAST(CAST(radians(-122.0 + fmod(value, 5)) AS REAL)
+                  - CAST(radians(-122.5) AS REAL) AS REAL) / 2), 2)
   ))), 3) AS geodist_m,
   CAST(trunc((1700000000 - epoch(ts)) / 86400) AS BIGINT) AS age_days
 FROM events ORDER BY event_id LIMIT 100"""
@@ -2264,12 +2267,18 @@ GROUP BY v ORDER BY v"""
 SELECT doc_id, dense_rank() OVER (ORDER BY source) AS source_ord
 FROM documents ORDER BY doc_id LIMIT 100"""
 
+    # mirrors the engine's compiled-binary float32 geodist semantics
+    # (functions/exprs.py geodist: f32 inputs, f32 deltas, f32 cosf
+    # product — pinned live against the real searchd)
     geo_sort = """
 SELECT event_id,
   round(6384000.0 * 2 * asin(least(1.0, sqrt(
-      pow(sin((radians(37.0 + user_id % 10) - radians(37.5)) / 2), 2)
-      + cos(radians(37.0 + user_id % 10)) * cos(radians(37.5))
-        * pow(sin((radians(-122.0 + fmod(value, 5)) - radians(-122.5)) / 2), 2)
+      pow(sin(CAST(CAST(radians(37.0 + user_id % 10) AS REAL)
+              - CAST(radians(37.5) AS REAL) AS REAL) / 2), 2)
+      + CAST(CAST(cos(CAST(radians(37.0 + user_id % 10) AS REAL)) AS REAL)
+             * CAST(cos(CAST(radians(37.5) AS REAL)) AS REAL) AS REAL)
+        * pow(sin(CAST(CAST(radians(-122.0 + fmod(value, 5)) AS REAL)
+                  - CAST(radians(-122.5) AS REAL) AS REAL) / 2), 2)
   ))), 3) AS geodist_m
 FROM events ORDER BY geodist_m ASC, event_id ASC LIMIT 50"""
 

@@ -15,14 +15,30 @@ GEO_R = 6384000.0  # reference earth radius, src/sphinxexpr.cpp:1156
 
 def geodist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """GEODIST(): haversine over radian inputs with Sphinx's constants
-    (CalcGeodist, src/sphinxexpr.cpp:1154-1162): R=6384000,
-    c = 2*asin(min(1, sqrt(a))).  Double math (the reference narrows
-    in/out to float32; parity tests cover that separately)."""
-    dlat = lat1 - lat2
-    dlon = lon1 - lon2
-    a = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(
-        F.sin(dlon / 2), 2
-    )
+    (CalcGeodist, src/sphinxexpr.cpp:1154-1162; ExprGeodist_t::Eval,
+    src/sphinxsort.cpp:1745-1756): R=6384000, c = 2*asin(min(1,
+    sqrt(a))).  Compiled-binary float semantics, pinned by the live
+    daemon differential (bit-exact on every @geodist it serves):
+
+    * inputs are FLOAT32 and the deltas subtract float-by-float
+      (`double dlat = fLat - fAnchorLat` rounds to float32 first);
+    * `cos(fLat)` resolves to the C++ float overload — the binary
+      calls COSF and multiplies the two cosines in FLOAT32 (mulss;
+      verified in the disassembly of Expr_GeodistAttrConst_c::Eval)
+      before widening the product to double;
+    * the two `sin` calls take double args (dlat/2) and stay double;
+    * the result narrows to float32 (callers cast).
+
+    Without the cosf/mulss step the result drifts one float32 ulp on
+    ~20% of inputs — the live binary-API differential caught it."""
+    lat1 = lat1.cast("float")
+    lat2 = lat2.cast("float")
+    dlat = (lat1 - lat2).cast("float")
+    dlon = (lon1.cast("float") - lon2.cast("float")).cast("float")
+    coscos = (
+        F.cos(lat1).cast("float") * F.cos(lat2).cast("float")
+    ).cast("float")
+    a = F.pow(F.sin(dlat / 2), 2) + coscos * F.pow(F.sin(dlon / 2), 2)
     c = 2 * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
     return F.lit(GEO_R) * c
 

@@ -159,9 +159,19 @@ def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
     if q.sortmode == "expr":
         return [F.col("@expr").desc(), _docid_ord().asc()]
     if q.sortmode == "attr_asc":
-        return [F.col(q.sortby).asc(), _docid_ord().asc()]
+        # MatchAttrGt_fn (src/sphinxsort.cpp:1202-1221): attr, then
+        # WEIGHT DESC, then id asc — the weight tie-break was missing
+        # until the live daemon differential caught it
+        return [
+            F.col(q.sortby).asc(), F.col("weight").desc(),
+            _docid_ord().asc(),
+        ]
     if q.sortmode == "attr_desc":
-        return [F.col(q.sortby).desc(), _docid_ord().asc()]
+        # MatchAttrLt_fn (src/sphinxsort.cpp:1178-1197)
+        return [
+            F.col(q.sortby).desc(), F.col("weight").desc(),
+            _docid_ord().asc(),
+        ]
     if q.sortmode == "time_segments":
         return [
             F.col("@timeseg").asc(),

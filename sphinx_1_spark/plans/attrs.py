@@ -54,8 +54,13 @@ def time_segment(ts: Column, now_epoch: int) -> Column:
     """SPH_SORT_TIME_SEGMENTS bucket (GetSegment,
     src/sphinxsort.cpp:1252-1261): 0=last hour, 1=day, 2=week,
     3=month, 4=3 months, 5=older.  Sort order is (segment asc,
-    weight desc, stamp desc, docid asc)."""
-    stamp = F.unix_timestamp(ts)
+    weight desc, stamp desc, docid asc).
+
+    The reference's SPH_ATTR_TIMESTAMP is a plain uint32 of epoch
+    seconds; the cast-through-timestamp makes this accept either a
+    Spark TIMESTAMP column or its numeric epoch-seconds analog
+    (bigint seconds -> timestamp is Spark's documented cast)."""
+    stamp = F.unix_timestamp(ts.cast("timestamp"))
     return (
         F.when(stamp >= now_epoch - 3600, 0)
         .when(stamp >= now_epoch - 24 * 3600, 1)
