@@ -639,3 +639,38 @@ class SphinxIndex:
         return self.dictionary.where(F.col("wordid").isin(wids)).select(
             "word", "docs", "hits"
         )
+
+    def build_keywords(self, query: str, stats: bool = True) -> list:
+        """Full GetKeywords shape (src/sphinx.cpp:16110-16163), in
+        query-token order: one {'tokenized', 'normalized', 'docs',
+        'hits'} per kept token.  tokenized is the folded token BEFORE
+        the dictionary (m_sTokenized is captured pre-GetWordID);
+        normalized is after the morphology chain (GetWordID mutates
+        the buffer in place); stopwords are SKIPPED (GetWordID
+        returns 0 -> no entry); words absent from the index still
+        emit with docs=hits=0; without stats both counters are 0
+        (the daemon's bGetStats branch).  Pinned live against the
+        real daemon's BuildKeywords command in
+        tests/test_ref_searchd_api_differential.py."""
+        entries = [
+            (raw, norm)
+            for raw, norm, _ in self._tokenizer._full_stream(query)
+            if norm is not None
+        ]
+        out = [
+            {"tokenized": raw, "normalized": norm, "docs": 0, "hits": 0}
+            for raw, norm in entries
+        ]
+        if stats and entries:
+            wids = [
+                word_id(norm, self.settings.wordid) for _, norm in entries
+            ]
+            found = {
+                r["wordid"]: (r["docs"], r["hits"])
+                for r in self.dictionary.where(
+                    F.col("wordid").isin(wids)
+                ).collect()
+            }
+            for row, wid in zip(out, wids):
+                row["docs"], row["hits"] = found.get(wid, (0, 0))
+        return out

@@ -215,6 +215,59 @@ class ApiWire:
         req.append(_s(select))
         return b"".join(req)
 
+    def update(self, index: str, attrs: list[str],
+               rows: dict[int, tuple]) -> int:
+        """SEARCHD_COMMAND_UPDATE v.1.2 (HandleCommandUpdate,
+        src/searchd.cpp:5000-5080): scalar int attr updates; returns
+        the daemon's updated-row count."""
+        body = _s(index)
+        body += struct.pack(">L", len(attrs))
+        for a in attrs:
+            body += _s(a) + struct.pack(">L", 0)  # scalar, not MVA
+        body += struct.pack(">L", len(rows))
+        for docid, vals in rows.items():
+            body += struct.pack(">Q", docid)
+            for v in vals:
+                body += struct.pack(">L", v)
+        status, _, p = self._roundtrip(2, 0x102, body)
+        if status != SEARCHD_OK:
+            raise RuntimeError(p[4:].rstrip(b"\x00").decode())
+        return struct.unpack(">L", p[:4])[0]
+
+    def keywords(self, query: str, index: str = "main",
+                 stats: bool = True) -> list[dict]:
+        """SEARCHD_COMMAND_KEYWORDS (HandleCommandKeywords,
+        src/searchd.cpp:4960-5010): per-token tokenized/normalized
+        (+docs/hits when stats)."""
+        body = _s(query) + _s(index) + struct.pack(">L", 1 if stats else 0)
+        status, _, p = self._roundtrip(3, 0x100, body)
+        if status != SEARCHD_OK:
+            raise RuntimeError(p[4:].rstrip(b"\x00").decode())
+        pos = 0
+
+        def L():
+            nonlocal pos
+            v = struct.unpack_from(">L", p, pos)[0]
+            pos += 4
+            return v
+
+        def S():
+            nonlocal pos
+            n = L()
+            v = p[pos : pos + n].decode()
+            pos += n
+            return v
+
+        out = []
+        for _ in range(L()):
+            kw = {"tokenized": S(), "normalized": S()}
+            if stats:
+                kw["docs"] = L()
+                kw["hits"] = L()
+            out.append(kw)
+        assert pos == len(p)
+        return out
+
     def search(self, blobs: list[bytes]) -> list[dict]:
         """RunQueries: one request, N result sets (SendResult order)."""
         body = struct.pack(">L", len(blobs)) + b"".join(blobs)
@@ -341,6 +394,13 @@ index main {{
     path = {tmp}/idx
     charset_type = utf-8
     charset_table = {CHARSET}
+}}
+index morph {{
+    source = src1
+    path = {tmp}/idx_morph
+    charset_type = utf-8
+    charset_table = {CHARSET}
+    morphology = stem_en
 }}
 searchd {{
     listen = 127.0.0.1:{port}
@@ -955,3 +1015,116 @@ def test_override_type_mismatch_error(daemon, ours):
             _aq(query="w3",
                 overrides={"nosuchattr": {8: 1}}, limit=10),
         )
+
+
+# ---------------------------------------------------------------------
+# BuildKeywords + UpdateAttributes commands
+# ---------------------------------------------------------------------
+@pytest.mark.parametrize("stats", [True, False])
+def test_build_keywords_live(daemon, ours, stats):
+    """BuildKeywords vs our build_keywords: token order, tokenized/
+    normalized forms, docs/hits (0 for unknown words; 0/0 without
+    stats — the daemon's bGetStats branch)."""
+    q = "w3 w5 nosuchword w3"
+    dres = daemon["cli"].keywords(q, "main", stats=stats)
+    ores = ours["idx"].build_keywords(q, stats=stats)
+    assert len(dres) == len(ores) == 4
+    for d, o in zip(dres, ores):
+        assert d["tokenized"] == o["tokenized"]
+        assert d["normalized"] == o["normalized"]
+        if stats:
+            assert d["docs"] == o["docs"] and d["hits"] == o["hits"], (d, o)
+
+
+def test_build_keywords_morphology_live(spark, daemon):
+    """BuildKeywords on a stem_en index: normalized carries the
+    stemmed form while tokenized keeps the folded raw token."""
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+
+    df = spark.createDataFrame(
+        [
+            (did, title, content)
+            for did, _, _, _, _, _, _, _, title, content in daemon["docs"]
+        ],
+        "docid long, title string, content string",
+    )
+    idx = SphinxIndex.build(
+        df,
+        IndexSettings(
+            docid_col="docid",
+            fields=("title", "content"),
+            tokenizer=TokenizerSettings(
+                charset_table=CHARSET, morphology=("stem_en",)
+            ),
+            tokenizer_impl="arrow",
+            enable_star=False,
+        ),
+        persist=True,
+    )
+    q = "running books w3 connection"
+    dres = daemon["cli"].keywords(q, "morph", stats=True)
+    ores = idx.build_keywords(q, stats=True)
+    assert [d["tokenized"] for d in dres] == ["running", "books", "w3",
+                                              "connection"]
+    assert [d["normalized"] for d in dres] == ["run", "book", "w3",
+                                               "connect"]
+    assert len(ores) == len(dres)
+    for d, o in zip(dres, ores):
+        assert d == o, (d, o)
+
+
+def test_update_attributes_live(daemon, ours):
+    """UpdateAttributes through the daemon: scalar pokes apply to
+    subsequent queries, missing docids are not counted; our
+    copy-on-write update_attributes answers identically.  Restores
+    the original values afterward (module-scoped daemon)."""
+    import copy
+
+    from sphinx_1_spark.plans.attrs import update_attributes
+
+    cli = daemon["cli"]
+    orig = {d[0]: (d[1], d[4]) for d in daemon["docs"]}  # gid, cat
+    changed = {3: (77, 1), 9: (78, 2)}
+    try:
+        n = cli.update("main", ["gid", "cat"],
+                       {**changed, 999999: (1, 1)})
+        assert n == 2  # the missing docid is not counted
+
+        dres = cli.search([cli.query_blob(
+            "w3", filters=({"attr": "gid", "type": FILTER_VALUES,
+                            "values": [77, 78]},), limit=60)])[0]
+        F = _F()
+        patched = copy.copy(ours["idx"])
+        upd = patched.docinfo.sparkSession.createDataFrame(
+            [(did, g, c) for did, (g, c) in changed.items()],
+            "docid long, gid int, cat int",
+        )
+        patched.docinfo = update_attributes(
+            patched.docinfo, upd, ["gid", "cat"]
+        )
+        from sphinx_1_spark.plans.api import api_query
+
+        rows, meta = api_query(
+            [("main", patched, None)],
+            _aq(query="w3", filters=[F.col("gid").isin([77, 78])],
+                limit=60),
+        )
+        # doc 3 matches w3 in this corpus; doc 9 may or may not — the
+        # daemon is the oracle for the exact match set
+        assert [m[0] for m in dres["matches"]] == [r["docid"] for r in rows]
+        assert dres["matches"], "update must be observable via filter"
+        for m, r in zip(dres["matches"], rows):
+            assert m[1] == r["weight"]
+            assert m[2][0] == r["gid"] and m[2][3] == r["cat"]
+        assert dres["total_found"] == meta["total_found"]
+    finally:
+        cli.update("main", ["gid", "cat"],
+                   {did: orig[did] for did in changed})
+
+
+def test_update_attributes_unknown_index_error(daemon):
+    """The daemon's exact unknown-index error text."""
+    with pytest.raises(RuntimeError) as e:
+        daemon["cli"].update("nosuch", ["gid"], {1: (1,)})
+    assert str(e.value) == "unknown index 'nosuch' in update request"
