@@ -599,3 +599,292 @@ index main {{
         got = _our_search(idx, q, mode)
         want = _real_search(tmp_path, [q], MODE_FLAGS[mode])
         assert got == want, f"mode={mode} q={q!r}\nours: {got}\nref:  {want}"
+
+
+# ------------------------------------------------ LIVE indexer --merge
+def _write_merge_setup(tmp_path, main_docs, delta_docs, kill,
+                       merge_flags=()):
+    """Two-index conf; build both with the real indexer, then merge
+    delta INTO main with `indexer --merge` (CSphIndex_VLN::Merge,
+    src/sphinx.cpp:9976): DST rows pass SRC's kill-list (and the
+    optional --merge-dst-range), SRC rows always carry over."""
+    def xml(docs, klist=None):
+        out = [
+            '<?xml version="1.0" encoding="utf-8"?>',
+            "<sphinx:docset>",
+            "<sphinx:schema>",
+            '<sphinx:field name="title"/>',
+            '<sphinx:field name="content"/>',
+            '<sphinx:attr name="gid" type="int" bits="32"/>',
+            "</sphinx:schema>",
+        ]
+        for did, gid, title, content in docs:
+            out.append(
+                f'<sphinx:document id="{did}">'
+                f"<title>{_xml_escape(title)}</title>"
+                f"<content>{_xml_escape(content)}</content>"
+                f"<gid>{gid}</gid></sphinx:document>"
+            )
+        if klist:
+            out.append(
+                "<sphinx:killlist>"
+                + "".join(f"<id>{k}</id>" for k in klist)
+                + "</sphinx:killlist>"
+            )
+        out.append("</sphinx:docset>")
+        return "\n".join(out)
+
+    (tmp_path / "main.xml").write_text(xml(main_docs), encoding="utf-8")
+    (tmp_path / "delta.xml").write_text(
+        xml(delta_docs, kill), encoding="utf-8"
+    )
+    (tmp_path / "sphinx.conf").write_text(
+        f"""
+source smain {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/main.xml
+}}
+source sdelta {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/delta.xml
+}}
+index main {{
+    source = smain
+    path = {tmp_path}/idx_main
+    charset_type = utf-8
+    charset_table = {CHARSET}
+}}
+index delta {{
+    source = sdelta
+    path = {tmp_path}/idx_delta
+    charset_type = utf-8
+    charset_table = {CHARSET}
+}}
+"""
+    )
+    r = run_ref(
+        [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"),
+         "--all"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout.decode()[-1500:]
+    r = run_ref(
+        [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"),
+         "--merge", "main", "delta", *merge_flags],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout.decode()[-1500:]
+
+
+def _rand_merge_docs(rng, lo, hi):
+    return [
+        (
+            did,
+            rng.randint(1, 4),
+            " ".join(rng.choices(VOCAB, k=rng.randint(1, 3))),
+            " ".join(rng.choices(VOCAB, k=rng.randint(4, 15))),
+        )
+        for did in range(lo, hi + 1)
+    ]
+
+
+def _our_merged(spark, main_docs, delta_docs, kill, dst_filter=None):
+    from sphinx_1_spark.plans.engine import SphinxIndex
+
+    dst = _our_index(spark, main_docs)
+    src = _our_index(spark, delta_docs)
+    return SphinxIndex.merge(
+        dst, src, dst_filter=dst_filter, src_kill=list(kill)
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_live_merge_random_corpus(spark, tmp_path, seed):
+    """Random main+delta with overlap + kill-list, merged by the REAL
+    indexer --merge, queried through the REAL search CLI — our
+    SphinxIndex.merge must answer identically (totals, ranked
+    (docid, weight, gid) lists, per-word docs/hits) across match
+    modes.  Extends the canned merge replays (tests 23/26/27/36/61/
+    64/78/93/95) to fresh random data through the live binaries.
+
+    The corpus appends an ALL-VOCAB sentinel doc with the highest
+    docid, unkilled, so every word's dst doclist TAIL survives the
+    kill filter — keeping clear of the reference's tail-leak merge
+    bug (pinned separately in test_live_merge_tail_leak_bug)."""
+    rng = random.Random(7700 + seed)
+    main_docs = _rand_merge_docs(rng, 1, rng.randint(30, 45))
+    overlap_lo = len(main_docs) - rng.randint(3, 8)
+    delta_docs = _rand_merge_docs(
+        rng, overlap_lo, overlap_lo + rng.randint(8, 18)
+    )
+    # kill-list: the delta supersedes its overlap + kills a few
+    # main-only docs outright
+    kill = sorted(
+        {d[0] for d in delta_docs if d[0] <= len(main_docs)}
+        | {rng.randint(1, overlap_lo - 1) for _ in range(3)}
+    )
+    sentinel = max(d[0] for d in delta_docs) + 50
+    main_docs.append(
+        (sentinel, 1, " ".join(VOCAB[:3]), " ".join(VOCAB))
+    )
+    _write_merge_setup(tmp_path, main_docs, delta_docs, kill)
+    merged = _our_merged(spark, main_docs, delta_docs, kill)
+
+    for mode, words in _rand_queries(rng):
+        got = _our_search(merged, " ".join(words), mode)
+        want = _real_search(tmp_path, words, (*MODE_FLAGS[mode], "-i", "main"))
+        assert got == want, (
+            f"mode={mode} query={words!r}\nours: {got}\nref:  {want}"
+        )
+
+
+def test_live_merge_dst_range(spark, tmp_path):
+    """--merge-dst-range gid: DST rows outside the range drop during
+    the merge (src/indexer.cpp merge options), SRC rows keep."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7777)
+    main_docs = _rand_merge_docs(rng, 1, 40)
+    delta_docs = _rand_merge_docs(rng, 36, 50)
+    kill = [d[0] for d in delta_docs if d[0] <= 40]
+    # all-vocab sentinel (gid inside the dst-range) — see
+    # test_live_merge_random_corpus / test_live_merge_tail_leak_bug
+    main_docs.append((100, 2, " ".join(VOCAB[:3]), " ".join(VOCAB)))
+    _write_merge_setup(
+        tmp_path, main_docs, delta_docs, kill,
+        merge_flags=("--merge-dst-range", "gid", "1", "2"),
+    )
+    merged = _our_merged(
+        spark, main_docs, delta_docs, kill,
+        dst_filter=F.col("gid").between(1, 2),
+    )
+    for mode, words in [("all", ["w1"]), ("any", ["w2", "w5"]),
+                        ("extended2", ["w3", "|", "w7"])]:
+        got = _our_search(merged, " ".join(words), mode)
+        want = _real_search(tmp_path, words, (*MODE_FLAGS[mode], "-i", "main"))
+        assert got == want, (mode, words, got, want)
+
+
+def test_live_merge_tail_leak_bug(spark, tmp_path):
+    """PINNED reference merge bug, root-caused in source: when the
+    LAST doc of a dst doclist is rejected by the merge filter
+    (kill-list or --merge-dst-range), GetNextFilteredDoc returns
+    false but leaves the REJECTED docid in m_tLastDoc
+    (src/sphinx.cpp:22203-22247 — m_iDocID is only zeroed on entry,
+    and the filtered while-loop exits with the rejected doc still
+    loaded), and MergeWordData's docid references then treat it as
+    live and write its ENTIRE hit chain (:10495-10580).  The leak
+    needs the word in BOTH dictionaries — the dst-only copy branch
+    checks the return value and drops the doc correctly.
+
+    Live consequences pinned here: the killed doc's postings survive
+    ('aa' keeps doc 2) while dst-only words drop it ('cc' empties),
+    docinfo correctly loses the row, and a search that matches via
+    the phantom hits returns the killed docid with GARBAGE attributes
+    (FindDocinfo misses -> out-of-bounds read; gid prints as a random
+    DWORD).  Our SphinxIndex.merge has no such leak: doc 2 is fully
+    gone, attrs are sane — a documented fixed-bug deviation."""
+    def xml(docs, kill=None):
+        out = [
+            '<?xml version="1.0" encoding="utf-8"?>',
+            "<sphinx:docset>",
+            "<sphinx:schema>",
+            '<sphinx:field name="title"/>',
+            '<sphinx:field name="content"/>',
+            '<sphinx:attr name="gid" type="int" bits="32"/>',
+            "</sphinx:schema>",
+        ]
+        for did, gid, title, content in docs:
+            out.append(
+                f'<sphinx:document id="{did}"><title>{title}</title>'
+                f"<content>{content}</content><gid>{gid}</gid>"
+                "</sphinx:document>"
+            )
+        if kill:
+            out.append(
+                "<sphinx:killlist>"
+                + "".join(f"<id>{k}</id>" for k in kill)
+                + "</sphinx:killlist>"
+            )
+        out.append("</sphinx:docset>")
+        return "\n".join(out)
+
+    main_docs = [(1, 10, "aa", "bb"), (2, 20, "aa", "cc")]
+    delta_docs = [(3, 30, "aa", "dd")]
+    kill = [2]
+    (tmp_path / "main.xml").write_text(xml(main_docs), encoding="utf-8")
+    (tmp_path / "delta.xml").write_text(
+        xml(delta_docs, kill), encoding="utf-8"
+    )
+    (tmp_path / "sphinx.conf").write_text(
+        f"""
+source smain {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/main.xml
+}}
+source sdelta {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/delta.xml
+}}
+index main {{
+    source = smain
+    path = {tmp_path}/idx_main
+    charset_type = utf-8
+    charset_table = {CHARSET}
+}}
+index delta {{
+    source = sdelta
+    path = {tmp_path}/idx_delta
+    charset_type = utf-8
+    charset_table = {CHARSET}
+}}
+"""
+    )
+    for args in (("--all",), ("--merge", "main", "delta")):
+        r = run_ref(
+            [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"),
+             *args],
+            str(tmp_path),
+        )
+        assert r.returncode == 0, r.stdout.decode()[-1500:]
+
+    # the phantom posting, live: 'aa' keeps killed doc 2...
+    r = run_ref(
+        [ref_bin("indextool"), "--config", str(tmp_path / "sphinx.conf"),
+         "--dumphitlist", "main", "aa"],
+        str(tmp_path),
+    )
+    aa_docs = set(
+        int(m) for m in re.findall(r"doc=(\d+),", r.stdout.decode())
+    )
+    assert aa_docs == {1, 2, 3}  # 2 is the leak
+    # ...while the dst-only word drops it (the copy branch is correct)
+    r = run_ref(
+        [ref_bin("indextool"), "--config", str(tmp_path / "sphinx.conf"),
+         "--dumphitlist", "main", "cc"],
+        str(tmp_path),
+    )
+    assert not re.findall(r"doc=(\d+),", r.stdout.decode())
+    # docinfo correctly lost the row
+    r = run_ref(
+        [ref_bin("indextool"), "--config", str(tmp_path / "sphinx.conf"),
+         "--dumpdocids", "main"],
+        str(tmp_path),
+    )
+    ids = [int(m) for m in re.findall(r"id=(\d+)", r.stdout.decode())]
+    assert ids == [1, 3]
+    # the phantom MATCHES, with garbage attrs (gid != any real value)
+    n, total, matches, _ = _real_search(tmp_path, ["aa"], ("-a", "-i", "main"))
+    assert [m[0] for m in matches] == [1, 2, 3]
+    assert matches[1][2] not in (10, 20, 30)  # out-of-bounds gid read
+
+    # ours: clean merge — doc 2 fully gone, sane attrs
+    from sphinx_1_spark.plans.engine import SphinxIndex
+
+    merged = SphinxIndex.merge(
+        _our_index(spark, main_docs), _our_index(spark, delta_docs),
+        src_kill=kill,
+    )
+    got = _our_search(merged, "aa", "any")
+    assert [m[0] for m in got[2]] == [1, 3]
+    assert [m[2] for m in got[2]] == [10, 30]
