@@ -185,11 +185,24 @@ def _sort_columns(q: ApiQuery, attr_types: dict[str, str]) -> list[Column]:
 def _with_overrides(idx, overrides: dict[str, dict[int, float]]):
     """Per-query attribute overrides (SetOverride): a shallow index
     copy whose docinfo carries the substituted values — the Spark
-    analog of EarlyCalc's per-match binary-search substitution
+    analog of CopyDocinfo's per-match binary-search substitution
     (src/sphinx.cpp:11083-11088).  Copy-on-write: the original index
     is untouched, so the overrides last exactly one Query() like the
-    reference's.  Applied BEFORE filters, matching the reference's
-    EarlyReject order (override, then early filter)."""
+    reference's.
+
+    Filter interaction, verified against the LIVE daemon
+    (tests/test_ref_searchd_api_differential.py): at ROW level the
+    reference substitutes before the filter evaluates (EarlyReject
+    calls CopyDocinfo first) — we match that exactly.  But the
+    reference's BLOCK-level pruning (the in-RAM 128-row min/max
+    index + whole-index reject, src/sphinx.cpp:16362-16371) is built
+    at preread from ORIGINAL values, so a filter whose range lies
+    outside them matches NOTHING even when an override satisfies it
+    (gid IN (99) with override gid->99 answers empty, live).  Our
+    zone maps are parquet row-group stats over this PATCHED docinfo,
+    so the overridden match IS found — a documented deviation (the
+    override is real for filtering), pinned with the daemon's
+    behavior in test_override_zone_map_pruning_divergence."""
     import copy
 
     from sphinx_1_spark.plans.attrs import update_attributes
