@@ -239,6 +239,14 @@ index main {{
     charset_type = utf-8
     charset_table = {CHARSET}
 }}
+index pfx {{
+    source = src1
+    path = {tmp}/idx_pfx
+    charset_type = utf-8
+    charset_table = {CHARSET}
+    min_prefix_len = 2
+    enable_star = 1
+}}
 searchd {{
     listen = 127.0.0.1:{port}:mysql41
     log = {tmp}/searchd.log
@@ -722,3 +730,59 @@ def test_keyword_case_insensitive_live(daemon, ours):
     )
     assert drows
     _assert_same_rows(drows, orows, BASE_COLS)
+
+
+def test_show_warnings_with_warning_live(spark, daemon, ours):
+    """A star query whose core is shorter than min_prefix_len: the
+    daemon's SHOW WARNINGS returns one (Level='warning', Code=1000,
+    Message=CheckQueryWord's exact text incl. its trailing space,
+    src/sphinx.cpp:14790-14807; code hard-wired at searchd.cpp:5729)
+    — our session produces the identical message."""
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.engine import IndexSettings, SphinxIndex
+    from sphinx_1_spark.plans.sphinxql import SphinxQLSession
+
+    cli = Mysql41(daemon["port"])
+    try:
+        kind, cols, rows = cli.query(
+            "SELECT * FROM pfx WHERE MATCH('w* w3') LIMIT 5"
+        )
+        assert kind == "rows"
+        wkind, wcols, wrows = cli.query("SHOW WARNINGS")
+    finally:
+        cli.close()
+    assert wcols == ["Level", "Code", "Message"]
+    assert len(wrows) == 1
+    assert wrows[0][0] == "warning" and wrows[0][1] == "1000"
+    expect = "Query word length is less than min prefix length. word: 'w*' "
+    assert wrows[0][2] == expect
+
+    df = spark.createDataFrame(
+        [
+            (did, title, content)
+            for did, _, _, _, title, content in
+            [(d[0], 0, 0, 0, d[6], d[7]) if len(d) > 7 else d
+             for d in daemon["docs"]]
+        ],
+        "docid long, title string, content string",
+    )
+    idx = SphinxIndex.build(
+        df,
+        IndexSettings(
+            docid_col="docid",
+            fields=("title", "content"),
+            tokenizer=TokenizerSettings(
+                charset_table=CHARSET, min_prefix_len=2
+            ),
+            tokenizer_impl="arrow",
+            enable_star=True,
+        ),
+        persist=True,
+    )
+    sess = SphinxQLSession(index=idx)
+    sess.execute(
+        "SELECT @id, @weight FROM pfx WHERE MATCH('w* w3') LIMIT 5"
+    ).collect()
+    ws = sess.execute("SHOW WARNINGS").collect()
+    assert len(ws) == 1
+    assert ws[0]["message"] == expect
