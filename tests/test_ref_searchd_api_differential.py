@@ -27,7 +27,6 @@ Skipped automatically when the reference build is unavailable.
 
 from __future__ import annotations
 
-import math
 import os
 import random
 import socket

@@ -758,12 +758,7 @@ def test_show_warnings_with_warning_live(spark, daemon, ours):
     assert wrows[0][2] == expect
 
     df = spark.createDataFrame(
-        [
-            (did, title, content)
-            for did, _, _, _, title, content in
-            [(d[0], 0, 0, 0, d[6], d[7]) if len(d) > 7 else d
-             for d in daemon["docs"]]
-        ],
+        [(d[0], d[6], d[7]) for d in daemon["docs"]],
         "docid long, title string, content string",
     )
     idx = SphinxIndex.build(
