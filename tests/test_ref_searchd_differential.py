@@ -781,3 +781,195 @@ def test_show_warnings_with_warning_live(spark, daemon, ours):
     ws = sess.execute("SHOW WARNINGS").collect()
     assert len(ws) == 1
     assert ws[0]["message"] == expect
+
+
+# ---------------------------------------------------------------------
+# LIVE rotation: indexer --rotate + SIGHUP vs our promote() analog
+# ---------------------------------------------------------------------
+def _rot_corpus(version: int):
+    """Deterministic single-field corpus; v2 rewrites contents and
+    grows the doc set, so which version SERVES is query-observable."""
+    rng = random.Random(31337 + version)
+    n = 40 if version == 1 else 50
+    return [
+        (did, " ".join(rng.choices(VOCAB, k=rng.randint(4, 16))))
+        for did in range(1, n + 1)
+    ]
+
+
+def _rot_xml(docs):
+    out = ['<?xml version="1.0" encoding="utf-8"?>', "<sphinx:docset>",
+           "<sphinx:schema>", '<sphinx:field name="content"/>',
+           "</sphinx:schema>"]
+    for did, content in docs:
+        out.append(
+            f'<sphinx:document id="{did}">'
+            f"<content>{content}</content></sphinx:document>"
+        )
+    out.append("</sphinx:docset>")
+    return "\n".join(out)
+
+
+def _rot_select(cli_port, query):
+    cli = Mysql41(cli_port)
+    try:
+        kind, cols, rows = cli.query(
+            f"SELECT * FROM main WHERE MATCH('{query}') "
+            "ORDER BY @weight DESC, @id ASC LIMIT 60"
+        )
+        assert kind == "rows" and cols == ["id", "weight"]
+        return [(int(r[0]), int(r[1])) for r in rows]
+    finally:
+        cli.close()
+
+
+def _our_rot_results(spark, root, query):
+    from sphinx_1_spark.plans.api import ApiQuery, api_query
+    from sphinx_1_spark.streaming.incremental import open_current_view
+
+    view = open_current_view(spark, root)
+    idx = view.segments.sphinx_index()
+    rows, _ = api_query(
+        [("main", idx, None)],
+        ApiQuery(query=query, mode="extended2", limit=60),
+    )
+    return [(r["docid"], r["weight"]) for r in rows]
+
+
+def _our_rot_build(spark, root, gen, docs):
+    import datetime
+
+    import pandas as pd
+
+    from sphinx_1_spark.functions.tokenizer import TokenizerSettings
+    from sphinx_1_spark.plans.segment_index import build_segments
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{did:04d}" for did, _ in docs],
+            "warc_ts": [datetime.datetime(2020, 1, 1)] * len(docs),
+            "html": [c.encode() for _, c in docs],
+            "text": [""] * len(docs),
+            "lang": ["en"] * len(docs),
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    build_segments(
+        pages,
+        os.path.join(root, gen),
+        n_shards=1,
+        tokenizer=TokenizerSettings(charset_table=CHARSET),
+        docid_mode="rank",  # urls sort as u0001.. -> docid == did
+    )
+
+
+def test_live_rotation(spark, tmp_path):
+    """Index rotation, live: searchd serves v1; `indexer --rotate`
+    builds .new files and SIGHUPs the daemon (read from pid_file),
+    which swaps and serves v2 — our CURRENT-pointer analog
+    (build generation -> promote -> open_current_view) must produce
+    the SAME (docid, weight) results as the daemon BEFORE and AFTER
+    its rotation, and a view opened before our promote must keep
+    serving v1 (the reference's serve-old-while-rotating
+    semantics)."""
+    v1, v2 = _rot_corpus(1), _rot_corpus(2)
+    (tmp_path / "docs.xml").write_text(_rot_xml(v1), encoding="utf-8")
+    port = _free_port()
+    (tmp_path / "sphinx.conf").write_text(
+        f"""
+source src1 {{
+    type = xmlpipe2
+    xmlpipe_command = cat {tmp_path}/docs.xml
+}}
+index main {{
+    source = src1
+    path = {tmp_path}/idx
+    charset_type = utf-8
+    charset_table = {CHARSET}
+}}
+searchd {{
+    listen = 127.0.0.1:{port}:mysql41
+    log = {tmp_path}/searchd.log
+    pid_file = {tmp_path}/searchd.pid
+    seamless_rotate = 0
+}}
+"""
+    )
+    r = subprocess.run(
+        [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"),
+         "--all"],
+        capture_output=True, cwd=tmp_path, timeout=120,
+    )
+    assert r.returncode == 0, r.stdout.decode()[-1000:]
+    proc = subprocess.Popen(
+        [ref_bin("searchd"), "--config", str(tmp_path / "sphinx.conf"),
+         "--console"],
+        stdout=open(tmp_path / "console.log", "w"),
+        stderr=subprocess.STDOUT, cwd=tmp_path,
+    )
+    try:
+        # our v1 generation + promote
+        from sphinx_1_spark.streaming.incremental import (
+            open_current_view, promote,
+        )
+
+        root = str(tmp_path / "store")
+        os.makedirs(root)
+        _our_rot_build(spark, root, "gen-000", v1)
+        promote(root, "gen-000")
+
+        before_d = _rot_select(port, "w3")
+        before_o = _our_rot_results(spark, root, "w3")
+        assert before_d == before_o, (before_d, before_o)
+
+        # a reader opened NOW must survive the upcoming promote
+        old_view = open_current_view(spark, root)
+
+        # rotate the daemon to v2: rewrite the source, build .new,
+        # SIGHUP (indexer --rotate does both; pid_file names the
+        # target, src/indexer.cpp:1160+)
+        (tmp_path / "docs.xml").write_text(_rot_xml(v2), encoding="utf-8")
+        r = subprocess.run(
+            [ref_bin("indexer"), "--config", str(tmp_path / "sphinx.conf"),
+             "--rotate", "--all"],
+            capture_output=True, cwd=tmp_path, timeout=120,
+        )
+        assert r.returncode == 0, r.stdout.decode()[-1000:]
+        # a --console daemon writes no pid file, so the indexer's
+        # SIGHUP had no target — deliver the signal it would have
+        # sent (the rotate flag + CheckRotate in the serve loop,
+        # src/searchd.cpp:924-927, :8396; seamless_rotate=0 takes the
+        # simple in-loop rename+reload path)
+        import signal as _signal
+
+        proc.send_signal(_signal.SIGHUP)
+        _our_rot_build(spark, root, "gen-001", v2)
+        promote(root, "gen-001")
+
+        # the daemon swaps on its serve loop; poll until v2 answers
+        deadline = time.time() + 30
+        after_d = None
+        while time.time() < deadline:
+            after_d = _rot_select(port, "w3")
+            if after_d != before_d:
+                break
+            time.sleep(0.5)
+        after_o = _our_rot_results(spark, root, "w3")
+        assert after_d == after_o, (after_d, after_o)
+        assert after_d != before_d  # the rotation is query-observable
+
+        # the pre-promote reader still serves v1 (immutable segments)
+        from sphinx_1_spark.plans.api import ApiQuery, api_query
+
+        idx_old = old_view.segments.sphinx_index()
+        rows, _ = api_query(
+            [("main", idx_old, None)],
+            ApiQuery(query="w3", mode="extended2", limit=60),
+        )
+        assert [(r_["docid"], r_["weight"]) for r_ in rows] == before_d
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
