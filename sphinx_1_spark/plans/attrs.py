@@ -352,8 +352,17 @@ def update_attributes(
     coalesce produces the updated docinfo relation — semantically the
     MERGE INTO of the batch world.  Docids absent from docinfo are
     ignored (the reference returns the count of rows actually hit);
-    attrs not listed keep their old values.  Only scalar attrs are
-    updatable, as in 0.9.9 (no MVA/string update)."""
+    attrs not listed keep their old values.
+
+    The reference restricts updates to bool/int/timestamp/MVA attrs
+    ("attribute '%s' can not be updated (must be boolean, integer,
+    timestamp, or MVA)", src/sphinx.cpp:7152-7160) and MVA updates
+    additionally need the searchd mva_updates_pool arena; the
+    coalesce here has no storage-pool constraint, so array (MVA)
+    columns update through the same path (pinned live against the
+    daemon's MVA update in test_ref_searchd_api_differential) and
+    float/bigint updates — which the reference REJECTS — succeed as
+    a documented extension."""
     upd = updates.select(
         F.col(docid_col),
         *[F.col(a).alias(f"_new_{a}") for a in attrs],

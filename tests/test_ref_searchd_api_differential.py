@@ -217,17 +217,26 @@ class ApiWire:
     def update(self, index: str, attrs: list[str],
                rows: dict[int, tuple]) -> int:
         """SEARCHD_COMMAND_UPDATE v.1.2 (HandleCommandUpdate,
-        src/searchd.cpp:5000-5080): scalar int attr updates; returns
-        the daemon's updated-row count."""
+        src/searchd.cpp:5000-5080): int attr updates — a per-attr MVA
+        flag switches the value encoding to count + DWORDs.  A value
+        given as a list/tuple marks that attr MVA; scalars stay
+        plain.  Returns the daemon's updated-row count."""
+        first = next(iter(rows.values()))
+        mva = [isinstance(v, (list, tuple)) for v in first]
         body = _s(index)
         body += struct.pack(">L", len(attrs))
-        for a in attrs:
-            body += _s(a) + struct.pack(">L", 0)  # scalar, not MVA
+        for a, m in zip(attrs, mva):
+            body += _s(a) + struct.pack(">L", 1 if m else 0)
         body += struct.pack(">L", len(rows))
         for docid, vals in rows.items():
             body += struct.pack(">Q", docid)
-            for v in vals:
-                body += struct.pack(">L", v)
+            for v, m in zip(vals, mva):
+                if m:
+                    body += struct.pack(">L", len(v))
+                    for x in v:
+                        body += struct.pack(">L", x)
+                else:
+                    body += struct.pack(">L", v)
         status, _, p = self._roundtrip(2, 0x102, body)
         if status != SEARCHD_OK:
             raise RuntimeError(p[4:].rstrip(b"\x00").decode())
@@ -1127,3 +1136,61 @@ def test_update_attributes_unknown_index_error(daemon):
     with pytest.raises(RuntimeError) as e:
         daemon["cli"].update("nosuch", ["gid"], {1: (1,)})
     assert str(e.value) == "unknown index 'nosuch' in update request"
+
+
+def test_update_attributes_mva_live(daemon, ours):
+    """MVA UpdateAttributes: this fork DOES update MVA attrs (the
+    HandleCommandUpdate v.1.2 MVA flag -> UpdateAttributes' MVA
+    branch via the mva_updates_pool arena, src/sphinx.cpp:7152-7290)
+    — new tag values observable through re-query and MVA filters;
+    our copy-on-write update_attributes answers identically through
+    the same coalesce path as scalars.  Restores values after."""
+    import copy
+
+    from sphinx_1_spark.plans.api import api_query
+    from sphinx_1_spark.plans.attrs import update_attributes
+
+    cli = daemon["cli"]
+    orig = {d[0]: tuple(d[5]) for d in daemon["docs"]}
+    changed = {8: ([91, 92, 93],), 19: ([94],)}
+    try:
+        n = cli.update("main", ["tag"], changed)
+        assert n == 2
+        dres = cli.search([cli.query_blob(
+            "w3", filters=({"attr": "tag", "type": FILTER_VALUES,
+                            "values": [91, 94]},), limit=60)])[0]
+        F = _F()
+        patched = copy.copy(ours["idx"])
+        upd = patched.docinfo.sparkSession.createDataFrame(
+            [(did, list(v[0])) for did, v in changed.items()],
+            "docid long, tag array<int>",
+        )
+        patched.docinfo = update_attributes(patched.docinfo, upd, ["tag"])
+        rows, meta = api_query(
+            [("main", patched, None)],
+            _aq(query="w3",
+                filters=[F.arrays_overlap(
+                    F.col("tag"), F.array(F.lit(91), F.lit(94)))],
+                limit=60),
+        )
+        assert dres["matches"], "MVA update must be filter-observable"
+        assert [m[0] for m in dres["matches"]] == [r["docid"] for r in rows]
+        for m, r in zip(dres["matches"], rows):
+            # tag is attr index 4 in BASE_ATTRS
+            assert m[2][4] == tuple(r["tag"]), (m, r)
+        assert dres["total_found"] == meta["total_found"]
+    finally:
+        cli.update("main", ["tag"],
+                   {did: (list(orig[did]),) for did in changed})
+
+
+def test_update_attributes_float_rejected_live(daemon):
+    """The reference REJECTS float-attr updates with its exact error
+    (src/sphinx.cpp:7152-7160); ours allows them as a documented
+    extension (plans/attrs.py update_attributes docstring)."""
+    with pytest.raises(RuntimeError) as e:
+        daemon["cli"].update("main", ["pr"], {1: (5,)})
+    assert (
+        "attribute 'pr' can not be updated "
+        "(must be boolean, integer, timestamp, or MVA)"
+    ) in str(e.value)
