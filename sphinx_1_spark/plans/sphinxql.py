@@ -154,7 +154,14 @@ class Parser:
                         raise SphinxQLError(f"unknown ranker '{v}'")
                     stmt.options[name] = v
                 elif name in _OPTIONS:
-                    stmt.options[name] = int(val) if val.isdigit() else val
+                    # numeric options take TOK_CONST_INT's m_iValue;
+                    # an ident value leaves it 0 (C default — the
+                    # daemon then rejects max_matches=foo with the
+                    # out-of-bounds error, pinned live)
+                    try:
+                        stmt.options[name] = int(val)
+                    except ValueError:
+                        stmt.options[name] = 0
                 else:
                     raise SphinxQLError(f"unknown option '{name}'")
                 if not self.accept(","):
@@ -380,6 +387,13 @@ def execute(
         )
     base = _filtered_base(stmt, df, index, docid_col)
     max_matches = int(stmt.options.get("max_matches", 1000))
+    if not 1 <= max_matches <= 1000:
+        # CheckQuery (src/searchd.cpp:2988-2993): per-query
+        # max_matches must be 1..g_iMaxMatches (server default 1000)
+        raise SphinxQLError(
+            f"per-query max_matches={max_matches} out of bounds "
+            "(per-server max_matches=1000)"
+        )
     if stmt.offset >= max_matches:
         # CheckQuery (src/searchd.cpp:2994)
         raise SphinxQLError(

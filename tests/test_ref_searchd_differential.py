@@ -711,6 +711,22 @@ def test_parse_errors_live(daemon, ours):
             sess.execute(sql.replace("*", "@id, @weight"))
         assert str(oe.value) == "too many MATCH() clauses"
 
+        # ident-valued numeric option: C m_iValue stays 0 and
+        # CheckQuery rejects with the bounds error (exact both sides)
+        for sql in (
+            "SELECT * FROM main WHERE MATCH('w1') OPTION max_matches=foo",
+            "SELECT * FROM main WHERE MATCH('w1') LIMIT 5 "
+            "OPTION max_matches=0",
+        ):
+            with pytest.raises(DaemonError) as de:
+                cli.query(sql)
+            expect = ("per-query max_matches=0 out of bounds "
+                      "(per-server max_matches=1000)")
+            assert de.value.message == expect
+            with pytest.raises(SphinxQLError) as oe:
+                sess.execute(sql.replace("*", "@id, @weight"))
+            assert str(oe.value) == expect
+
         # plain syntax error: both sides must refuse
         with pytest.raises(DaemonError):
             cli.query("SELECT FROM main")
