@@ -424,10 +424,37 @@ def _ranked_with_attrs(
         )
     if q.cutoff:
         # SetLimits cutoff: the match loop stops after N accepted
-        # matches; single-index processing order is docid asc
-        ranked = (
-            ranked.orderBy(_docid_ord().asc()).limit(q.cutoff)
-        )
+        # PUSHES; single-index processing order is docid asc.  Under
+        # SetGroupBy only a NEW group counts as a push (the group
+        # sorter's bNewMatch, SPH_SUBMIT_MATCH src/sphinx.cpp:
+        # 11119-11138), so the cut lands after the cutoff-th distinct
+        # group key — group_cutoff replicates the live daemon.  For an
+        # MVA group attr the counter still decrements ONCE per match
+        # (bNewMatch is a single bool even when several values spawn
+        # groups), which the distinct-first-docids form models via
+        # the exploded key_frame.
+        from sphinx_1_spark.plans.attrs import api_group_key, group_cutoff
+
+        if q.groupattr and attr_types.get(q.groupattr.lower()) == "mva":
+            kf = ranked.select(
+                "docid", F.explode(F.col(q.groupattr)).alias("_gv")
+            )
+            ranked = group_cutoff(
+                ranked,
+                api_group_key(F.col("_gv"), q.groupfunc),
+                q.cutoff,
+                key_frame=kf,
+            )
+        elif q.groupattr:
+            ranked = group_cutoff(
+                ranked,
+                api_group_key(F.col(q.groupattr), q.groupfunc),
+                q.cutoff,
+            )
+        else:
+            ranked = (
+                ranked.orderBy(_docid_ord().asc()).limit(q.cutoff)
+            )
     return ranked, meta, attr_types
 
 

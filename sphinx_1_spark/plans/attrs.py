@@ -337,6 +337,58 @@ def api_group_query(
     return out.limit(min(limit, max_matches))
 
 
+def group_cutoff(
+    base: DataFrame,
+    group_col: Column,
+    cutoff: int,
+    docid_col: str = "docid",
+    key_frame: DataFrame | None = None,
+) -> DataFrame:
+    """SetLimits cutoff under GROUPING: the reference's match loop
+    decrements iCutoff only on bNewMatch — and a group sorter's Push
+    returns true only when a NEW GROUP is created (SPH_SUBMIT_MATCH,
+    src/sphinx.cpp:11119-11138) — so matching stops right after the
+    match that creates the cutoff-th distinct group, dropping every
+    later match even of already-seen groups.  Pinned live against the
+    daemon (test_random_select_compositions: gid sequence 2,3,1,2...
+    with cutoff=3 keeps docids 1,2,4 only — all three groups at
+    @count=1).
+
+    Batch form: the cut position is the cutoff-th DISTINCT
+    first-occurrence docid across groups; keep matches at or before
+    it.  The distinct matters for MVA group keys (`key_frame` = the
+    exploded values): one match can introduce several value-groups
+    but decrements the daemon's counter ONCE (bNewMatch is a single
+    bool per match); for scalar keys first-occurrence docids are
+    unique per group, so distinct is a no-op.  The collect is bounded
+    by cutoff+1 rows.  With fewer introducing matches than the
+    cutoff, it never fires and the match set is untouched — but when
+    the count EQUALS the cutoff it still cuts at the last introducing
+    match (`--iCutoff==0` breaks the loop there, dropping later
+    members of already-seen groups; live-verified).
+
+    key_frame: optional (docid, values) relation to derive group
+    first-occurrences from when the key is not a plain column of
+    `base` (the exploded MVA case); the cut still filters `base`."""
+    from pyspark.sql import functions as F
+
+    ord_col = docid_ord(docid_col)
+    src = key_frame if key_frame is not None else base
+    firsts = (
+        src.groupBy(group_col.alias("_gkey"))
+        .agg(F.min(ord_col).alias("_first"))
+        .select("_first")
+        .distinct()
+        .orderBy("_first")
+        .limit(cutoff + 1)
+        .collect()
+    )
+    if len(firsts) < cutoff:
+        return base
+    cut = firsts[cutoff - 1]["_first"]
+    return base.where(ord_col <= F.lit(cut))
+
+
 def update_attributes(
     docinfo: DataFrame,
     updates: DataFrame,

@@ -342,12 +342,20 @@ def _filtered_base(
     cutoff = int(stmt.options.get("cutoff", 0) or 0)
     if cutoff > 0:
         # OPTION cutoff (AddOption src/searchd.cpp:4727-4729 ->
-        # SetLimits cutoff): matching stops after N matches accepted
-        # PAST all filters, in docid processing order — the same
-        # deterministic analog as ApiQuery.cutoff (plans/api.py:402)
-        from sphinx_1_spark.plans.attrs import docid_ord
+        # SetLimits cutoff): matching stops after N ACCEPTED pushes in
+        # docid processing order.  Under GROUP BY a push counts only
+        # when it creates a NEW group (the sorter's bNewMatch), so the
+        # cut lands after the cutoff-th distinct group instead —
+        # group_cutoff pins the live daemon's exact behavior.
+        from sphinx_1_spark.plans.attrs import docid_ord, group_cutoff
 
-        base = base.orderBy(docid_ord(docid_col).asc()).limit(cutoff)
+        if stmt.group_by:
+            base = group_cutoff(
+                base, _cond_col(stmt.group_by, docid_col), cutoff,
+                docid_col,
+            )
+        else:
+            base = base.orderBy(docid_ord(docid_col).asc()).limit(cutoff)
     return base
 
 
@@ -627,7 +635,22 @@ class SphinxQLSession:
                 self._warnings = [warn]
         if stmt.match is not None and self.index is not None:
             plan, m = self.index.match(stmt.match)
-            if stmt.conds or stmt.options.get("cutoff"):
+            if stmt.group_by:
+                # grouped queries report GROUP counts: the group
+                # sorter's total is the number of distinct groups the
+                # filtered matches produced, not the match count
+                # (CSphKBufferGroupSorter push accounting; pinned live
+                # in test_random_select_compositions — the daemon's
+                # SHOW META said total=4 groups where we said 10
+                # matches)
+                total_found = (
+                    _filtered_base(stmt, self.df, self.index,
+                                   self.docid_col)
+                    .select(_cond_col(stmt.group_by, self.docid_col))
+                    .distinct()
+                    .count()
+                )
+            elif stmt.conds or stmt.options.get("cutoff"):
                 # m_iTotalMatches counts matches that PASSED the attr
                 # filters (they are part of matching, not decoration)
                 # and stops at cutoff (matching stopped there, so the

@@ -1194,3 +1194,32 @@ def test_update_attributes_float_rejected_live(daemon):
         "attribute 'pr' can not be updated "
         "(must be boolean, integer, timestamp, or MVA)"
     ) in str(e.value)
+
+
+@pytest.mark.parametrize("gattr,gfunc,our_gfunc", [
+    ("gid", GROUPBY_ATTR, "attr"),
+    ("cat", GROUPBY_ATTR, "attr"),
+    ("ts", GROUPBY_DAY, "day"),
+    ("tag", GROUPBY_ATTR, "attr"),  # MVA group + cutoff
+])
+def test_cutoff_under_group_by(daemon, ours, gattr, gfunc, our_gfunc):
+    """Cutoff under SetGroupBy: the daemon's match loop decrements
+    iCutoff only on bNewMatch, and a group sorter pushes true only
+    for NEW groups (one bool per match even when an MVA spawns
+    several) — matching stops after the cutoff-th introducing match.
+    group_cutoff must reproduce the daemon's group rows and counts
+    exactly for scalar, derived (day), and MVA keys."""
+    for cutoff in (1, 2, 3, 5):
+        dres = daemon["cli"].search(
+            [daemon["cli"].query_blob(
+                "w3", groupfunc=gfunc, groupby=gattr,
+                groupsort="@group asc", cutoff=cutoff, limit=60)]
+        )[0]
+        assert dres["status"] == SEARCHD_OK
+        ores = _ours_query(
+            ours,
+            _aq(query="w3", groupattr=gattr, groupfunc=our_gfunc,
+                groupsort="@group asc", cutoff=cutoff, limit=60),
+            extra=("@groupby", "@count"),
+        )
+        _assert_result_equal(_norm_daemon(dres), ores)

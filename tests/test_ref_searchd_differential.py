@@ -989,3 +989,97 @@ searchd {{
             proc.wait(10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+# ---------------------------------------------------------------------
+# randomized SELECT compositions vs the live daemon
+# ---------------------------------------------------------------------
+def _rand_select_tail(rng):
+    """One random SELECT tail both dialects accept with identical
+    semantics.  Deliberately avoids the known-divergent constructs:
+    NOT IN (reference $4 bug), explicit select lists (dropped by the
+    daemon), and non-deterministic orderings (every ORDER BY ends
+    with an @id tiebreak; groups order by their unique key)."""
+    match = rng.choice([
+        "w3", "w1 w5", "w2 | w9", '"w1 w2"', "@title w4", "w0 -w13",
+        "w5 | w1 w3", "w7",
+    ])
+    conds = []
+    for _ in range(rng.randint(0, 2)):
+        conds.append(rng.choice([
+            f"gid = {rng.randint(1, 4)}",
+            f"gid != {rng.randint(1, 4)}",
+            f"gid IN ({rng.randint(1, 2)}, {rng.randint(3, 4)})",
+            f"gid BETWEEN {rng.randint(1, 2)} AND {rng.randint(3, 4)}",
+            f"ts BETWEEN {100000 + rng.randint(0, 800)} "
+            f"AND {100000 + rng.randint(1200, 2300)}",
+            f"pr >= {rng.randint(0, 3)}.5",
+            f"pr <= {rng.randint(2, 4)}.5",
+            f"cat = {rng.randint(0, 2)}",
+            f"@id > {rng.randint(5, 40)}",
+            f"@id <= {rng.randint(20, 55)}",
+        ]))
+    where = " AND ".join([f"MATCH('{match}')"] + conds)
+    group = rng.random() < 0.3
+    tail = f"WHERE {where}"
+    if group:
+        key = rng.choice(["gid", "cat"])
+        tail += f" GROUP BY {key}"
+        if rng.random() < 0.5:
+            wkey = rng.choice(["ts DESC", "ts ASC", "@id ASC", "pr DESC"])
+            tail += f" WITHIN GROUP ORDER BY {wkey}"
+        tail += f" ORDER BY {key} ASC"
+    else:
+        order = rng.choice([
+            "@weight DESC, @id ASC",
+            "gid ASC, @id DESC",
+            "ts DESC",  # unique per doc
+            "pr ASC, @id ASC",
+            "@id DESC",
+            "cat DESC, @weight DESC, @id ASC",
+        ])
+        tail += f" ORDER BY {order}"
+    if rng.random() < 0.5:
+        off = rng.randint(0, 6)
+        tail += f" LIMIT {off}, {rng.randint(1, 30)}" if off \
+            else f" LIMIT {rng.randint(1, 30)}"
+    opts = []
+    if rng.random() < 0.3:
+        opts.append("ranker=" + rng.choice(
+            ["proximity_bm25", "bm25", "wordcount", "none"]))
+    if rng.random() < 0.2:
+        opts.append(f"max_matches={rng.randint(5, 50)}")
+    if rng.random() < 0.15:
+        opts.append(f"cutoff={rng.randint(3, 30)}")
+    if opts:
+        tail += " OPTION " + ", ".join(opts)
+    return tail, group
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_select_compositions(daemon, ours, seed):
+    """40 random SELECT compositions per seed (filters x order x
+    paging x group x options interactions): rows AND SHOW META must
+    equal the daemon's."""
+    rng = random.Random(880000 + seed)
+    cli = Mysql41(daemon["port"])
+    sess = _session(ours)
+    try:
+        for trial in range(40):
+            tail, group = _rand_select_tail(rng)
+            dsql = f"SELECT * FROM main {tail}"
+            our_cols = OUR_STAR + (", @count" if group else "")
+            osql = f"SELECT {our_cols} FROM main {tail}"
+            dcols, drows = _daemon_rows(cli.query(dsql))
+            _, dmeta = _daemon_rows(cli.query("SHOW META"))
+            ocols, orows = _our_rows(sess.execute(osql))
+            _, ometa = _our_rows(sess.execute("SHOW META"))
+            assert len(drows) == len(orows), (tail, len(drows), len(orows))
+            for i, (d, o) in enumerate(zip(drows, orows)):
+                for c in BASE_COLS:
+                    assert d[c] == o[c], (tail, i, c, d, o)
+                if group:
+                    assert d["@count"] == o["count"], (tail, i, d, o)
+            _assert_meta_equal(dmeta, ometa)
+    finally:
+        cli.close()
