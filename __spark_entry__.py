@@ -268,17 +268,24 @@ def q_rank_fieldmask(spark, sf_dir):
 
 
 def q_mode_all(spark, sf_dir):
-    """Legacy MATCH_ALL emulation (PrepareQueryEmulation,
-    src/sphinx.cpp:16179); ranker overridden to bm25 for the oracle."""
+    """Legacy MATCH_ALL emulation with its FORCED ranker:
+    PrepareQueryEmulation overwrites m_eRanker to PROXIMITY even over
+    an explicit SetRankingMode (src/sphinx.cpp:16205-16210; verified
+    against the live daemon).  Single field, 2-word query: weight =
+    per-field LCS = 2 when 'table scan' appears adjacent in order,
+    else 1."""
     idx = _docs_index(spark, sf_dir)
-    out = idx.search("table scan", mode="all", ranker="bm25", limit=10)
+    out = idx.search("table scan", mode="all", limit=10)
     return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
 
 
 def q_mode_any(spark, sf_dir):
-    """Legacy MATCH_ANY -> quoted quorum/1 (== OR for scoring)."""
+    """Legacy MATCH_ANY -> quoted quorum/1 with its FORCED MATCHANY
+    ranker (src/sphinx.cpp:16207).  Single field, w=1, 2 query words:
+    phraseK = 2 and weight = bitcount(matched words) + (lcs-1)*2 —
+    4 adjacent-pair docs, 2 both-words docs, 1 single-word docs."""
     idx = _docs_index(spark, sf_dir)
-    out = idx.search("table scan", mode="any", ranker="bm25", limit=10)
+    out = idx.search("table scan", mode="any", limit=10)
     return out.select(F.col("docid").alias("doc_id"), F.col("weight"))
 
 
@@ -1675,9 +1682,31 @@ ORDER BY weight DESC, doc_id ASC LIMIT 100"""
         "q_buildstops": buildstops,
         "q_match_count": match_count,
     }
-    # legacy-mode emulations share the ext-syntax oracles
-    out["q_mode_all"] = out["q_and_bm25"]
-    out["q_mode_any"] = out["q_or_bm25"]
+    # legacy-mode emulations carry their FORCED rankers
+    # (PrepareQueryEmulation, src/sphinx.cpp:16205-16210): ALL ->
+    # PROXIMITY (weight = per-field LCS), ANY -> MATCHANY
+    legacy_parts = """
+, t1 AS (SELECT DISTINCT doc_id FROM hits WHERE word = 'table')
+, t2 AS (SELECT DISTINCT doc_id FROM hits WHERE word = 'scan')
+, adj AS (
+  SELECT DISTINCT a.doc_id FROM hits a
+  JOIN hits b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.word = 'table' AND b.word = 'scan')
+"""
+    out["q_mode_all"] = t + legacy_parts + """
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM adj) THEN 2 ELSE 1 END
+         AS weight
+FROM t1 WHERE doc_id IN (SELECT doc_id FROM t2)
+ORDER BY weight DESC, doc_id ASC LIMIT 10"""
+    out["q_mode_any"] = t + legacy_parts + """
+SELECT doc_id, CAST(
+    (CASE WHEN doc_id IN (SELECT doc_id FROM t1) THEN 1 ELSE 0 END)
+  + (CASE WHEN doc_id IN (SELECT doc_id FROM t2) THEN 1 ELSE 0 END)
+  + (CASE WHEN doc_id IN (SELECT doc_id FROM adj) THEN 2 ELSE 0 END)
+  AS INT) AS weight
+FROM (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2)
+ORDER BY weight DESC, doc_id ASC LIMIT 10"""
     out["q_mode_boolean"] = t + """
 SELECT doc_id, 1 AS weight FROM (
   SELECT DISTINCT doc_id FROM hits WHERE word = 'table'

@@ -436,14 +436,21 @@ class SphinxIndex:
 
     @staticmethod
     def default_ranker(mode: str, ranker: str | None) -> str:
-        if ranker:
-            return ranker
-        if mode in ("all", "phrase"):
-            return "proximity"
+        # EVERY legacy mode FORCES its ranker, even over an explicit
+        # SetRankingMode: PrepareQueryEmulation overwrites m_eRanker
+        # unconditionally (boolean -> NONE at src/sphinx.cpp:
+        # 16180-16181; ALL -> PROXIMITY, ANY -> MATCHANY, PHRASE ->
+        # PROXIMITY in the mode switch at :16205-16210).  Only
+        # extended2/fullscan honor the client's ranker — a random
+        # live-API differential caught us honoring it in ALL mode.
         if mode == "boolean":
             return "none"
+        if mode in ("all", "phrase"):
+            return "proximity"
         if mode == "any":
             return "matchany"
+        if ranker:
+            return ranker
         return "proximity_bm25"
 
     # ------------------------------------------------------------------

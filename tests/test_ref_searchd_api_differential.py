@@ -1223,3 +1223,141 @@ def test_cutoff_under_group_by(daemon, ours, gattr, gfunc, our_gfunc):
             extra=("@groupby", "@count"),
         )
         _assert_result_equal(_norm_daemon(dres), ores)
+
+
+# ---------------------------------------------------------------------
+# randomized query compositions vs the live daemon (binary API)
+# ---------------------------------------------------------------------
+def _rand_api_case(rng):
+    """One random (wire kwargs, ApiQuery kwargs) pair both sides
+    serve with identical semantics.  Avoids the known-divergent
+    constructs (zone-map-pruned overrides, @geodist's cosf ulp) and
+    non-deterministic orderings (every extended clause ends with an
+    @id tiebreak; groups order by their unique key)."""
+    F = _F()
+    q = rng.choice(["w3", "w1 w5", "w2 | w9", '"w1 w2"', "@title w4",
+                    "w0 -w13", "w7", "w5 | w1 w3"])
+    mode_w, mode_o = rng.choice([
+        (MATCH_EXTENDED2, "extended2"), (MATCH_ALL, "all"),
+        (MATCH_ANY, "any"), (MATCH_BOOLEAN, "boolean"),
+    ])
+    if mode_w == MATCH_BOOLEAN:
+        q = q.replace('"', "").replace("@title ", "")
+    if mode_w in (MATCH_ALL, MATCH_ANY):
+        q = q.replace('"', "").replace("@title ", "").replace("|", " ")
+    wire: dict = {"mode": mode_w, "limit": rng.randint(5, 60)}
+    ours: dict = {"mode": mode_o, "limit": wire["limit"]}
+    if rng.random() < 0.4:
+        wire["offset"] = ours["offset"] = rng.randint(0, 8)
+
+    # filters
+    wf, of = [], []
+    for _ in range(rng.randint(0, 2)):
+        kind = rng.randint(0, 4)
+        exc = rng.random() < 0.3
+        if kind == 0:
+            vals = sorted(rng.sample(range(1, 6), rng.randint(1, 3)))
+            wf.append({"attr": "gid", "type": FILTER_VALUES,
+                       "values": vals, "exclude": exc})
+            c = F.col("gid").isin(vals)
+        elif kind == 1:
+            lo = rng.randint(1, 3)
+            hi = rng.randint(lo, 5)
+            wf.append({"attr": "gid", "type": FILTER_RANGE,
+                       "min": lo, "max": hi, "exclude": exc})
+            c = F.col("gid").between(lo, hi)
+        elif kind == 2:
+            lo = rng.randint(0, 3) + 0.5
+            hi = lo + rng.randint(1, 4)
+            wf.append({"attr": "pr", "type": FILTER_FLOATRANGE,
+                       "min": lo, "max": hi, "exclude": exc})
+            c = F.col("pr").between(lo, hi)
+        elif kind == 3:
+            vals = sorted(rng.sample([1, 2, 3, 4, 20, 21, 22, 23, 24],
+                                     rng.randint(1, 3)))
+            wf.append({"attr": "tag", "type": FILTER_VALUES,
+                       "values": vals, "exclude": exc})
+            c = F.arrays_overlap(
+                F.col("tag"), F.array(*[F.lit(v) for v in vals]))
+        else:
+            lo = 946684800 + rng.randint(0, 40) * 86400 * 3
+            hi = lo + rng.randint(5, 40) * 86400 * 3
+            wf.append({"attr": "ts", "type": FILTER_RANGE,
+                       "min": lo, "max": hi, "exclude": exc})
+            c = F.col("ts").between(lo, hi)
+        of.append(~c if exc else c)
+    if wf:
+        wire["filters"] = tuple(wf)
+        ours["filters"] = of
+
+    # sort / group
+    roll = rng.random()
+    if roll < 0.3:
+        gattr, gfunc, ofunc = rng.choice([
+            ("gid", GROUPBY_ATTR, "attr"), ("cat", GROUPBY_ATTR, "attr"),
+            ("ts", GROUPBY_DAY, "day"), ("ts", GROUPBY_WEEK, "week"),
+            ("ts", GROUPBY_MONTH, "month"), ("tag", GROUPBY_ATTR, "attr"),
+        ])
+        gsort = rng.choice(["@group asc", "@group desc"])
+        wire.update(groupfunc=gfunc, groupby=gattr, groupsort=gsort)
+        ours.update(groupattr=gattr, groupfunc=ofunc, groupsort=gsort)
+        if rng.random() < 0.4:
+            wire["distinct"] = ours["groupdistinct"] = "cat"
+        extra = ("@groupby", "@count") + (
+            ("@distinct",) if "distinct" in wire else ())
+    elif roll < 0.55:
+        attr = rng.choice(["gid", "ts", "pr", "cat"])
+        s, so = rng.choice([(SORT_ATTR_ASC, "attr_asc"),
+                            (SORT_ATTR_DESC, "attr_desc")])
+        wire.update(sort=s, sortby=attr)
+        ours.update(sortmode=so, sortby=attr)
+        extra = ()
+    elif roll < 0.75:
+        clause = rng.choice([
+            "@weight desc, @id asc", "gid asc, ts desc",
+            "pr desc, @id asc", "cat asc, @weight desc, @id desc",
+            "ts asc",
+        ])
+        wire.update(sort=SORT_EXTENDED, sortby=clause)
+        ours.update(sortmode="extended", sortby=clause)
+        extra = ()
+    else:
+        extra = ()  # relevance
+
+    # options
+    if rng.random() < 0.25:
+        r = rng.choice(list(RANK_IDS))
+        wire["ranker"] = RANK_IDS[r]
+        ours["ranker"] = r
+    if rng.random() < 0.2:
+        wire["maxmatches"] = ours["max_matches"] = rng.randint(5, 40)
+    if rng.random() < 0.2:
+        wire["cutoff"] = ours["cutoff"] = rng.randint(2, 25)
+    if rng.random() < 0.2:
+        fw = tuple((f, rng.randint(1, 9))
+                   for f in ("title", "content"))
+        wire["fieldweights"] = fw
+        ours["field_weights"] = [w for _, w in fw]
+    if rng.random() < 0.2:
+        lo = rng.randint(1, 30)
+        wire["id_range"] = ours["id_range"] = (lo, lo + rng.randint(10, 50))
+    return q, wire, ours, extra
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_api_compositions(daemon, ours, seed):
+    """30 random binary-API query compositions per seed: full result
+    equality (matches with every attr + virtuals, totals, word
+    stats)."""
+    rng = random.Random(990000 + seed)
+    for trial in range(30):
+        q, wire, okw, extra = _rand_api_case(rng)
+        dres = daemon["cli"].search(
+            [daemon["cli"].query_blob(q, **wire)]
+        )[0]
+        assert dres["status"] == SEARCHD_OK, (trial, q, wire, dres)
+        ores = _ours_query(ours, _aq(query=q, **okw), extra=extra)
+        try:
+            _assert_result_equal(_norm_daemon(dres), ores)
+        except AssertionError as e:
+            raise AssertionError((trial, q, wire)) from e
