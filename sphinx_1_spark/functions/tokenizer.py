@@ -477,6 +477,147 @@ class Tokenizer:
         return toks
 
     @property
+    def fast_batch_path_ok(self) -> bool:
+        """batch_token_arrays is token/position-identical to calling
+        hits_arrays_single_field per doc: the per-doc fast path must
+        apply (fast_array_path_ok) and the fold table must keep
+        U+0000 a separator (it always is in practice — charset specs
+        cannot express NUL — but the batch splitter's zero-padding
+        trick depends on it, so it is gated, not assumed)."""
+        return self.fast_array_path_ok and int(self.fold[0]) == 0
+
+    def batch_token_arrays(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Whole-batch vectorized tokenization (the 100 TB hot path).
+
+        One fold + run-detection pass over the CONCATENATION of all
+        docs in the Arrow batch — zero per-doc numpy calls, zero
+        per-token Python strings.  Returns
+          (mat, lens, counts, pos):
+          mat    uint32[(ntok, width)] — folded codepoints per token,
+                 zero-padded; width = longest token in batch (<= 64).
+                 Viewing rows as fixed-width void keys groups equal
+                 tokens by memcmp — the caller sorts/uniques those
+                 keys instead of Python strings (token text contains
+                 no U+0000, so padding never collides with content).
+          lens   int64[ntok] token codepoint lengths (post 64-cap)
+          counts int64[len(texts)] tokens per doc
+          pos    int32[ntok] packed in-field positions, 1-based, with
+                 HIT_FIELD_END on each doc's trailing token
+                 (src/sphinx.cpp:18666-18672; positions unique here)
+
+        Semantics are exactly the scalar path's (maximal nonzero-fold
+        runs; ngram CJK chars standalone; 64-cp truncation consumes
+        the tail, src/sphinx.cpp:2231-2247) — doc boundaries are
+        enforced mask-wise, so no separator codepoint is ever
+        injected and adjacent docs can never merge a token.
+        Equivalence with the per-doc path is fuzz-pinned in tests.
+        """
+        ndocs = len(texts)
+        tlens = np.fromiter(
+            (len(t) for t in texts), dtype=np.int64, count=ndocs
+        )
+        off = np.concatenate(([0], np.cumsum(tlens)))
+        big = "".join(texts)
+        n = len(big)
+        if n == 0:
+            return (
+                np.zeros((0, 1), dtype=np.uint32),
+                np.zeros(0, dtype=np.int64),
+                np.zeros(ndocs, dtype=np.int64),
+                _EMPTY_POS,
+            )
+        cps = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        folded = self.fold[cps]
+        doc_start = np.zeros(n, dtype=bool)
+        starts_lt_n = off[:-1][off[:-1] < n]
+        doc_start[starts_lt_n] = True
+
+        # CJK overlay FIRST: ngram chars fold through the ngram
+        # table's own remaps and are word chars (standalone tokens),
+        # so the nonzero mask below must already see them
+        cjk = None
+        if self._ngram_mask is not None:
+            cjk = self._ngram_mask[cps]
+            if cjk.any():
+                folded = np.where(cjk, self._ngram_fold[cps], folded)
+            else:
+                cjk = None
+
+        nz = folded != 0
+        prev_nz = np.empty(n, dtype=bool)
+        prev_nz[0] = False
+        prev_nz[1:] = nz[:-1]
+        next_nz = np.empty(n, dtype=bool)
+        next_nz[-1] = False
+        next_nz[:-1] = nz[1:]
+        next_doc_start = np.empty(n, dtype=bool)
+        next_doc_start[-1] = True
+        next_doc_start[:-1] = doc_start[1:]
+
+        if cjk is not None:
+            prev_cjk = np.empty(n, dtype=bool)
+            prev_cjk[0] = False
+            prev_cjk[1:] = cjk[:-1]
+            next_cjk = np.empty(n, dtype=bool)
+            next_cjk[-1] = False
+            next_cjk[:-1] = cjk[1:]
+            starts_mask = nz & (~prev_nz | doc_start | cjk | prev_cjk)
+            ends_mask = nz & (~next_nz | next_doc_start | cjk | next_cjk)
+        else:
+            starts_mask = nz & (~prev_nz | doc_start)
+            ends_mask = nz & (~next_nz | next_doc_start)
+
+        starts = np.flatnonzero(starts_mask)
+        ends = np.flatnonzero(ends_mask) + 1
+        lens = np.minimum(ends - starts, MAX_WORD_LEN)
+        ntok = starts.size
+        if ntok == 0:
+            return (
+                np.zeros((0, 1), dtype=np.uint32),
+                lens,
+                np.zeros(ndocs, dtype=np.int64),
+                _EMPTY_POS,
+            )
+
+        doc_idx = np.searchsorted(off, starts, side="right") - 1
+        counts = np.bincount(doc_idx, minlength=ndocs)
+        first_tok = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = (
+            np.arange(ntok, dtype=np.int32)
+            - np.repeat(first_tok, counts).astype(np.int32)
+            + 1
+        )
+        last_tok = np.cumsum(counts) - 1
+        pos[last_tok[counts > 0]] |= HIT_FIELD_END
+
+        width = int(lens.max())
+        col = np.arange(width)
+        idx = starts[:, None] + col[None, :]
+        mat = folded[np.minimum(idx, n - 1)]
+        mat[col[None, :] >= lens[:, None]] = 0
+        return np.ascontiguousarray(mat), lens, counts, pos
+
+    @staticmethod
+    def decode_token_rows(
+        mat: np.ndarray, lens: np.ndarray, rows: np.ndarray
+    ) -> list[str]:
+        """Materialize Python strings for selected batch_token_arrays
+        rows (one utf-32 decode for all of them, then cheap slicing —
+        called once per UNIQUE word per batch, not per token)."""
+        sub = mat[rows]
+        sel_lens = lens[rows]
+        keep = np.arange(mat.shape[1])[None, :] < sel_lens[:, None]
+        text = (
+            sub[keep].astype("<u4").tobytes().decode("utf-32-le")
+        )
+        offs = np.concatenate(([0], np.cumsum(sel_lens)))
+        return [
+            text[offs[k] : offs[k + 1]] for k in range(rows.size)
+        ]
+
+    @property
     def fast_array_path_ok(self) -> bool:
         """hits_arrays_single_field is hit-identical to
         hits_for_doc([text]): the vectorized token fast path applies

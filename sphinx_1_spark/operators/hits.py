@@ -326,37 +326,50 @@ def build_runs_fused(
 
         stripper = HtmlStripper(cfg[0], {k: list(v) for k, v in cfg[1]})
         tok = Tokenizer(settings)
-        use_arrays = tok.fast_array_path_ok
+        use_batch = tok.fast_batch_path_ok
         batch_idx = 0
         for pdf in batches:
+            uw = None
             words: list[str] = []
-            if use_arrays:
-                # columnar hit emission: tokens + int32 position array
-                # per doc, no per-hit tuples (hit-identical to the
-                # general path below — fast_array_path_ok contract)
+            if use_batch:
+                # whole-batch vectorized path: ONE fold/run-detect
+                # pass over the batch's concatenated text, identical
+                # tokens grouped by a memcmp sort of fixed-width
+                # codepoint keys — no per-token Python strings, no
+                # object-array unique (hit-identical to the general
+                # path below — fast_batch_path_ok contract)
                 doc_l: list[int] = []
-                cnt_l: list[int] = []
-                pos_chunks: list[np.ndarray] = []
+                texts: list[str] = []
                 for did, html in zip(
                     pdf["docid"].tolist(), pdf["html"].tolist()
                 ):
                     if html is None:
                         continue
-                    text = stripper.strip(bytes(html)).decode(
-                        "utf-8", "replace"
+                    texts.append(
+                        stripper.strip(bytes(html)).decode(
+                            "utf-8", "replace"
+                        )
                     )
-                    toks, wp = tok.hits_arrays_single_field(text)
-                    if toks:
-                        words.extend(toks)
-                        pos_chunks.append(wp)
-                        doc_l.append(did)
-                        cnt_l.append(len(toks))
-                if words:
+                    doc_l.append(did)
+                mat, tlens, tcounts, p32 = tok.batch_token_arrays(texts)
+                ntok = p32.size
+                if ntok:
                     d = np.repeat(
-                        np.asarray(doc_l, dtype=np.int64),
-                        np.asarray(cnt_l),
+                        np.asarray(doc_l, dtype=np.int64), tcounts
                     )
-                    p = np.concatenate(pos_chunks).astype(np.int64)
+                    # group equal tokens: stable memcmp argsort of the
+                    # void keys — within a word, hits stay in stream
+                    # (doc-major, position-ascending) order, which is
+                    # all entries_from_sorted_hits needs (the reduce
+                    # re-sorts every key's entries by docid anyway)
+                    voids = np.ascontiguousarray(mat).view(
+                        f"V{mat.shape[1] * 4}"
+                    ).ravel()
+                    order = np.argsort(voids, kind="stable")
+                    vs = voids[order]
+                    wchg = np.concatenate(([True], vs[1:] != vs[:-1]))
+                    ds = d[order]
+                    ps32 = p32[order]
             else:
                 docids: list[int] = []
                 poss: list[int] = []
@@ -372,39 +385,44 @@ def build_runs_fused(
                         docids.extend([did] * len(hits))
                         words.extend(h[0] for h in hits)
                         poss.extend(h[1] for h in hits)
-                if words:
+                ntok = len(words)
+                if ntok:
                     d = np.asarray(docids, dtype=np.int64)
                     p = np.asarray(poss, dtype=np.int64)
-            if not words:
+                    w = np.asarray(words, dtype=object)
+                    uw, winv = np.unique(w, return_inverse=True)
+                    order = np.lexsort((p, d, winv))
+                    wi = winv[order]
+                    wchg = np.concatenate(([True], wi[1:] != wi[:-1]))
+                    ds = d[order]
+                    ps32 = p[order].astype(np.int32)
+            if not ntok:
                 batch_idx += 1
                 continue
             grp = (int(pdf["_pid"].iat[0]) * 1000003 + batch_idx) % n_groups
             batch_idx += 1
 
-            w = np.asarray(words, dtype=object)
-            # word -> dense ordinal (np.unique sorts, so runs come out
-            # in lexicographic word order), then one int lexsort
-            uw, winv = np.unique(w, return_inverse=True)
-            order = np.lexsort((p, d, winv))
-            wi = winv[order]
-            ds = d[order]
-            ps = p[order]
-
             # entry = (word, docid); run = word — boundary math shared
             # with the reduce-side encoder (one definition, no drift)
-            wchg = np.concatenate(([True], wi[1:] != wi[:-1]))
             estarts, etf, edoc, efm, e_new_word = entries_from_sorted_hits(
-                wchg, ds, ps
+                wchg, ds, ps32.astype(np.int64)
             )
             rstarts_e = np.flatnonzero(e_new_word)  # entry idx per run
             rends_e = np.concatenate((rstarts_e[1:], [estarts.size]))
             rstarts_h = estarts[rstarts_e]  # hit idx per run
             rends_h = np.concatenate((rstarts_h[1:], [ds.size]))
 
-            ps32 = ps.astype(np.int32)
+            if uw is None:
+                # batch path: one word string per RUN (== unique word)
+                run_words = np.asarray(
+                    tok.decode_token_rows(mat, tlens, order[rstarts_h]),
+                    dtype=object,
+                )
+            else:
+                run_words = uw[wi[rstarts_h]]
             yield pd.DataFrame(
                 {
-                    "word": uw[wi[rstarts_h]],
+                    "word": run_words,
                     "grp": np.full(rstarts_e.size, grp, dtype=np.int32),
                     "n": (rends_e - rstarts_e).astype(np.int32),
                     "docids": [
