@@ -17,6 +17,7 @@ Two implementations:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -270,6 +271,28 @@ RUNS_SCHEMA = StructType(
 )
 
 
+def _binary_from_slices(values: "np.ndarray", item_starts: "np.ndarray", total_items: int):
+    """Zero-copy pa.BinaryArray over CONSECUTIVE slices of one numpy
+    buffer: run k spans items [item_starts[k], item_starts[k+1]) with
+    the final run ending at total_items.  No per-run Python bytes
+    objects — the Arrow offsets vector IS the slicing (the map-side
+    combine emits ~one run per unique word per batch; at 10k-doc
+    Arrow batches the per-frame value buffer is far below the int32
+    offset limit, and reduce frames are bounded by the (word, grp)
+    key spread)."""
+    import pyarrow as pa
+
+    isz = values.dtype.itemsize
+    offsets = np.empty(item_starts.size + 1, dtype=np.int32)
+    np.multiply(item_starts, isz, out=offsets[:-1], casting="unsafe")
+    offsets[-1] = total_items * isz
+    return pa.Array.from_buffers(
+        pa.binary(),
+        item_starts.size,
+        [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(values))],
+    )
+
+
 def build_runs_fused(
     docs: DataFrame,
     docid_col: str,
@@ -316,7 +339,7 @@ def build_runs_fused(
 
     def gen(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         from sphinx_1_spark.functions.stripper import HtmlStripper
         from sphinx_1_spark.functions.tokenizer import Tokenizer
@@ -328,9 +351,11 @@ def build_runs_fused(
         tok = Tokenizer(settings)
         use_batch = tok.fast_batch_path_ok
         batch_idx = 0
-        for pdf in batches:
+        for rb in batches:
             uw = None
             words: list[str] = []
+            docid_np = rb.column(0).to_numpy(zero_copy_only=False)
+            html_col = rb.column(1).to_pylist()
             if use_batch:
                 # whole-batch vectorized path: ONE fold/run-detect
                 # pass over the batch's concatenated text, identical
@@ -340,15 +365,11 @@ def build_runs_fused(
                 # path below — fast_batch_path_ok contract)
                 doc_l: list[int] = []
                 texts: list[str] = []
-                for did, html in zip(
-                    pdf["docid"].tolist(), pdf["html"].tolist()
-                ):
+                for did, html in zip(docid_np.tolist(), html_col):
                     if html is None:
                         continue
                     texts.append(
-                        stripper.strip(bytes(html)).decode(
-                            "utf-8", "replace"
-                        )
+                        stripper.strip(html).decode("utf-8", "replace")
                     )
                     doc_l.append(did)
                 mat, tlens, tcounts, p32 = tok.batch_token_arrays(texts)
@@ -373,10 +394,10 @@ def build_runs_fused(
             else:
                 docids: list[int] = []
                 poss: list[int] = []
-                for did, html in zip(pdf["docid"], pdf["html"]):
+                for did, html in zip(docid_np.tolist(), html_col):
                     if html is None:
                         continue
-                    text = stripper.strip(bytes(html)).decode(
+                    text = stripper.strip(html).decode(
                         "utf-8", "replace"
                     )
                     hits = tok.hits_for_doc([text])
@@ -399,7 +420,7 @@ def build_runs_fused(
             if not ntok:
                 batch_idx += 1
                 continue
-            grp = (int(pdf["_pid"].iat[0]) * 1000003 + batch_idx) % n_groups
+            grp = (int(rb.column(2)[0].as_py()) * 1000003 + batch_idx) % n_groups
             batch_idx += 1
 
             # entry = (word, docid); run = word — boundary math shared
@@ -414,37 +435,36 @@ def build_runs_fused(
 
             if uw is None:
                 # batch path: one word string per RUN (== unique word)
-                run_words = np.asarray(
-                    tok.decode_token_rows(mat, tlens, order[rstarts_h]),
-                    dtype=object,
+                run_words = tok.decode_token_rows(
+                    mat, tlens, order[rstarts_h]
                 )
             else:
-                run_words = uw[wi[rstarts_h]]
-            yield pd.DataFrame(
-                {
-                    "word": run_words,
-                    "grp": np.full(rstarts_e.size, grp, dtype=np.int32),
-                    "n": (rends_e - rstarts_e).astype(np.int32),
-                    "docids": [
-                        edoc[s:e].tobytes()
-                        for s, e in zip(rstarts_e, rends_e)
-                    ],
-                    "tfs": [
-                        etf[s:e].astype(np.int32).tobytes()
-                        for s, e in zip(rstarts_e, rends_e)
-                    ],
-                    "fieldmasks": [
-                        efm[s:e].tobytes()
-                        for s, e in zip(rstarts_e, rends_e)
-                    ],
-                    "positions": [
-                        ps32[s:e].tobytes()
-                        for s, e in zip(rstarts_h, rends_h)
-                    ],
-                }
+                run_words = uw[wi[rstarts_h]].tolist()
+            n_entries = estarts.size
+            # Arrow-native frame: every binary column is ONE numpy
+            # buffer + an offsets vector (no per-run bytes objects,
+            # no pandas->Arrow object-column conversion)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(run_words, type=pa.string()),
+                    pa.array(
+                        np.full(rstarts_e.size, grp, dtype=np.int32)
+                    ),
+                    pa.array((rends_e - rstarts_e).astype(np.int32)),
+                    _binary_from_slices(edoc, rstarts_e, n_entries),
+                    _binary_from_slices(
+                        etf.astype(np.int32), rstarts_e, n_entries
+                    ),
+                    _binary_from_slices(efm, rstarts_e, n_entries),
+                    _binary_from_slices(ps32, rstarts_h, ds.size),
+                ],
+                names=[
+                    "word", "grp", "n",
+                    "docids", "tfs", "fieldmasks", "positions",
+                ],
             )
 
-    return proj.mapInPandas(gen, schema=RUNS_SCHEMA)
+    return proj.mapInArrow(gen, schema=RUNS_SCHEMA)
 
 
 def build_hits_arrow(

@@ -323,23 +323,21 @@ def _encode_hit_frame(
     )
 
 
-def _blocks_from_entries(
-    entry_word: np.ndarray,
+def _block_layout(
     entry_docid: np.ndarray,
     entry_tf: np.ndarray,
     entry_fm: np.ndarray,
     entry_is_new_word: np.ndarray,
     pos_flat: np.ndarray | None,
-    schema,
-) -> pd.DataFrame:
-    """Entry-level arrays -> <=BLOCK_SIZE-entry compressed block rows.
-
-    Shared back half of the hits and runs encoders: entries must be
-    word-grouped and docid-sorted within each word run; `pos_flat`
-    (when positions are kept) is the flat wordpos stream, contiguous
-    per entry in entry order, entry k owning entry_tf[k] values."""
-    import zlib
-
+) -> dict:
+    """The numeric core of the block encoder: block cuts, delta+VLB
+    streams, per-block BYTE offsets into those streams, block-max
+    impacts.  Entries must be word-grouped and docid-sorted within
+    each word run; `pos_flat` (when positions are kept) is the flat
+    wordpos stream, contiguous per entry in entry order, entry k
+    owning entry_tf[k] values.  One definition shared by the pandas
+    (hits-path) and Arrow (runs-path) frame builders so the block
+    BYTES cannot drift between them."""
     from sphinx_1_spark.functions.vlb import vlb_encode_with_sizes
 
     n_entries = entry_docid.size
@@ -353,10 +351,7 @@ def _blocks_from_entries(
     blk_n = np.diff(np.concatenate((blk_starts_e, [n_entries])))
     blk_ends_e = blk_starts_e + blk_n
 
-    blk_min = entry_docid[blk_starts_e]
-    blk_max = entry_docid[blk_ends_e - 1]
-
-    # --- VLB streams, sliced per block -------------------------------
+    # --- VLB streams + per-block byte offsets ------------------------
     # docid deltas: reset to 1 at block starts (infinum = min_docid-1)
     ddelta = np.empty(n_entries, dtype=np.uint64)
     if n_entries:
@@ -367,28 +362,36 @@ def _blocks_from_entries(
     tbuf, tsz = vlb_encode_with_sizes(entry_tf.astype(np.uint64))
     fbuf, fsz = vlb_encode_with_sizes(entry_fm.astype(np.uint64))
 
-    def _block_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
+    def _byte_starts(sizes: np.ndarray) -> np.ndarray:
         offs = np.concatenate(([0], np.cumsum(sizes)))
-        starts = offs[blk_starts_e]
-        ends = offs[blk_ends_e]
-        return [buf[int(s) : int(e)] for s, e in zip(starts, ends)]
-
-    blk_word = entry_word[blk_starts_e]
-    out: dict[str, list] = {}
-    out["wordid"] = [zlib.crc32(x.encode("utf-8")) for x in blk_word]
-    out["word"] = list(blk_word)
-    out["n"] = blk_n.astype(np.int32)
-    out["min_docid"] = blk_min
-    out["max_docid"] = blk_max
-    out["docids"] = _block_slices(dbuf, dsz)
-    out["tfs"] = _block_slices(tbuf, tsz)
-    out["fieldmasks"] = _block_slices(fbuf, fsz)
+        return offs[blk_starts_e]
 
     tf_f = entry_tf.astype(np.float64)
     imp = tf_f / (tf_f + SPH_BM25_K1)
-    out["max_impact"] = np.maximum.reduceat(imp, blk_starts_e)
-    out["min_impact"] = np.minimum.reduceat(imp, blk_starts_e)
-    out["sum_tf"] = np.add.reduceat(entry_tf, blk_starts_e).astype(np.int64)
+    out = {
+        "blk_starts_e": blk_starts_e,
+        "blk_ends_e": blk_ends_e,
+        "n": blk_n.astype(np.int32),
+        "min_docid": entry_docid[blk_starts_e],
+        "max_docid": entry_docid[blk_ends_e - 1],
+        "dbuf": dbuf,
+        "d_starts": _byte_starts(dsz),
+        "tbuf": tbuf,
+        "t_starts": _byte_starts(tsz),
+        "fbuf": fbuf,
+        "f_starts": _byte_starts(fsz),
+        "max_impact": np.maximum.reduceat(imp, blk_starts_e)
+        if n_entries
+        else np.zeros(0),
+        "min_impact": np.minimum.reduceat(imp, blk_starts_e)
+        if n_entries
+        else np.zeros(0),
+        "sum_tf": (
+            np.add.reduceat(entry_tf, blk_starts_e).astype(np.int64)
+            if n_entries
+            else np.zeros(0, dtype=np.int64)
+        ),
+    }
 
     if pos_flat is not None:
         # per-value position deltas with reset at entry starts (infinum 0)
@@ -403,12 +406,48 @@ def _blocks_from_entries(
         pbuf, psz = vlb_encode_with_sizes(pdelta)
         poffs = np.concatenate(([0], np.cumsum(psz)))
         val_starts = entry_pos_starts[blk_starts_e]
-        val_ends = np.concatenate((entry_pos_starts[1:], [nh]))[blk_ends_e - 1]
-        out["positions"] = [
-            pbuf[int(s) : int(e)]
-            for s, e in zip(poffs[val_starts], poffs[val_ends])
-        ]
+        out["pbuf"] = pbuf
+        out["p_starts"] = poffs[val_starts]
+    return out
 
+
+def _blocks_from_entries(
+    entry_word: np.ndarray,
+    entry_docid: np.ndarray,
+    entry_tf: np.ndarray,
+    entry_fm: np.ndarray,
+    entry_is_new_word: np.ndarray,
+    pos_flat: np.ndarray | None,
+    schema,
+) -> pd.DataFrame:
+    """Entry-level arrays -> <=BLOCK_SIZE-entry compressed block rows
+    (pandas frame — the hits-path encoder)."""
+    import zlib
+
+    lay = _block_layout(
+        entry_docid, entry_tf, entry_fm, entry_is_new_word, pos_flat
+    )
+    blk_starts_e = lay["blk_starts_e"]
+
+    def _slices(buf: bytes, starts: np.ndarray) -> list[bytes]:
+        ends = np.concatenate((starts[1:], [len(buf)]))
+        return [buf[int(s) : int(e)] for s, e in zip(starts, ends)]
+
+    blk_word = entry_word[blk_starts_e]
+    out: dict[str, list] = {}
+    out["wordid"] = [zlib.crc32(x.encode("utf-8")) for x in blk_word]
+    out["word"] = list(blk_word)
+    out["n"] = lay["n"]
+    out["min_docid"] = lay["min_docid"]
+    out["max_docid"] = lay["max_docid"]
+    out["docids"] = _slices(lay["dbuf"], lay["d_starts"])
+    out["tfs"] = _slices(lay["tbuf"], lay["t_starts"])
+    out["fieldmasks"] = _slices(lay["fbuf"], lay["f_starts"])
+    out["max_impact"] = lay["max_impact"]
+    out["min_impact"] = lay["min_impact"]
+    out["sum_tf"] = lay["sum_tf"]
+    if pos_flat is not None:
+        out["positions"] = _slices(lay["pbuf"], lay["p_starts"])
     return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
 
@@ -438,46 +477,111 @@ def encode_blocks_from_runs(
     schema = _blocks_schema(with_positions)
 
     def enc(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        piece: dict | None = None  # carried tail (one incomplete key)
+        for rb in batches:
+            new = _runs_piece(rb, with_positions)
+            if new is None:
                 continue
+            piece = new if piece is None else _concat_pieces(piece, new)
             # hold back the trailing (possibly incomplete) key
-            words = pdf["word"].to_numpy()
-            grps = pdf["grp"].to_numpy()
-            last_key = (words[-1], grps[-1])
-            tail = (words == last_key[0]) & (grps == last_key[1])
+            words, grps = piece["words"], piece["grps"]
+            tail = (words == words[-1]) & (grps == grps[-1])
             cut = int(np.argmax(tail))  # first row of the last key
             if cut == 0 and bool(tail[0]):
-                carry = pdf
                 continue
-            carry = pdf.iloc[cut:]
-            yield _encode_run_frame(pdf.iloc[:cut], with_positions, schema)
-        if carry is not None and len(carry):
-            yield _encode_run_frame(carry, with_positions, schema)
+            head = _slice_piece(piece, 0, cut)
+            piece = _slice_piece(piece, cut, words.size)
+            yield _encode_run_piece(head, with_positions)
+        if piece is not None and piece["words"].size:
+            yield _encode_run_piece(piece, with_positions)
 
-    return sorted_r.mapInPandas(enc, schema=schema)
+    return sorted_r.mapInArrow(enc, schema=schema)
 
 
-def _encode_run_frame(
-    pdf: pd.DataFrame, with_positions: bool, schema
-) -> pd.DataFrame:
-    words = pdf["word"].to_numpy()
-    grps = pdf["grp"].to_numpy()
-    n_per_run = pdf["n"].to_numpy().astype(np.int64)
+def _np_binary_stream(col, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """A pa.BinaryArray of packed fixed-width values -> (flat numpy
+    stream, per-row item offsets).  The whole column decodes as TWO
+    frombuffer views (values + offsets) — no per-row work; this is
+    the reduce-side mirror of the map side's _binary_from_slices."""
+    obuf = col.buffers()[1]
+    vbuf = col.buffers()[2]
+    offs = np.frombuffer(obuf, dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    isz = np.dtype(dtype).itemsize
+    base, end = int(offs[0]), int(offs[-1])
+    seg = np.frombuffer(vbuf, dtype=np.uint8)[base:end]
+    if base % isz:
+        seg = seg.copy()  # realign (sliced arrays only; IPC buffers are aligned)
+    return seg.view(dtype), (offs.astype(np.int64) - base) // isz
 
-    # one concatenate per column across every run in the frame
-    doc_all = np.concatenate(
-        [np.frombuffer(b, dtype=np.int64) for b in pdf["docids"]]
-    )
-    tf_all = np.concatenate(
-        [np.frombuffer(b, dtype=np.int32) for b in pdf["tfs"]]
-    ).astype(np.int64)
-    fm_all = np.concatenate(
-        [np.frombuffer(b, dtype=np.int64) for b in pdf["fieldmasks"]]
-    )
+
+def _runs_piece(rb, with_positions: bool) -> dict | None:
+    """One shuffled Arrow batch of packed runs -> numpy piece arrays
+    (words/grps/n per run; flat entry + hit streams; per-run hit
+    counts for slicing)."""
+    if rb.num_rows == 0:
+        return None
+    words = rb.column(0).to_numpy(zero_copy_only=False)
+    grps = rb.column(1).to_numpy(zero_copy_only=False)
+    n = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_all, _ = _np_binary_stream(rb.column(3), np.int64)
+    tf_all, _ = _np_binary_stream(rb.column(4), np.int32)
+    fm_all, _ = _np_binary_stream(rb.column(5), np.int64)
+    piece = {
+        "words": words,
+        "grps": grps,
+        "n": n,
+        "doc_all": doc_all,
+        "tf_all": tf_all,
+        "fm_all": fm_all,
+    }
+    if with_positions:
+        pos_all, p_offs = _np_binary_stream(rb.column(6), np.int32)
+        piece["pos_all"] = pos_all
+        piece["hits_n"] = np.diff(p_offs)
+    return piece
+
+
+def _concat_pieces(a: dict, b: dict) -> dict:
+    return {k: np.concatenate((a[k], b[k])) for k in a}
+
+
+def _slice_piece(p: dict, lo: int, hi: int) -> dict:
+    """Slice a runs piece at RUN boundaries [lo, hi) — entry and hit
+    streams cut at the matching cumulative offsets (views, no copy)."""
+    e_lo = int(p["n"][:lo].sum())
+    e_hi = int(p["n"][:hi].sum())
+    out = {
+        "words": p["words"][lo:hi],
+        "grps": p["grps"][lo:hi],
+        "n": p["n"][lo:hi],
+        "doc_all": p["doc_all"][e_lo:e_hi],
+        "tf_all": p["tf_all"][e_lo:e_hi],
+        "fm_all": p["fm_all"][e_lo:e_hi],
+    }
+    if "pos_all" in p:
+        h_lo = int(p["hits_n"][:lo].sum())
+        h_hi = int(p["hits_n"][:hi].sum())
+        out["pos_all"] = p["pos_all"][h_lo:h_hi]
+        out["hits_n"] = p["hits_n"][lo:hi]
+    return out
+
+
+def _encode_run_piece(p: dict, with_positions: bool):
+    """Merge one frame of (word, grp)-complete runs and emit the
+    block RecordBatch — Arrow twin of the hits-path pandas encoder,
+    sharing _block_layout so the block bytes are identical."""
+    import zlib
+
+    import pyarrow as pa
+
+    words = p["words"]
+    grps = p["grps"]
+    n_per_run = p["n"]
+    doc_all = p["doc_all"]
+    tf_all = p["tf_all"].astype(np.int64)
+    fm_all = p["fm_all"]
 
     # key ordinal per entry; merge = one lexsort (docids are unique
     # within a key — each doc lives in exactly one source batch)
@@ -495,14 +599,14 @@ def _encode_run_frame(
     entry_is_new_word = np.concatenate(
         ([True], key_sorted[1:] != key_sorted[:-1])
     )
-    # per-entry word (pointer repeat, no string copies)
-    entry_word = np.repeat(words, n_per_run)[order]
+    # run ordinal per entry (word strings touched only per block)
+    entry_run = np.repeat(
+        np.arange(words.size, dtype=np.int64), n_per_run
+    )[order]
 
     pos_flat = None
     if with_positions:
-        pos_all = np.concatenate(
-            [np.frombuffer(b, dtype=np.int32) for b in pdf["positions"]]
-        ).astype(np.int64)
+        pos_all = p["pos_all"].astype(np.int64)
         # permute per-entry variable-length chunks into merged order
         src_off = np.concatenate(([0], np.cumsum(tf_all)))[:-1]
         new_lens = entry_tf
@@ -515,15 +619,55 @@ def _encode_run_frame(
         )
         pos_flat = pos_all[gather]
 
-    return _blocks_from_entries(
-        entry_word,
-        entry_docid,
-        entry_tf,
-        entry_fm,
-        entry_is_new_word,
-        pos_flat,
-        schema,
+    lay = _block_layout(
+        entry_docid, entry_tf, entry_fm, entry_is_new_word, pos_flat
     )
+    blk_starts_e = lay["blk_starts_e"]
+    nblocks = blk_starts_e.size
+
+    blk_run = entry_run[blk_starts_e]
+    blk_words = words[blk_run]
+    # crc32 once per RUN (blocks of one word share it)
+    run_crc = np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) for w in words),
+        dtype=np.int64,
+        count=words.size,
+    )
+
+    def _bin(buf: bytes, starts: np.ndarray):
+        offsets = np.empty(nblocks + 1, dtype=np.int32)
+        offsets[:-1] = starts
+        offsets[-1] = len(buf)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            nblocks,
+            [None, pa.py_buffer(offsets), pa.py_buffer(buf)],
+        )
+
+    arrays = [
+        pa.array(run_crc[blk_run]),
+        pa.array(blk_words.tolist(), type=pa.string()),
+        pa.array(lay["n"]),
+        pa.array(lay["min_docid"]),
+        pa.array(lay["max_docid"]),
+        _bin(lay["dbuf"], lay["d_starts"]),
+        _bin(lay["tbuf"], lay["t_starts"]),
+        _bin(lay["fbuf"], lay["f_starts"]),
+    ]
+    names = [
+        "wordid", "word", "n", "min_docid", "max_docid",
+        "docids", "tfs", "fieldmasks",
+    ]
+    if with_positions:
+        arrays.append(_bin(lay["pbuf"], lay["p_starts"]))
+        names.append("positions")
+    arrays += [
+        pa.array(lay["max_impact"]),
+        pa.array(lay["min_impact"]),
+        pa.array(lay["sum_tf"]),
+    ]
+    names += ["max_impact", "min_impact", "sum_tf"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
