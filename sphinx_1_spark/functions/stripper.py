@@ -74,6 +74,19 @@ _TAGSTART = frozenset(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_:")
 # "advance until '>', entering SkipQuoted at any quote")
 _GT_OR_QUOTE = re.compile(rb"[>'\"]")
 
+# whole-tag fast path: an entire well-formed tag in ONE C-level match
+# — name (TAGSTART then TAGCHARs, so the char after the name is a
+# non-tag char exactly like the candidate scan requires), then the
+# attribute region with SkipQuoted semantics as an unrolled (linear,
+# backtracking-safe) quoted-string alternation, then the closing '>'.
+# No match (malformed / unterminated quote / eof / comment / PI)
+# falls back to the byte automaton, which remains the one source of
+# truth for every edge case.
+_WHOLE_TAG = re.compile(
+    rb"<(/?)([a-zA-Z_:][0-9a-zA-Z\-_.:]*)"
+    rb"(?:[^>'\"]*(?:(?:'[^']*'|\"[^\"]*\")[^>'\"]*)*)>"
+)
+
 
 def _utf8_encode_sphinx(code: int) -> bytes:
     """3-byte-max UTF-8 with Sphinx's masking for out-of-range codes
@@ -174,14 +187,22 @@ class HtmlStripper:
         if nul >= 0:
             data, n = data[:nul], nul
 
+        # memoized next-'<'/'&' positions: a find() result stays valid
+        # while the cursor has not passed it, so handling a tag never
+        # re-scans the whole tail for a distant '&' (and vice versa)
+        lt = amp = -1
+        tags_dict = self._tags
+        whole_tag = _WHOLE_TAG.match
         while True:
             # copy until eof, '<', or '&'
-            lt = data.find(b"<", s)
-            amp = data.find(b"&", s)
-            if lt < 0:
-                lt = n
-            if amp < 0:
-                amp = n
+            if lt < s:
+                lt = data.find(b"<", s)
+                if lt < 0:
+                    lt = n
+            if amp < s:
+                amp = data.find(b"&", s)
+                if amp < 0:
+                    amp = n
             stop = lt if lt < amp else amp
             out += data[s:stop]
             s = stop
@@ -218,7 +239,29 @@ class HtmlStripper:
                     s += 1
                 continue
 
-            # '<'
+            # '<' — whole-tag fast path first: one C-level match
+            # consumes name + quote-aware attribute region + '>'.
+            # Indexed-attr and remove-element tags still take the
+            # automaton (attr extraction / content skip), as does
+            # anything the strict pattern rejects.
+            m = whole_tag(data, s)
+            if m is not None:
+                tag = tags_dict.get(m.group(2).lower())
+                if tag is None:
+                    out += b" "  # unknown tags are not inline
+                    s = m.end()
+                    continue
+                if not tag.index_attrs and not tag.remove:
+                    s = m.end()
+                    # unconditional in the ref (src/sphinx.cpp:18318)
+                    # — a second '>' right after a consumed one is
+                    # eaten too (e.g. "<b>>")
+                    if data[s : s + 1] == b">":
+                        s += 1
+                    if not tag.inline:
+                        out += b" "
+                    continue
+
             nxt = data[s + 1 : s + 2]
             if not nxt or nxt[0] not in _TAGSTART:
                 if nxt == b"/":

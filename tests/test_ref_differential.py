@@ -770,6 +770,28 @@ def _rand_html(rng):
     return " ".join(parts)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_stripper_live_quote_soup(seed):
+    """Adversarial quote/bracket soup aimed at the whole-tag regex
+    fast path (round 5): quotes containing '>', unterminated quotes,
+    doubled '>' after known tags, names that prefix known tags, tags
+    truncated at EOF — all byte-identical to the real stripper."""
+    pieces = [
+        '<b title="a>b">x', "<b title='a>b'>y", '<a href="x>', "<b>>",
+        '<b q="1" r=\'2\'>t', "<bold>", "<basefont>", "<b.x>", "<b",
+        '<em a="unterminated', "</b>>", '<span x=">">',
+        '<a href="q" Q>', "<B TITLE='Z>'>w", "<a/>", "<a />",
+        '<img alt="keep>this">', "<script>junk</script x>",
+        '<style a=">">s</style>', "text&amp;<b>more",
+    ]
+    rng = random.Random(8100 + seed)
+    for _ in range(10):
+        html = " ".join(rng.choices(pieces, k=rng.randint(2, 12)))
+        attrs, remove = rng.choice(_STRIP_CONFIGS)
+        ref, ours = _strip_both(html, attrs, remove)
+        assert ref == ours, f"attrs={attrs!r} remove={remove!r}\nhtml={html!r}"
+
+
 @pytest.mark.parametrize("seed", range(15))
 def test_stripper_live_random_html(seed):
     """Random (and deliberately broken) HTML through the REAL
