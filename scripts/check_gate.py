@@ -10,10 +10,13 @@ Usage: python scripts/check_gate.py [sf_dir] [query ...]
 sf0.1 (scripts/bench_sf_scale.build_scaled), flattens the Spark
 parquet directories to single files for the DuckDB views, and runs
 the gate there — the one-command reproduction of the "values hold at
-10x" evidence in BENCH.md.  q_excerpts is skipped at 10x with a
-printed reason: its oracle is a literal golden table pinned to the
-sf0.01 corpus (the excerpts automaton itself is byte-exact-pinned in
-tests/test_excerpts.py).
+10x" evidence in BENCH.md.  q_excerpts' sf0.01 oracle is a literal
+golden table, so at 10x its expectation is derived CORPUS-
+INDEPENDENTLY instead: the compiled reference's snipdump harness
+(scripts/build_reference.sh) re-computes every excerpt over the
+scaled corpus and the md5s must match ours row by row — the same
+derivation the live snipdump differential uses on arbitrary text.
+If the reference build is absent the entry records a printed SKIP.
 """
 
 from __future__ import annotations
@@ -63,6 +66,42 @@ def _prepare_scaled(spark) -> str:
         if not os.path.lexists(dst):
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
     return SCALED_FLAT
+
+
+_SNIPDUMP = "/tmp/refbuild/src/snipdump"
+
+
+def _excerpts_scaled_oracle(sf_dir: str):
+    """(doc_id, excerpt_md5) rows for q_excerpts over ANY corpus,
+    derived from the COMPILED REFERENCE's excerpt builder (the
+    snipdump differential harness) — corpus-independent, unlike the
+    sf0.01 literal-golden SQL.  Mirrors q_excerpts exactly: first 50
+    docs by doc_id, words "table scan", limit=64, around=3, default
+    markers.  Returns None when the reference build is absent."""
+    import hashlib
+    import subprocess
+
+    import duckdb
+
+    if not os.path.exists(_SNIPDUMP):
+        return None
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 50"
+    ).fetchall()
+    out = []
+    for doc_id, text in rows:
+        r = subprocess.run(
+            [_SNIPDUMP, "table scan", "<b>", "</b>", " ... ",
+             "64", "3", "none"],
+            input=text.encode("utf-8"),
+            capture_output=True,
+            cwd="/tmp",
+            check=True,
+        )
+        out.append((doc_id, hashlib.md5(r.stdout).hexdigest()))
+    return out
 
 
 def compare_frames(spark_cols, spark_rows, duck_cols, duck_rows):
@@ -131,11 +170,30 @@ def main() -> int:
         if only and name not in only:
             continue
         if scaled and name == "q_excerpts":
-            print(
-                "q_excerpts: SKIP at 10x (oracle is a literal golden "
-                "table pinned to the sf0.01 corpus; automaton is "
-                "byte-exact-pinned in tests/test_excerpts.py)"
+            # corpus-independent oracle: the COMPILED REFERENCE
+            # recomputes every excerpt over the scaled corpus
+            want = _excerpts_scaled_oracle(sf_dir)
+            if want is None:
+                print(
+                    "q_excerpts: SKIP at 10x (reference snipdump "
+                    "harness absent — run scripts/build_reference.sh)"
+                )
+                continue
+            sdf = fn(spark, sf_dir)
+            got = [tuple(r) for r in sdf.collect()]
+            errs = compare_frames(
+                sdf.columns, got, ["doc_id", "excerpt_md5"], want
             )
+            if errs:
+                print(f"{name}: {errs[0]} (vs reference snipdump)")
+                for line in errs[1:]:
+                    print(line)
+                failures += 1
+            else:
+                print(
+                    f"{name}: OK ({len(got)} rows, oracle = compiled "
+                    "reference snipdump over the scaled corpus)"
+                )
             continue
         sdf = fn(spark, sf_dir)
         spark_rows = [tuple(r) for r in sdf.collect()]

@@ -27,14 +27,23 @@ from __future__ import annotations
 # Relations persist()ed by the pair-finders below (shingle tables,
 # signatures, fingerprints) — they must outlive the call because the
 # returned DataFrames are lazy, so the functions cannot unpersist
-# internally.  A long-lived session running periodic dedup passes
-# should call release_dedup_caches() between passes, or executor
-# storage accumulates one pinned relation per call.
-_CACHED = []
+# internally.  Pins are keyed by call SITE: a repeated call of the
+# same operator auto-unpersists its previous call's relation (safe
+# even if the old call's lazy result is still referenced — Spark just
+# recomputes), so a long-lived session running periodic dedup passes
+# holds at most one pinned relation per pin site, not one per call.
+# release_dedup_caches() stays for manual/teardown control.
+_CACHED: dict[str, "DataFrame"] = {}
 
 
-def _pin(df):
-    _CACHED.append(df)
+def _pin(tag: str, df):
+    old = _CACHED.pop(tag, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _CACHED[tag] = df
     return df
 
 
@@ -43,9 +52,9 @@ def release_dedup_caches() -> int:
     results are still referenced — Spark just recomputes); returns the
     number released."""
     n = 0
-    while _CACHED:
+    for tag in list(_CACHED):
         try:
-            _CACHED.pop().unpersist()
+            _CACHED.pop(tag).unpersist()
             n += 1
         except Exception:
             pass
@@ -145,7 +154,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
     # the shingle relation feeds three plan branches (two join sides +
     # sizes); persist so tokenization runs once
-    sh = _pin(sh.persist())
+    sh = _pin("jaccard:shingles", sh.persist())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("x")
@@ -241,8 +250,9 @@ def minhash_lsh_pairs(
     num_hashes = bands * rows_per_band
     # one persisted shingle relation feeds both the signature build
     # and the verify joins; persist sig too (self-joined for banding)
-    sh = _pin(shingle_df(docs, k, text_col).persist())
+    sh = _pin("minhash:shingles", shingle_df(docs, k, text_col).persist())
     sig = _pin(
+        "minhash:signatures",
         minhash_signatures(
             docs, k, num_hashes, text_col, shingles=sh
         ).persist()
@@ -352,7 +362,7 @@ def simhash_neardup_pairs(
     # persist the fingerprints: the relation feeds both join sides
     # (and previously 4 union branches), which would otherwise re-run
     # the aggregation lineage per branch
-    fp = _pin(simhash64(docs, text_col).persist())
+    fp = _pin("simhash:fingerprints", simhash64(docs, text_col).persist())
     chunks = fp.select(
         "doc_id",
         "simhash",

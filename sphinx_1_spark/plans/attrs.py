@@ -361,7 +361,7 @@ def group_cutoff(
     but decrements the daemon's counter ONCE (bNewMatch is a single
     bool per match); for scalar keys first-occurrence docids are
     unique per group, so distinct is a no-op.  The collect is bounded
-    by cutoff+1 rows.  With fewer introducing matches than the
+    by cutoff rows.  With fewer introducing matches than the
     cutoff, it never fires and the match set is untouched — but when
     the count EQUALS the cutoff it still cuts at the last introducing
     match (`--iCutoff==0` breaks the loop there, dropping later
@@ -380,7 +380,7 @@ def group_cutoff(
         .select("_first")
         .distinct()
         .orderBy("_first")
-        .limit(cutoff + 1)
+        .limit(cutoff)
         .collect()
     )
     if len(firsts) < cutoff:

@@ -347,13 +347,36 @@ def _filtered_base(
         # when it creates a NEW group (the sorter's bNewMatch), so the
         # cut lands after the cutoff-th distinct group instead —
         # group_cutoff pins the live daemon's exact behavior.
+        from pyspark.sql.types import ArrayType
+
         from sphinx_1_spark.plans.attrs import docid_ord, group_cutoff
 
         if stmt.group_by:
-            base = group_cutoff(
-                base, _cond_col(stmt.group_by, docid_col), cutoff,
-                docid_col,
+            fld = next(
+                (
+                    f
+                    for f in base.schema.fields
+                    if f.name.lower() == stmt.group_by.lower()
+                ),
+                None,
             )
+            if fld is not None and isinstance(fld.dataType, ArrayType):
+                # MVA group key: one match introducing several
+                # value-groups decrements the daemon's counter ONCE —
+                # derive first-occurrences from the exploded values
+                # (same shape as the ApiQuery path, plans/api.py)
+                kf = base.select(
+                    docid_col,
+                    F.explode(F.col(fld.name)).alias("_gv"),
+                )
+                base = group_cutoff(
+                    base, F.col("_gv"), cutoff, docid_col, key_frame=kf
+                )
+            else:
+                base = group_cutoff(
+                    base, _cond_col(stmt.group_by, docid_col), cutoff,
+                    docid_col,
+                )
         else:
             base = base.orderBy(docid_ord(docid_col).asc()).limit(cutoff)
     return base
@@ -364,6 +387,7 @@ def execute(
     df: DataFrame | None = None,
     index=None,
     docid_col: str = "docid",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Run a parsed SELECT against an attribute DataFrame and/or a
     SphinxIndex (for MATCH); mirrors the searchd flow: match ->
@@ -393,7 +417,8 @@ def execute(
             "batch plan cannot reproduce; bound job wall-clock with "
             "spark.sparkContext.cancelJobGroup instead"
         )
-    base = _filtered_base(stmt, df, index, docid_col)
+    if base is None:
+        base = _filtered_base(stmt, df, index, docid_col)
     max_matches = int(stmt.options.get("max_matches", 1000))
     if not 1 <= max_matches <= 1000:
         # CheckQuery (src/searchd.cpp:2988-2993): per-query
@@ -626,7 +651,20 @@ class SphinxQLSession:
 
         t0 = _time.perf_counter()
         stmt = parse_select(sql)
-        out = execute(stmt, self.df, self.index, self.docid_col)
+        # compute the filtered match set ONCE and share it between the
+        # result plan and the SHOW META totals below (with OPTION
+        # cutoff this also runs group_cutoff's eager collect a single
+        # time per query); skipped when execute() will reject the
+        # statement anyway (max_query_time) or META has no use for it
+        fb = None
+        if (
+            stmt.match is not None
+            and self.index is not None
+            and (stmt.group_by or stmt.conds or stmt.options.get("cutoff"))
+            and not int(stmt.options.get("max_query_time", 0) or 0)
+        ):
+            fb = _filtered_base(stmt, self.df, self.index, self.docid_col)
+        out = execute(stmt, self.df, self.index, self.docid_col, base=fb)
         meta: list[tuple[str, str]] = []
         self._warnings = []
         if stmt.match is not None and self.index is not None:
@@ -644,8 +682,7 @@ class SphinxQLSession:
                 # SHOW META said total=4 groups where we said 10
                 # matches)
                 total_found = (
-                    _filtered_base(stmt, self.df, self.index,
-                                   self.docid_col)
+                    fb
                     .select(_cond_col(stmt.group_by, self.docid_col))
                     .distinct()
                     .count()
@@ -656,9 +693,7 @@ class SphinxQLSession:
                 # and stops at cutoff (matching stopped there, so the
                 # daemon reports total == total_found == cutoff — live
                 # differential test_option_cutoff)
-                total_found = _filtered_base(
-                    stmt, self.df, self.index, self.docid_col
-                ).count()
+                total_found = fb.count()
             else:
                 # plan is one row per matched docid (compile_node
                 # merges AND/OR per doc), so a plain count IS the
