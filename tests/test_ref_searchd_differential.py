@@ -1056,7 +1056,10 @@ def _rand_select_tail(rng):
     return tail, group
 
 
-@pytest.mark.parametrize("seed", range(3))
+# 10 pinned seeds (round-5 VERDICT ask: this net caught two real bugs
+# late in round 4 — grouped SHOW META totals and grouped cutoff — so
+# it runs at full strength in the default suite)
+@pytest.mark.parametrize("seed", range(10))
 def test_random_select_compositions(daemon, ours, seed):
     """40 random SELECT compositions per seed (filters x order x
     paging x group x options interactions): rows AND SHOW META must
