@@ -63,8 +63,22 @@ DECLARED = {
         "searchd SIGHUP rotation daemon machinery; atomic-swap analog "
         "golden-pinned in tests/test_streaming.py (promote/vacuum)"
     ),
-    "test_86": "searchd rotation + persistent-connection daemon machinery",
-    "test_42": "searchd persistent-connection daemon machinery",
+    "test_86": (
+        "covered-live: tests/test_ref_pconn_differential.py::"
+        "test_86_rotation_vs_pconn drives the model's sequence over "
+        "ONE persistent binary-API connection against the real "
+        "daemon (pconn -> indexer --rotate + SIGHUP -> same-pconn "
+        "requery sees the new index), value-identical to our "
+        "promote() analog before and after"
+    ),
+    "test_42": (
+        "covered-live: tests/test_ref_pconn_differential.py::"
+        "test_42_* drive the model's Open/Query/sleep/Query/Close "
+        "sequence over ONE persistent binary-API connection against "
+        "the real daemon for BOTH client_timeout variants (idle "
+        "survival at 5s; drop + client force-reopen at 1s), every "
+        "query value-identical to our engine"
+    ),
     "test_39": "remote distributed-agent attr updates (daemon "
     "protocol; semantics hand-ported in tests/"
     "test_custom_php_goldens.py::test_39_distributed_updates)",
@@ -103,7 +117,11 @@ def main() -> None:
             test = load_test(tid)
             why = classify_skip(test, tid)
             if why:
-                print(f"{tid} SKIP {why}", flush=True)
+                tag = (
+                    "COVERED-LIVE" if why.startswith("covered-live")
+                    else "SKIP"
+                )
+                print(f"{tid} {tag} {why}", flush=True)
                 continue
             n_st = subtest_count(tid)
             errs: list[str] = []
