@@ -339,13 +339,33 @@ class ChineseTokenizer:
         mwl = self.min_word_len
         cap = self.MAX_ACCUM_CP
         prefix_search = d.prefix_search
+        # whole word decision memo: the chosen word length depends
+        # only on the bytes in the full A+B+C search window (same
+        # argument as _best_word_length's cache, which this subsumes
+        # for the fast path — it also caches the common single-match
+        # and no-match outcomes, cutting prefix_search to cache
+        # misses only; 0 = no dict word starts here)
+        wcache = self._bwl_cache
+        wwin = self._bwl_window
+        wcache_get = wcache.get
         while i < ncp:
             if maybe_l[i]:
                 b = byte_off_l[i]
-                m = prefix_search(data, b, 256)
-                if m:
+                key = data[b : b + wwin]
+                wl = wcache_get(key)
+                if wl is None:
+                    m = prefix_search(data, b, 256)
+                    if not m:
+                        wl = 0
+                    elif len(m) == 1:
+                        wl = m[0][0]
+                    else:
+                        wl = self._best_word_length_impl(data, b)
+                    if len(wcache) >= (1 << 17):
+                        wcache.clear()
+                    wcache[key] = wl
+                if wl:
                     # dict word: raw bytes, bypasses min_word_len
-                    wl = m[0][0] if len(m) == 1 else self._best_word_length(data, b)
                     out.append(
                         (data[b : b + wl].decode("utf-8", errors="replace"), overshort)
                     )

@@ -410,9 +410,16 @@ def build_runs_fused(
                 if ntok:
                     d = np.asarray(docids, dtype=np.int64)
                     p = np.asarray(poss, dtype=np.int64)
-                    w = np.asarray(words, dtype=object)
+                    # fixed-width numpy unicode, NOT object: np.unique
+                    # then compares by memcmp instead of per-pair
+                    # Python string calls (~5x on the mmseg build);
+                    # stable argsort by word ordinal keeps hits in
+                    # stream (doc-major, position-ascending) order
+                    # within each word, which is all the entry math
+                    # needs — same argument as the fast batch path
+                    w = np.asarray(words)
                     uw, winv = np.unique(w, return_inverse=True)
-                    order = np.lexsort((p, d, winv))
+                    order = np.argsort(winv, kind="stable")
                     wi = winv[order]
                     wchg = np.concatenate(([True], wi[1:] != wi[:-1]))
                     ds = d[order]
