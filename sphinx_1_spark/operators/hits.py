@@ -283,9 +283,20 @@ def _binary_from_slices(values: "np.ndarray", item_starts: "np.ndarray", total_i
     import pyarrow as pa
 
     isz = values.dtype.itemsize
+    total_bytes = total_items * isz
+    if total_bytes > 0x7FFFFFF0:
+        # pa.binary() carries int32 offsets; a silent wrap would emit
+        # corrupt runs. Map-side frames are one Arrow batch (~10k
+        # docs), so hitting this means maxRecordsPerBatch was raised
+        # past what a 2 GB value buffer can hold.
+        raise ValueError(
+            f"runs frame value buffer {total_bytes} B exceeds the "
+            "int32 Arrow binary offset limit; lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     offsets = np.empty(item_starts.size + 1, dtype=np.int32)
     np.multiply(item_starts, isz, out=offsets[:-1], casting="unsafe")
-    offsets[-1] = total_items * isz
+    offsets[-1] = total_bytes
     return pa.Array.from_buffers(
         pa.binary(),
         item_starts.size,

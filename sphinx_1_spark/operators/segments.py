@@ -635,6 +635,18 @@ def _encode_run_piece(p: dict, with_positions: bool):
     )
 
     def _bin(buf: bytes, starts: np.ndarray):
+        if len(buf) > 0x7FFFFFF0:
+            # pa.binary() carries int32 offsets; a reduce frame's VLB
+            # stream past 2 GB would wrap silently. One frame holds
+            # the (word, grp)-complete runs of one shuffled batch —
+            # hitting this means encode partitions are far too coarse
+            # for the corpus; raise them (or n_groups) instead.
+            raise ValueError(
+                f"block frame VLB stream {len(buf)} B exceeds the "
+                "int32 Arrow binary offset limit; raise "
+                "encode_partitions/n_groups so each reduce frame "
+                "holds fewer entries"
+            )
         offsets = np.empty(nblocks + 1, dtype=np.int32)
         offsets[:-1] = starts
         offsets[-1] = len(buf)
